@@ -1,0 +1,32 @@
+"""Central query registry: merges every operator module's QUERIES/ORACLES.
+
+``__spark_entry__.py`` (the driver contract) is a thin shim over this module.
+Each entry key appears in SURVEY.md §2's coverage checklist.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import relational
+
+_MODULES = [relational]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        for key, fn in mod.QUERIES.items():
+            if key in out:
+                raise ValueError(f"duplicate query key {key!r}")
+            out[key] = fn
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(getattr(mod, "ORACLES", {}))
+    return out
