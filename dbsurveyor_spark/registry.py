@@ -11,8 +11,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import relational
+from .survey import profile, quality, sampling
 
-_MODULES = [relational]
+_MODULES = [relational, profile, sampling, quality]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

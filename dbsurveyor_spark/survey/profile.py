@@ -1,0 +1,308 @@
+"""Schema survey: table overview, column profiling, key inference.
+
+Re-expresses dbsurveyor's schema-collection surface
+(`/root/reference/dbsurveyor-core/src/adapters/postgres/schema_collection.rs`,
+`models.rs:82 Table`, `models.rs:98 PrimaryKey`, `models.rs:105 ForeignKey`)
+as distributed computations: instead of reading catalogs of a live RDBMS, we
+*infer* the same metadata (row counts, column statistics, candidate keys,
+foreign-key relationships) from the data itself — which is what a survey tool
+must do over a data lake at 100 TB.
+
+Scale notes:
+- `schema_overview` issues one count per table; parquet row-group metadata
+  makes these near-free (no full scans).
+- `column_profile` is one single-pass aggregate over the table (all per-column
+  stats in one job, map-side combinable). Exact `count(distinct)` is kept
+  because the correctness oracle needs exact values; the scale path is
+  `approx_count_distinct` (see `column_profile_approx`).
+- key inference aggregates shuffle only on the candidate key columns.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import TABLES, load_table
+
+# (table, column, kind) — kind drives which min/max representation is used.
+_NUMERIC = "num"
+_STRING = "str"
+_TS = "ts"
+
+PROFILE_TABLE = "lineitem"
+PROFILE_COLUMNS = [
+    ("l_orderkey", _NUMERIC),
+    ("l_partkey", _NUMERIC),
+    ("l_suppkey", _NUMERIC),
+    ("l_linenumber", _NUMERIC),
+    ("l_quantity", _NUMERIC),
+    ("l_extendedprice", _NUMERIC),
+    ("l_discount", _NUMERIC),
+    ("l_tax", _NUMERIC),
+    ("l_returnflag", _STRING),
+    ("l_linestatus", _STRING),
+    ("l_shipdate", _TS),
+]
+
+
+def survey_schema_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table row count + column count (the `analyze` summary surface,
+    `/root/reference/dbsurveyor/src/output.rs:136 generate_json_analysis`)."""
+    frames = []
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        frames.append(
+            df.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("row_count"),
+                F.lit(len(df.columns)).cast("bigint").alias("column_count"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _overview_sql() -> str:
+    # Column counts are static facts of the fixed test schema; the oracle
+    # recomputes row counts and pins column counts as literals.
+    static_cols = {
+        "region": 2, "nation": 3, "customer": 5, "supplier": 4, "part": 6,
+        "orders": 6, "lineitem": 11, "events": 6, "documents": 5,
+        "embeddings": 3,
+    }
+    parts = [
+        f"SELECT '{t}' AS table_name, COUNT(*) AS row_count, "
+        f"CAST({static_cols[t]} AS BIGINT) AS column_count FROM {t}"
+        for t in TABLES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def survey_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column stats of lineitem in ONE pass: null count, exact distinct
+    count, min/max (numeric as double, strings as varchar, timestamps as
+    epoch seconds)."""
+    df = load_table(spark, sf_dir, PROFILE_TABLE)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for col, kind in PROFILE_COLUMNS:
+        c = F.col(col)
+        aggs += [
+            F.count(c).alias(f"{col}__nonnull"),
+            F.count_distinct(c).alias(f"{col}__distinct"),
+        ]
+        if kind == _NUMERIC:
+            aggs += [
+                F.min(c).cast("double").alias(f"{col}__min_num"),
+                F.max(c).cast("double").alias(f"{col}__max_num"),
+            ]
+        elif kind == _TS:
+            aggs += [
+                F.min(F.unix_timestamp(c)).cast("double").alias(f"{col}__min_num"),
+                F.max(F.unix_timestamp(c)).cast("double").alias(f"{col}__max_num"),
+            ]
+        else:
+            aggs += [
+                F.min(c).alias(f"{col}__min_str"),
+                F.max(c).alias(f"{col}__max_str"),
+            ]
+    one = df.agg(*aggs)
+    rows = []
+    for col, kind in PROFILE_COLUMNS:
+        is_num = kind in (_NUMERIC, _TS)
+        rows.append(
+            one.select(
+                F.lit(col).alias("column_name"),
+                (F.col("__total") - F.col(f"{col}__nonnull")).alias("null_count"),
+                F.col(f"{col}__distinct").alias("distinct_count"),
+                (F.col(f"{col}__min_num") if is_num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"{col}__max_num") if is_num else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"{col}__min_str") if not is_num else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"{col}__max_str") if not is_num else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    return reduce(DataFrame.unionByName, rows)
+
+
+def column_profile_approx(
+    spark: SparkSession, sf_dir: str, table: str, rsd: float = 0.02
+) -> DataFrame:
+    """Scale-path profile: approx_count_distinct (HLL) instead of exact
+    distinct — one pass, no distinct-expand, for interactive 100 TB profiling.
+    Not oracle-checked (approx by construction)."""
+    df = load_table(spark, sf_dir, table)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for col in df.columns:
+        aggs += [
+            F.count(F.col(col)).alias(f"{col}__nonnull"),
+            F.approx_count_distinct(F.col(col), rsd).alias(f"{col}__distinct"),
+        ]
+    one = df.agg(*aggs)
+    rows = [
+        one.select(
+            F.lit(col).alias("column_name"),
+            (F.col("__total") - F.col(f"{col}__nonnull")).alias("null_count"),
+            F.col(f"{col}__distinct").alias("approx_distinct_count"),
+        )
+        for col in df.columns
+    ]
+    return reduce(DataFrame.unionByName, rows)
+
+
+def _profile_sql() -> str:
+    parts = []
+    for col, kind in PROFILE_COLUMNS:
+        if kind == _NUMERIC:
+            mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == _TS:
+            mn, mx = (
+                f"CAST(epoch(MIN({col})) AS DOUBLE)",
+                f"CAST(epoch(MAX({col})) AS DOUBLE)",
+            )
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"MIN({col})", f"MAX({col})"
+        parts.append(
+            f"SELECT '{col}' AS column_name, "
+            f"COUNT(*) - COUNT({col}) AS null_count, "
+            f"COUNT(DISTINCT {col}) AS distinct_count, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{ms} AS min_str, {xs} AS max_str "
+            f"FROM {PROFILE_TABLE}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# Candidate single-column keys: positives and negatives, mirroring
+# detect_primary_key / detect_auto_increment (postgres/sampling.rs:160,280).
+PK_CANDIDATES = [
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+    ("lineitem", "l_orderkey"),  # negative: repeats per line
+    ("orders", "o_custkey"),  # negative: repeats per order
+]
+
+
+def survey_pk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for table, col in PK_CANDIDATES:
+        df = load_table(spark, sf_dir, table)
+        frames.append(
+            df.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                F.count(F.lit(1)).alias("total_rows"),
+                F.count_distinct(F.col(col)).alias("distinct_count"),
+            ).select(
+                "*",
+                (F.col("distinct_count").cast("double") / F.col("total_rows"))
+                .alias("uniqueness_ratio"),
+                (
+                    (F.col("distinct_count") == F.col("total_rows"))
+                    & (F.col("total_rows") > 0)
+                ).alias("is_candidate_key"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _pk_sql() -> str:
+    parts = [
+        f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+        f"COUNT(*) AS total_rows, COUNT(DISTINCT {c}) AS distinct_count, "
+        f"CAST(COUNT(DISTINCT {c}) AS DOUBLE) / COUNT(*) AS uniqueness_ratio, "
+        f"(COUNT(DISTINCT {c}) = COUNT(*) AND COUNT(*) > 0) AS is_candidate_key "
+        f"FROM {t}"
+        for t, c in PK_CANDIDATES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+# (child_table, child_col, parent_table, parent_col) — known positives plus
+# events.user_id→customer (unknown a priori; inference decides).
+FK_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def survey_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK detection via key containment: |child∩parent| / |child distinct|.
+
+    Distinct child keys (small after distinct) semi-join the parent keys;
+    at scale the parent-distinct side of bounded dims is broadcast by AQE.
+    """
+    frames = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        child = load_table(spark, sf_dir, ct).select(F.col(cc).alias("k")).distinct()
+        parent = load_table(spark, sf_dir, pt).select(F.col(pc).alias("k")).distinct()
+        matched = child.join(parent, "k", "left_semi")
+        stats = child.agg(F.count(F.lit(1)).alias("child_distinct")).crossJoin(
+            matched.agg(F.count(F.lit(1)).alias("matched_distinct"))
+        )
+        frames.append(
+            stats.select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_column"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_column"),
+                "child_distinct",
+                "matched_distinct",
+                (F.col("matched_distinct").cast("double") / F.col("child_distinct"))
+                .alias("containment"),
+                (F.col("matched_distinct") == F.col("child_distinct"))
+                .alias("is_foreign_key"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _fk_sql() -> str:
+    parts = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        parts.append(f"""
+SELECT '{ct}' AS child_table, '{cc}' AS child_column,
+       '{pt}' AS parent_table, '{pc}' AS parent_column,
+       (SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS child_distinct,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT {cc} AS k FROM {ct}
+          WHERE {cc} IN (SELECT {pc} FROM {pt})) m) AS matched_distinct,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT DISTINCT {cc} AS k FROM {ct}
+          WHERE {cc} IN (SELECT {pc} FROM {pt})) m) AS DOUBLE)
+         / (SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS containment,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT {cc} AS k FROM {ct}
+          WHERE {cc} IN (SELECT {pc} FROM {pt})) m)
+         = (SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS is_foreign_key
+""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES = {
+    "survey_schema_overview": survey_schema_overview,
+    "survey_column_profile": survey_column_profile,
+    "survey_pk_inference": survey_pk_inference,
+    "survey_fk_inference": survey_fk_inference,
+}
+
+ORACLES = {
+    "survey_schema_overview": _overview_sql(),
+    "survey_column_profile": _profile_sql(),
+    "survey_pk_inference": _pk_sql(),
+    "survey_fk_inference": _fk_sql(),
+}

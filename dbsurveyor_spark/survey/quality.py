@@ -1,0 +1,524 @@
+"""Data-quality analysis (SURVEY.md §2.C).
+
+Distributed re-expression of the reference's quality module
+(`/root/reference/dbsurveyor-core/src/quality/`): the reference analyzes a
+driver-side JSON sample row-by-row; we compute the SAME metrics as single-pass
+Spark aggregates over the FULL table, so quality holds at 100 TB.
+
+Semantics mirrored precisely:
+- completeness (completeness.rs:19): per-column null_count + empty_count
+  ("" only — whitespace is NOT empty, completeness.rs:242 test), completeness
+  = (total − nulls − empties) / total (models.rs ColumnCompleteness::new);
+  table score = average of per-column completeness.
+- uniqueness (uniqueness.rs:16): duplicate_count counts repeats beyond the
+  first occurrence, with NULL treated as a value (uniqueness.rs:213 test);
+  only columns WITH duplicates are reported; row-level duplicates counted as
+  exact-row repeats; score = min(row_uniqueness, avg uniqueness of
+  duplicate columns) (uniqueness.rs:61-76).
+- anomaly (anomaly.rs:22): z-score outliers over numeric columns using
+  POPULATION std-dev (anomaly.rs:107), Medium sensitivity threshold 2.5
+  (config.rs z_score_threshold); columns need ≥3 numeric values and
+  std > 1e-10; only columns with outliers are reported.
+- consistency (consistency.rs:70): "looks-like" format heuristics — uuid
+  (len 36, dashes at 9/14/19/24 1-indexed, hex), iso_datetime (len ≥ 19,
+  has 'T' and ':'), iso_date (len 10, dashes at 5/8), email ('@' and '.'),
+  detection order uuid → datetime → date → email; empty strings excluded.
+- overall score (analyzer.rs:171): equal-weight mean of completeness,
+  consistency, uniqueness.
+
+The test tables contain no NULL/empty values, so completeness/uniqueness run
+over a DETERMINISTICALLY DIRTIED projection of `orders` (documented below);
+the dirtying is part of the query in both engines, keeping the checks
+non-vacuous.
+
+Scale notes: every metric is one (or two, for z-score) map-side-combinable
+aggregates; no joins except a broadcast of the 1-row stats frame. Float
+aggregates use exact-decimal accumulation; all derived doubles are computed
+with the same scalar expression in Spark and DuckDB, so comparisons around
+thresholds (z > 2.5, u < 1.0) agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.aggregates import DECIMAL_T
+
+Z_THRESHOLD = 2.5  # AnomalySensitivity::Medium (config.rs:30)
+MIN_STD = 1e-10  # anomaly.rs:54
+MIN_VALUES = 3  # anomaly.rs:46
+
+# ---------------------------------------------------------------- dirtied view
+
+# Deterministic dirtying: status 'P' → NULL, priority starting '5' → ''.
+DIRTY_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+DIRTY_SQL_BODY = """
+SELECT
+  o_orderkey,
+  CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+  CASE WHEN o_orderpriority LIKE '5%' THEN '' ELSE o_orderpriority END AS o_orderpriority,
+  o_totalprice
+FROM orders
+"""
+
+
+def _dirty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderpriority").startswith("5"), "")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "o_totalprice",
+    )
+
+
+_STRING_COLS = {"o_orderstatus", "o_orderpriority"}
+
+
+# -------------------------------------------------------------- completeness
+
+
+def quality_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _dirty_orders(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for col in DIRTY_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(F.col(col))).alias(f"{col}__nulls"))
+        empty = (
+            F.sum((F.col(col) == "").cast("bigint"))
+            if col in _STRING_COLS
+            else F.lit(0)
+        )
+        aggs.append(F.coalesce(empty, F.lit(0)).cast("bigint").alias(f"{col}__empty"))
+    one = df.agg(*aggs)
+    rows = []
+    for col in DIRTY_COLS:
+        nulls, empty = F.col(f"{col}__nulls"), F.col(f"{col}__empty")
+        rows.append(
+            one.select(
+                F.lit(col).alias("column_name"),
+                nulls.alias("null_count"),
+                empty.alias("empty_count"),
+                (
+                    (F.col("__total") - nulls - empty).cast("double")
+                    / F.col("__total")
+                ).alias("completeness"),
+            )
+        )
+    return reduce(DataFrame.unionByName, rows)
+
+
+def _completeness_sql() -> str:
+    parts = []
+    for col in DIRTY_COLS:
+        empty = (
+            f"COALESCE(SUM(CASE WHEN {col} = '' THEN 1 ELSE 0 END), 0)"
+            if col in _STRING_COLS
+            else "0"
+        )
+        parts.append(f"""
+SELECT '{col}' AS column_name,
+       COUNT(*) - COUNT({col}) AS null_count,
+       CAST({empty} AS BIGINT) AS empty_count,
+       CAST(COUNT(*) - (COUNT(*) - COUNT({col})) - {empty} AS DOUBLE) / COUNT(*)
+         AS completeness
+FROM dirty""")
+    return f"WITH dirty AS ({DIRTY_SQL_BODY})\n" + "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------- uniqueness
+
+UNIQ_TABLE = "customer"
+UNIQ_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _distinct_with_null(col: str) -> Column:
+    """Distinct value count treating NULL as a value (uniqueness.rs:33-35)."""
+    return F.count_distinct(F.col(col)) + (
+        (F.count(F.lit(1)) > F.count(F.col(col))).cast("bigint")
+    )
+
+
+def quality_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, UNIQ_TABLE)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for col in UNIQ_COLS:
+        aggs.append(_distinct_with_null(col).alias(f"{col}__dwn"))
+    aggs.append(
+        F.count_distinct(F.struct(*[F.col(c) for c in UNIQ_COLS])).alias("__row_distinct")
+    )
+    one = df.agg(*aggs)
+    rows = []
+    for col in UNIQ_COLS:
+        dup = F.col("__total") - F.col(f"{col}__dwn")
+        rows.append(
+            one.select(
+                F.lit(col).alias("column_name"),
+                dup.alias("duplicate_count"),
+                (
+                    (F.col("__total") - dup).cast("double") / F.col("__total")
+                ).alias("uniqueness"),
+            ).filter(F.col("duplicate_count") > 0)
+        )
+    row_dup = F.col("__total") - F.col("__row_distinct")
+    rows.append(
+        one.select(
+            F.lit("__rows__").alias("column_name"),
+            row_dup.alias("duplicate_count"),
+            ((F.col("__total") - row_dup).cast("double") / F.col("__total")).alias(
+                "uniqueness"
+            ),
+        )
+    )
+    return reduce(DataFrame.unionByName, rows)
+
+
+def _uniqueness_sql() -> str:
+    parts = []
+    for col in UNIQ_COLS:
+        dwn = (
+            f"(COUNT(DISTINCT {col}) + "
+            f"CASE WHEN COUNT(*) > COUNT({col}) THEN 1 ELSE 0 END)"
+        )
+        parts.append(f"""
+SELECT * FROM (
+  SELECT '{col}' AS column_name,
+         COUNT(*) - {dwn} AS duplicate_count,
+         CAST(COUNT(*) - (COUNT(*) - {dwn}) AS DOUBLE) / COUNT(*) AS uniqueness
+  FROM {UNIQ_TABLE}
+) t WHERE duplicate_count > 0""")
+    cols = ", ".join(UNIQ_COLS)
+    parts.append(f"""
+SELECT '__rows__' AS column_name,
+       COUNT(*) - COUNT(DISTINCT ({cols})) AS duplicate_count,
+       CAST(COUNT(*) - (COUNT(*) - COUNT(DISTINCT ({cols}))) AS DOUBLE) / COUNT(*)
+         AS uniqueness
+FROM {UNIQ_TABLE}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# -------------------------------------------------------------------- anomaly
+
+# events.value is heavy-tailed (real outliers); user_id is uniform (negative
+# case, filtered out by the outlier_count > 0 gate). The TPC-H-ish measures
+# are uniform draws with max |z| < 2.5, so they'd make the check vacuous.
+ANOMALY_TABLE = "events"
+ANOMALY_COLS = ["value", "user_id"]
+
+
+def quality_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass z-score outlier detection.
+
+    Pass 1: exact-decimal Σx and Σx² per column → mean/std as doubles.
+    Pass 2: per-row |x−mean|/std > 2.5 counted per column. The 1-row stats
+    frame is broadcast-cross-joined (no shuffle of the fact table).
+    """
+    df = load_table(spark, sf_dir, ANOMALY_TABLE)
+    stats_aggs = []
+    for col in ANOMALY_COLS:
+        c = F.col(col)
+        stats_aggs += [
+            F.count(c).alias(f"{col}__n"),
+            F.sum(c.cast(DECIMAL_T)).cast("double").alias(f"{col}__s"),
+            F.sum((c * c).cast(DECIMAL_T)).cast("double").alias(f"{col}__ss"),
+        ]
+    stats = df.agg(*stats_aggs)
+    for col in ANOMALY_COLS:
+        n = F.col(f"{col}__n").cast("double")
+        mean = F.col(f"{col}__s") / n
+        var = F.greatest(F.lit(0.0), F.col(f"{col}__ss") / n - mean * mean)
+        stats = stats.withColumn(f"{col}__mean", mean).withColumn(
+            f"{col}__std", F.sqrt(var)
+        )
+    joined = df.crossJoin(F.broadcast(stats))
+    cnt_aggs = []
+    for col in ANOMALY_COLS:
+        z = F.abs(F.col(col) - F.col(f"{col}__mean")) / F.col(f"{col}__std")
+        cnt_aggs += [
+            F.sum((z > Z_THRESHOLD).cast("bigint")).alias(f"{col}__outliers"),
+            F.first(f"{col}__mean").alias(f"{col}__mean"),
+            F.first(f"{col}__std").alias(f"{col}__std"),
+            F.first(f"{col}__n").alias(f"{col}__n"),
+        ]
+    one = joined.agg(*cnt_aggs)
+    rows = []
+    for col in ANOMALY_COLS:
+        rows.append(
+            one.select(
+                F.lit(col).alias("column_name"),
+                F.col(f"{col}__outliers").alias("outlier_count"),
+                F.lit(Z_THRESHOLD).alias("z_score_threshold"),
+                F.col(f"{col}__mean").alias("mean"),
+                F.col(f"{col}__std").alias("std_dev"),
+            ).filter(
+                (F.col("outlier_count") > 0)
+                & (F.col("std_dev") > MIN_STD)
+                & (F.col(f"outlier_count").isNotNull())
+            )
+        )
+    out = reduce(DataFrame.unionByName, rows)
+    return out
+
+
+def _anomaly_sql() -> str:
+    stat_cols = []
+    for col in ANOMALY_COLS:
+        stat_cols.append(
+            f"COUNT({col}) AS {col}__n, "
+            f"CAST(SUM(CAST({col} AS DECIMAL(30,6))) AS DOUBLE) AS {col}__s, "
+            f"CAST(SUM(CAST(({col} * {col}) AS DECIMAL(30,6))) AS DOUBLE) AS {col}__ss"
+        )
+    derived = []
+    for col in ANOMALY_COLS:
+        derived.append(
+            f"{col}__s / CAST({col}__n AS DOUBLE) AS {col}__mean, "
+            f"sqrt(greatest(0.0, {col}__ss / CAST({col}__n AS DOUBLE) "
+            f"- ({col}__s / CAST({col}__n AS DOUBLE)) * ({col}__s / CAST({col}__n AS DOUBLE)))) AS {col}__std"
+        )
+    parts = []
+    for col in ANOMALY_COLS:
+        parts.append(f"""
+SELECT * FROM (
+  SELECT '{col}' AS column_name,
+         CAST(SUM(CASE WHEN abs({col} - {col}__mean) / {col}__std > {Z_THRESHOLD}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count,
+         {Z_THRESHOLD} AS z_score_threshold,
+         first({col}__mean) AS mean,
+         first({col}__std) AS std_dev
+  FROM {ANOMALY_TABLE}, stats
+) t WHERE outlier_count > 0 AND std_dev > {MIN_STD}""")
+    return (
+        f"WITH raw AS (SELECT {', '.join(stat_cols)} FROM {ANOMALY_TABLE}),\n"
+        f"stats AS (SELECT *, {', '.join(derived)} FROM raw)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+# ---------------------------------------------------------------- consistency
+
+# (column label, SQL expr over its table, table) — string profile sources.
+_FORMAT_SOURCES_SQL = [
+    ("c_name", "c_name", "customer"),
+    ("o_orderpriority", "o_orderpriority", "orders"),
+    ("o_orderdate_str", "strftime(o_orderdate, '%Y-%m-%d')", "orders"),
+    ("o_orderts_str", "strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')", "orders"),
+    ("props", "props", "events"),
+]
+
+
+def _classify(v: Column) -> Column:
+    """Format detection, reference order (consistency.rs:95 detect_format)."""
+    is_uuid = (
+        (F.length(v) == 36)
+        & (F.substring(v, 9, 1) == "-")
+        & (F.substring(v, 14, 1) == "-")
+        & (F.substring(v, 19, 1) == "-")
+        & (F.substring(v, 24, 1) == "-")
+        & v.rlike("^[0-9a-fA-F-]{36}$")
+    )
+    is_dt = (F.length(v) >= 19) & v.contains("T") & v.contains(":")
+    is_date = (
+        (F.length(v) == 10)
+        & (F.substring(v, 5, 1) == "-")
+        & (F.substring(v, 8, 1) == "-")
+    )
+    is_email = v.contains("@") & v.contains(".")
+    return (
+        F.when(is_uuid, "uuid")
+        .when(is_dt, "iso_datetime")
+        .when(is_date, "iso_date")
+        .when(is_email, "email")
+        .otherwise("none")
+    )
+
+
+def quality_format_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    sources = [
+        ("c_name", customer.select(F.col("c_name").alias("v"))),
+        ("o_orderpriority", orders.select(F.col("o_orderpriority").alias("v"))),
+        (
+            "o_orderdate_str",
+            orders.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("v")),
+        ),
+        (
+            "o_orderts_str",
+            orders.select(
+                F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("v")
+            ),
+        ),
+        ("props", events.select(F.col("props").alias("v"))),
+    ]
+    for label, df in sources:
+        frames.append(
+            df.filter(F.col("v").isNotNull() & (F.col("v") != ""))
+            .select(_classify(F.col("v")).alias("detected_format"))
+            .groupBy("detected_format")
+            .agg(F.count(F.lit(1)).alias("value_count"))
+            .select(F.lit(label).alias("column_name"), "detected_format", "value_count")
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _classify_sql(v: str) -> str:
+    return f"""CASE
+  WHEN length({v}) = 36 AND substring({v},9,1)='-' AND substring({v},14,1)='-'
+       AND substring({v},19,1)='-' AND substring({v},24,1)='-'
+       AND regexp_matches({v}, '^[0-9a-fA-F-]{{36}}$') THEN 'uuid'
+  WHEN length({v}) >= 19 AND contains({v}, 'T') AND contains({v}, ':')
+       THEN 'iso_datetime'
+  WHEN length({v}) = 10 AND substring({v},5,1)='-' AND substring({v},8,1)='-'
+       THEN 'iso_date'
+  WHEN contains({v}, '@') AND contains({v}, '.') THEN 'email'
+  ELSE 'none' END"""
+
+
+def _consistency_sql() -> str:
+    parts = []
+    for label, expr, table in _FORMAT_SOURCES_SQL:
+        parts.append(f"""
+SELECT '{label}' AS column_name, detected_format, COUNT(*) AS value_count
+FROM (
+  SELECT {_classify_sql(expr)} AS detected_format
+  FROM {table}
+  WHERE {expr} IS NOT NULL AND {expr} <> ''
+) t
+GROUP BY detected_format""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# ------------------------------------------------------------- overall score
+
+
+def quality_score_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-weight table quality score over the dirtied orders projection
+    (analyzer.rs:171 calculate_quality_score with default 1.0 weights).
+
+    consistency contributes 1.0: the parquet schema is strongly typed, so the
+    reference's type-inconsistency count is structurally zero.
+    """
+    df = _dirty_orders(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for col in DIRTY_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(F.col(col))).alias(f"{col}__nulls"))
+        empty = (
+            F.sum((F.col(col) == "").cast("bigint"))
+            if col in _STRING_COLS
+            else F.lit(0)
+        )
+        aggs.append(F.coalesce(empty, F.lit(0)).cast("bigint").alias(f"{col}__empty"))
+        aggs.append(_distinct_with_null(col).alias(f"{col}__dwn"))
+    aggs.append(
+        F.count_distinct(F.struct(*[F.col(c) for c in DIRTY_COLS])).alias(
+            "__row_distinct"
+        )
+    )
+    one = df.agg(*aggs)
+    total = F.col("__total").cast("double")
+    comp_terms = []
+    uniq_terms = []
+    for col in DIRTY_COLS:
+        comp_terms.append(
+            (
+                F.col("__total") - F.col(f"{col}__nulls") - F.col(f"{col}__empty")
+            ).cast("double")
+            / total
+        )
+        uniq_terms.append(F.col(f"{col}__dwn").cast("double") / total)
+    completeness = reduce(lambda a, b: a + b, comp_terms) / len(DIRTY_COLS)
+    # uniqueness.rs:61-76 — avg over duplicate columns only (u < 1.0), else 1.0
+    dup_sum = reduce(
+        lambda a, b: a + b,
+        [F.when(u < 1.0, u).otherwise(F.lit(0.0)) for u in uniq_terms],
+    )
+    dup_cnt = reduce(
+        lambda a, b: a + b,
+        [F.when(u < 1.0, F.lit(1)).otherwise(F.lit(0)) for u in uniq_terms],
+    )
+    avg_col_uniq = F.when(dup_cnt > 0, dup_sum / dup_cnt).otherwise(F.lit(1.0))
+    row_uniq = F.col("__row_distinct").cast("double") / total
+    uniqueness = F.least(row_uniq, avg_col_uniq)
+    consistency = F.lit(1.0)
+    return one.select(
+        F.lit("orders_dirty").alias("table_name"),
+        completeness.alias("completeness_score"),
+        consistency.alias("consistency_score"),
+        uniqueness.alias("uniqueness_score"),
+        ((completeness + consistency + uniqueness) / F.lit(3.0)).alias(
+            "quality_score"
+        ),
+    )
+
+
+def _score_sql() -> str:
+    agg_cols = ["COUNT(*) AS __total"]
+    for col in DIRTY_COLS:
+        empty = (
+            f"COALESCE(SUM(CASE WHEN {col} = '' THEN 1 ELSE 0 END), 0)"
+            if col in _STRING_COLS
+            else "0"
+        )
+        agg_cols.append(f"COUNT(*) - COUNT({col}) AS {col}__nulls")
+        agg_cols.append(f"CAST({empty} AS BIGINT) AS {col}__empty")
+        agg_cols.append(
+            f"(COUNT(DISTINCT {col}) + CASE WHEN COUNT(*) > COUNT({col}) "
+            f"THEN 1 ELSE 0 END) AS {col}__dwn"
+        )
+    cols = ", ".join(DIRTY_COLS)
+    agg_cols.append(f"COUNT(DISTINCT ({cols})) AS __row_distinct")
+    comp = " + ".join(
+        f"(CAST(__total - {col}__nulls - {col}__empty AS DOUBLE) / CAST(__total AS DOUBLE))"
+        for col in DIRTY_COLS
+    )
+    uniq_exprs = [
+        f"(CAST({col}__dwn AS DOUBLE) / CAST(__total AS DOUBLE))"
+        for col in DIRTY_COLS
+    ]
+    dup_sum = " + ".join(f"(CASE WHEN {u} < 1.0 THEN {u} ELSE 0.0 END)" for u in uniq_exprs)
+    dup_cnt = " + ".join(f"(CASE WHEN {u} < 1.0 THEN 1 ELSE 0 END)" for u in uniq_exprs)
+    return f"""
+WITH dirty AS ({DIRTY_SQL_BODY}),
+agg AS (SELECT {", ".join(agg_cols)} FROM dirty),
+parts AS (
+  SELECT
+    ({comp}) / {len(DIRTY_COLS)} AS completeness_score,
+    1.0 AS consistency_score,
+    least(
+      CAST(__row_distinct AS DOUBLE) / CAST(__total AS DOUBLE),
+      CASE WHEN ({dup_cnt}) > 0 THEN ({dup_sum}) / ({dup_cnt}) ELSE 1.0 END
+    ) AS uniqueness_score
+  FROM agg
+)
+SELECT 'orders_dirty' AS table_name, completeness_score, consistency_score,
+       uniqueness_score,
+       (completeness_score + consistency_score + uniqueness_score) / 3.0
+         AS quality_score
+FROM parts
+"""
+
+
+QUERIES = {
+    "quality_completeness": quality_completeness,
+    "quality_uniqueness": quality_uniqueness,
+    "quality_anomaly_zscore": quality_anomaly_zscore,
+    "quality_format_consistency": quality_format_consistency,
+    "quality_score_table": quality_score_table,
+}
+
+ORACLES = {
+    "quality_completeness": _completeness_sql(),
+    "quality_uniqueness": _uniqueness_sql(),
+    "quality_anomaly_zscore": _anomaly_sql(),
+    "quality_format_consistency": _consistency_sql(),
+    "quality_score_table": _score_sql(),
+}
