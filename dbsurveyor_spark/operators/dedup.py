@@ -1,0 +1,406 @@
+"""Deduplication suite over the documents/embeddings tables (SURVEY.md §2.E).
+
+Five dedup strategies a 100 TB training-data pipeline needs, each expressed
+with shuffle-bounded DataFrame plans (never O(n²) over the corpus):
+
+- exact          : hash-groupBy on content md5 — one shuffle on the hash.
+- ngram_jaccard  : shingle-explode → pair-join on shingle → Jaccard ≥ τ.
+                   Pair space is bounded by shared shingles, not n².
+- minhash_lsh    : MinHash signatures (k=16) + LSH banding (4 bands × 4) —
+                   the scale path: candidate pairs only within band buckets
+                   (Broder's MinHash / LSH construction, public literature).
+- simhash        : 32-bit SimHash + 8-bit-band blocking; Hamming ≤ 3
+                   verified via bit_count(xor). 4 bands/≤3 bits guarantees
+                   no candidate is missed (pigeonhole).
+- embedding      : sign-LSH buckets (first 8 dims) + cosine ≥ τ within
+                   buckets, vector math via JVM higher-order functions.
+
+The raw synthetic corpus contains no duplicates, so every strategy runs over
+a DETERMINISTICALLY AUGMENTED corpus: each doc_id/vec_id divisible by 10 is
+re-inserted with id + 1_000_000 (same content). The augmentation is part of
+the query on both engines, keeping the checks non-vacuous: each strategy must
+rediscover exactly the injected duplicates (plus any true near-dups).
+
+All hashing is md5-derived (functions/hashing.py) so the DuckDB oracle
+reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import (
+    MERSENNE_31,
+    minhash_params,
+    portable_hash32,
+    portable_hash32_sql,
+)
+from ..functions.text import shingles, shingles_sql, tokens, tokens_sql
+from ..functions.vectors import cosine_rounded, cosine_rounded_sql
+
+ID_OFFSET = 1_000_000
+JACCARD_T = 0.8
+MINHASH_K = 16
+BANDS = 4
+ROWS_PER_BAND = MINHASH_K // BANDS
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+HAMMING_MAX = 3
+COSINE_T = 0.95
+
+_MH_PARAMS = minhash_params(MINHASH_K)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + ID_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+_CORPUS_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {ID_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + ID_OFFSET).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(dups)
+
+
+_VEC_CORPUS_SQL = f"""
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + {ID_OFFSET} AS vec_id, embedding FROM embeddings
+WHERE vec_id % 10 = 0
+"""
+
+
+# -------------------------------------------------------------------- exact
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: groups of identical content (md5), survivor = min id."""
+    corpus = _corpus(spark, sf_dir)
+    return (
+        corpus.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+EXACT_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT md5(text) AS content_hash, COUNT(*) AS dup_count,
+       MIN(doc_id) AS survivor_id
+FROM corpus
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    return corpus.select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+_DOC_SHINGLES_SQL = f"""
+SELECT doc_id, {shingles_sql(tokens_sql("text"))} AS sh
+FROM corpus
+WHERE len({shingles_sql(tokens_sql("text"))}) > 0
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard pairs ≥ τ via shingle-join (no n² cross join)."""
+    ds = _doc_shingles(spark, sf_dir).cache()
+    sizes = ds.select("doc_id", F.size("sh").alias("n_sh"))
+    exploded = ds.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                9,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NGRAM_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+ds AS ({_DOC_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM ds),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 9) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 9) >= {JACCARD_T}
+"""
+
+
+# ------------------------------------------------------------- MinHash LSH
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: k=16 permutations, 4 bands × 4 rows.
+
+    One shuffle to aggregate signatures, one to bucket bands, one bounded
+    self-join inside buckets — the canonical near-dup plan for 100 TB.
+    """
+    exploded = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    h = portable_hash32(F.col("shingle"))
+    sig_aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_31).alias(f"m{j}")
+        for j, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    sigs = exploded.groupBy("doc_id").agg(*sig_aggs)
+    band_rows = []
+    for bi in range(BANDS):
+        cols = [f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_rows.append(
+            sigs.select(
+                "doc_id",
+                F.lit(bi).alias("band_idx"),
+                F.md5(F.concat_ws("_", *cols)).alias("band_hash"),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+def _minhash_sql() -> str:
+    h = portable_hash32_sql("shingle")
+    sig_cols = ", ".join(
+        f"MIN(({a} * {h} + {b}) % {MERSENNE_31}) AS m{j}"
+        for j, (a, b) in enumerate(_MH_PARAMS)
+    )
+    band_selects = []
+    for bi in range(BANDS):
+        cols = [f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5({concat}) AS band_hash FROM sigs"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+ds AS ({_DOC_SHINGLES_SQL}),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+sigs AS (SELECT doc_id, {sig_cols} FROM exploded GROUP BY doc_id),
+bands AS ({bands})
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared_bands
+FROM bands x JOIN bands y
+  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+ AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+"""
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs, Hamming ≤ 3, byte-band blocking."""
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    h = portable_hash32(F.col("token"))
+    bit_sums = [
+        F.sum(
+            F.when((F.shiftright(h, b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    sims = agg.select("doc_id", sim.alias("simhash"))
+    band_frames = [
+        sims.select(
+            "doc_id",
+            "simhash",
+            F.lit(bi).alias("band_idx"),
+            F.shiftright(F.col("simhash"), bi * 8).bitwiseAND(F.lit(255)).alias("band_val"),
+        )
+        for bi in range(SIMHASH_BANDS)
+    ]
+    bands = band_frames[0]
+    for extra in band_frames[1:]:
+        bands = bands.unionByName(extra)
+    x, y = bands.alias("x"), bands.alias("y")
+    hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(hamming <= HAMMING_MAX)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _simhash_sql() -> str:
+    h = portable_hash32_sql("token")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {bi} AS band_idx, "
+        f"(simhash >> {bi * 8}) & 255 AS band_val FROM sims"
+        for bi in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(list_distinct({tokens_sql("text")})) AS token
+  FROM corpus
+),
+agg AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
+sims AS (SELECT doc_id, {sim} AS simhash FROM agg),
+bands AS ({band_selects})
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM bands x JOIN bands y
+  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+ AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
+"""
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH bucket (first 8 dims) + cosine ≥ τ.
+
+    The bucket join bounds the pair space; within-bucket cosine is JVM-side
+    higher-order math. Recall covers exact/near-exact duplicates (identical
+    sign patterns); the ANN operators cover broader similarity search.
+    """
+    corpus = _vec_corpus(spark, sf_dir)
+    e = F.col("embedding").cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for i in range(8):
+        bucket = bucket + F.when(
+            F.element_at(e, i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    withb = corpus.select("vec_id", "embedding", bucket.alias("bucket"))
+    x, y = withb.alias("x"), withb.alias("y")
+    cos = cosine_rounded(
+        F.col("x.embedding").cast("array<double>"),
+        F.col("y.embedding").cast("array<double>"),
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_T)
+    )
+
+
+def _embedding_sql() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(8)
+    )
+    cos = cosine_rounded_sql("x.embedding", "y.embedding")
+    return f"""
+WITH corpus AS ({_VEC_CORPUS_SQL}),
+withb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM corpus)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, {cos} AS cos_sim
+FROM withb x JOIN withb y
+  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE {cos} >= {COSINE_T}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": EXACT_SQL,
+    "dedup_ngram_jaccard": NGRAM_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_embedding_cosine": _embedding_sql(),
+}

@@ -1,0 +1,183 @@
+"""Text analysis over the documents table (SURVEY.md §2.G).
+
+LLM-training-pipeline text operators: per-document statistics + quality
+score, heuristic language ID, content fingerprinting, corpus token
+histogram. All expressions are built-in Spark functions (whole-stage
+codegen); nothing leaves the JVM.
+
+Scale notes: text_stats/langid/fingerprint are pure map-side projections (no
+shuffle at all — they scale linearly with input splits). The histogram is one
+explode + aggregate (map-side partial counts) + top-N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    LANG_STOPWORDS,
+    STOPWORDS,
+    stopword_count,
+    stopword_count_sql,
+    tokens,
+    tokens_sql,
+)
+
+PUNCT_RE = "[.,;:!?]"
+TOP_TOKENS = 20
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats + a composite quality score.
+
+    quality_score = 0.4·min(1, tokens/100) + 0.3·(1 − punct_ratio)
+                  + 0.3·(1 − stopword_ratio)  — this engine's own formula
+    (the reference has no text scoring; weights chosen for LLM-corpus
+    filtering: enough length, low punctuation noise, low boilerplate).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    no_punct = F.regexp_replace(F.col("text"), PUNCT_RE, "")
+    punct_ratio = (n_chars - F.length(no_punct)).cast("double") / n_chars
+    sw_ratio = stopword_count(toks).cast("double") / n_tokens
+    avg_tok = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens
+    )
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * (1.0 - sw_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(avg_tok, 9).alias("avg_token_len"),
+        F.round(punct_ratio, 9).alias("punct_ratio"),
+        F.round(sw_ratio, 9).alias("stopword_ratio"),
+        F.round(quality, 9).alias("quality_score"),
+    )
+
+
+def _stats_sql() -> str:
+    toks = tokens_sql("text")
+    sw = stopword_count_sql(toks)
+    return f"""
+SELECT
+  doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len({toks}) AS BIGINT) AS n_tokens,
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({toks}), 9)
+    AS avg_token_len,
+  round(CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g'))
+        AS DOUBLE) / length(text), 9) AS punct_ratio,
+  round(CAST({sw} AS DOUBLE) / len({toks}), 9) AS stopword_ratio,
+  round(0.4 * least(1.0, CAST(len({toks}) AS DOUBLE) / 100.0)
+      + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g'))
+               AS DOUBLE) / length(text))
+      + 0.3 * (1.0 - CAST({sw} AS DOUBLE) / len({toks})), 9) AS quality_score
+FROM documents
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID → confusion matrix vs the labeled lang.
+
+    Ties broken in fixed language order (en, fr, es, de, zh). Pure map-side
+    classification + one small aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    langs = list(LANG_STOPWORDS)
+    hits: dict[str, Column] = {
+        lang: stopword_count(toks, words) for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*[hits[lang] for lang in langs])
+    predicted = F.lit("unknown")
+    for lang in reversed(langs):
+        predicted = F.when((best > 0) & (hits[lang] == best), lang).otherwise(
+            predicted
+        )
+    return (
+        docs.select(F.col("lang").alias("labeled_lang"), predicted.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+def _langid_sql() -> str:
+    toks = tokens_sql("text")
+    langs = list(LANG_STOPWORDS)
+    hit_exprs = {
+        lang: stopword_count_sql(toks, words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(hit_exprs[lang] for lang in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN {best} > 0 AND {hit_exprs[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return f"""
+SELECT labeled_lang, predicted_lang, COUNT(*) AS doc_count
+FROM (SELECT lang AS labeled_lang, {case} AS predicted_lang FROM documents) t
+GROUP BY labeled_lang, predicted_lang
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (md5 of lowercased collapsed text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N corpus tokens: explode → partial-agg count → top-N."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .orderBy(F.desc("token_count"), F.asc("token"))
+        .limit(TOP_TOKENS)
+    )
+
+
+def _histogram_sql() -> str:
+    return f"""
+SELECT token, COUNT(*) AS token_count
+FROM (SELECT unnest({tokens_sql("text")}) AS token FROM documents) t
+GROUP BY token
+ORDER BY token_count DESC, token ASC
+LIMIT {TOP_TOKENS}
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_token_histogram": text_token_histogram,
+}
+
+ORACLES = {
+    "text_stats": _stats_sql(),
+    "text_langid": _langid_sql(),
+    "text_fingerprint": FINGERPRINT_SQL,
+    "text_token_histogram": _histogram_sql(),
+}

@@ -10,10 +10,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import relational
+from .operators import dedup, relational, textstats
 from .survey import profile, quality, sampling
 
-_MODULES = [relational, profile, sampling, quality]
+_MODULES = [relational, profile, sampling, quality, textstats, dedup]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
