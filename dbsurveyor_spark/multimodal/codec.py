@@ -1,0 +1,109 @@
+"""Multimodal column plumbing (SURVEY.md §2.I).
+
+Treats media as opaque `binary` columns + typed metadata, with
+decode/feature-extract implemented as Arrow-batched Pandas transforms over
+`mapInPandas` — the shape a 100 TB image/audio pipeline needs (per-partition
+batch decode, no driver involvement, no shuffle).
+
+The container has no image/audio libraries, so the actual codec is a
+DETERMINISTIC STUB (`_fake_decode`); real decoders drop into the same seam
+(`decode_fn` parameter). The Spark-side plumbing — binary columns, schema,
+batch iteration, partition-parallel execution — is real and tested.
+
+`mm_decode_stats` is registered as a rows-only driver check (no SQL oracle:
+mapInPandas is not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("media_format", StringType()),
+    ]
+)
+
+_FORMATS = ("jpeg", "png", "webp")
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Derive an opaque binary payload column (utf-8 bytes of text) plus
+    metadata — stands in for real media blobs in the test tables."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(*[F.lit(f) for f in _FORMATS]),
+            (F.col("doc_id") % len(_FORMATS) + 1).cast("int"),
+        ).alias("media_format"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decoder: derives a fake
+    (width, height) from the byte length. A real decoder (PIL/ffmpeg) would
+    be injected via ``decode_fn`` instead."""
+    n = len(payload)
+    return (64 + n % 640, 64 + (n * 7) % 480)
+
+
+def decode_stats(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], tuple[int, int]] = _fake_decode,
+) -> DataFrame:
+    """Arrow-batched decode over mapInPandas: one Python worker per
+    partition, pandas batches in/out, output schema fixed up front."""
+
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            dims = batch["payload"].map(decode_fn)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_bytes": batch["payload"].map(len).astype("int64"),
+                    "width": dims.map(lambda d: d[0]).astype("int64"),
+                    "height": dims.map(lambda d: d[1]).astype("int64"),
+                    "media_format": batch["media_format"],
+                }
+            )
+
+    return media.mapInPandas(_decode_batches, DECODE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Seam for a real resize kernel; no image library in this container."""
+    raise NotImplementedError(
+        "image resize requires an image library (e.g. PIL) not present in "
+        "this container; inject a real kernel via decode_stats(decode_fn=...)"
+    )
+
+
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_stats(attach_payload(docs))
+
+
+QUERIES = {
+    "mm_decode_stats": mm_decode_stats,
+}
+
+# Intentionally no ORACLES entry: mapInPandas is not SQL-expressible; the
+# driver records a rows-only check for this key.
+ORACLES: dict[str, str] = {}

@@ -10,10 +10,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, relational, textstats
+from .multimodal import codec as multimodal_codec
+from .operators import asof, dedup, relational, similarity, textstats
+from .streaming import events as streaming_events
 from .survey import profile, quality, sampling
 
-_MODULES = [relational, profile, sampling, quality, textstats, dedup]
+_MODULES = [
+    relational,
+    profile,
+    sampling,
+    quality,
+    textstats,
+    dedup,
+    similarity,
+    asof,
+    streaming_events,
+    multimodal_codec,
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

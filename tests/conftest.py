@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
@@ -58,15 +57,9 @@ def assert_frames_match(spark_df, duck_df: pd.DataFrame, key: str) -> None:
     for col in sp.columns:
         a, b = sp[col].tolist(), du[col].tolist()
         for i, (x, y) in enumerate(zip(a, b)):
-            if x is None and y is None:
+            xn = x is None or (not isinstance(x, (list, tuple)) and pd.isna(x))
+            yn = y is None or (not isinstance(y, (list, tuple)) and pd.isna(y))
+            if xn or yn:
+                assert xn and yn, f"{key}.{col}[{i}]: {x!r} != {y!r} (null mismatch)"
                 continue
-            if isinstance(x, float) and isinstance(y, float):
-                if math.isnan(x) and math.isnan(y):
-                    continue
-                assert x == y, f"{key}.{col}[{i}]: {x!r} != {y!r} (exact fp mismatch)"
-            else:
-                xn = x is None or (isinstance(x, float) and math.isnan(x))
-                yn = y is None or (isinstance(y, float) and math.isnan(y))
-                if xn and yn:
-                    continue
-                assert x == y, f"{key}.{col}[{i}]: {x!r} != {y!r}"
+            assert x == y, f"{key}.{col}[{i}]: {x!r} != {y!r}"
