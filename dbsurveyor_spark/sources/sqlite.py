@@ -1,0 +1,212 @@
+"""SQLite source: survey .db files without a JDBC driver.
+
+Parity: `dbsurveyor-core/src/adapters/sqlite/*` — schema collection via
+`sqlite_master` + `PRAGMA table_info/foreign_key_list/index_list`
+(schema_collection.rs:153-430), type mapping (type_mapping.rs), database
+metadata via `PRAGMA page_count/page_size/encoding` (connection.rs:119-133),
+and sampling.
+
+SQLite files are single-writer local artifacts — inherently driver-side.
+The pattern for scale: read each .db's table through stdlib `sqlite3` into
+Arrow batches, hand the batches to Spark via `createDataFrame`, and from
+then on everything (profiling, quality, dedup) is distributed. For MANY
+sqlite files (the realistic 100 TB shape: millions of shards), parallelize
+per-file on executors instead — `mapInPandas` over a DataFrame of file
+paths would open each shard locally on the executor; that variant needs the
+.db files on shared storage.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+# SQLite declared type → unified type (type_mapping.rs, affinity rules).
+_AFFINITY = (
+    ("INT", "BIGINT"),
+    ("CHAR", "VARCHAR"),
+    ("CLOB", "VARCHAR"),
+    ("TEXT", "VARCHAR"),
+    ("BLOB", "BLOB"),
+    ("REAL", "DOUBLE"),
+    ("FLOA", "DOUBLE"),
+    ("DOUB", "DOUBLE"),
+    ("BOOL", "BOOLEAN"),
+    ("DATE", "TIMESTAMP"),
+    ("TIME", "TIMESTAMP"),
+    ("NUMERIC", "DECIMAL"),
+    ("DECIMAL", "DECIMAL"),
+)
+
+
+def map_sqlite_type(declared: str | None) -> str:
+    """SQLite type-affinity mapping (type_mapping.rs:1)."""
+    if not declared:
+        return "BLOB"  # no declared type → BLOB affinity
+    up = declared.upper()
+    for pat, unified in _AFFINITY:
+        if pat in up:
+            return unified
+    return "NUMERIC" if up else "BLOB"
+
+
+class SqliteSource:
+    """One .db file opened read-only."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._uri = f"file:{path}?mode=ro"
+
+    def _connect(self) -> sqlite3.Connection:
+        return sqlite3.connect(self._uri, uri=True)
+
+    def database_info(self) -> dict[str, Any]:
+        """PRAGMA-level database metadata (connection.rs:119-133)."""
+        with self._connect() as con:
+            page_count = con.execute("PRAGMA page_count").fetchone()[0]
+            page_size = con.execute("PRAGMA page_size").fetchone()[0]
+            encoding = con.execute("PRAGMA encoding").fetchone()[0]
+        return {
+            "name": self.path.rsplit("/", 1)[-1],
+            "size_bytes": page_count * page_size,
+            "encoding": encoding,
+        }
+
+    def table_names(self) -> list[str]:
+        with self._connect() as con:
+            rows = con.execute(
+                "SELECT name FROM sqlite_master WHERE type = 'table' "
+                "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+            ).fetchall()
+        return [r[0] for r in rows]
+
+    def collect_table_schema(self, table: str) -> dict[str, Any]:
+        """Columns, PK, FKs, indexes for one table (schema_collection.rs)."""
+        with self._connect() as con:
+            cols = con.execute(f"PRAGMA table_info({_q(table)})").fetchall()
+            fks = con.execute(f"PRAGMA foreign_key_list({_q(table)})").fetchall()
+            idxs = con.execute(f"PRAGMA index_list({_q(table)})").fetchall()
+            index_cols = {
+                idx[1]: [
+                    r[2] for r in con.execute(f"PRAGMA index_info({_q(idx[1])})").fetchall()
+                ]
+                for idx in idxs
+            }
+        pk_cols = [c[1] for c in sorted(cols, key=lambda c: c[5]) if c[5] > 0]
+        columns = [
+            {
+                "name": c[1],
+                "data_type": map_sqlite_type(c[2]),
+                # PK columns are implicitly NOT NULL even if PRAGMA says
+                # otherwise (schema_collection.rs:263).
+                "is_nullable": not c[3] and c[1] not in pk_cols,
+                "is_primary_key": c[1] in pk_cols,
+                "is_auto_increment": False,
+                "default_value": c[4],
+                "comment": None,
+                "ordinal_position": i + 1,
+            }
+            for i, c in enumerate(cols)
+        ]
+        foreign_keys = [
+            {
+                "name": f"fk_{table}_{fk[3]}",
+                "columns": [fk[3]],
+                "referenced_table": fk[2],
+                "referenced_columns": [fk[4]],
+            }
+            for fk in fks
+        ]
+        return {
+            "name": table,
+            "schema": None,
+            "columns": columns,
+            "primary_key": {"name": None, "columns": pk_cols} if pk_cols else None,
+            "foreign_keys": foreign_keys,
+            "indexes": [
+                {"name": n, "columns": cs, "is_unique": bool(next(i[2] for i in idxs if i[1] == n))}
+                for n, cs in index_cols.items()
+            ],
+            "constraints": [],
+            "comment": None,
+            "row_count": self.row_count(table),
+        }
+
+    def row_count(self, table: str) -> int:
+        with self._connect() as con:
+            return con.execute(f"SELECT COUNT(*) FROM {_q(table)}").fetchone()[0]
+
+    def read_table(
+        self, spark: SparkSession, table: str, batch_size: int = 50_000
+    ) -> DataFrame:
+        """Table → Spark DataFrame via Arrow batches.
+
+        Column names/order come from the cursor description; Arrow infers
+        types per batch and Spark unions them — fine for SQLite's loose
+        typing. Driver-memory-bound by design (one shard); see module
+        docstring for the many-shards pattern.
+        """
+        import pyarrow as pa
+
+        with self._connect() as con:
+            cur = con.execute(f"SELECT * FROM {_q(table)}")
+            names = [d[0] for d in cur.description]
+            batches = []
+            while True:
+                rows = cur.fetchmany(batch_size)
+                if not rows:
+                    break
+                arrays = [pa.array([r[i] for r in rows]) for i in range(len(names))]
+                batches.append(pa.RecordBatch.from_arrays(arrays, names=names))
+        if not batches:
+            return spark.createDataFrame([], schema=", ".join(f"{n} string" for n in names))
+        tbl = pa.Table.from_batches(batches)
+        return spark.createDataFrame(tbl.to_pandas())
+
+    def survey(self, name: str | None = None) -> dict[str, Any]:
+        """Full-file schema document in the export shape (DatabaseSchema)."""
+        from datetime import datetime, timezone
+
+        from ..survey.export import COLLECTOR, FORMAT_VERSION
+
+        info = self.database_info()
+        return {
+            "format_version": FORMAT_VERSION,
+            "database_info": {**info, "name": name or info["name"]},
+            "tables": [self.collect_table_schema(t) for t in self.table_names()],
+            "views": self._views(),
+            "indexes": [],
+            "constraints": [],
+            "procedures": [],
+            "functions": [],
+            "triggers": self._triggers(),
+            "custom_types": [],
+            "samples": None,
+            "quality_metrics": None,
+            "collection_metadata": {
+                "collector_version": COLLECTOR,
+                "collected_at": datetime.now(timezone.utc).isoformat(),
+                "warnings": [],
+            },
+        }
+
+    def _views(self) -> list[dict[str, Any]]:
+        with self._connect() as con:
+            rows = con.execute(
+                "SELECT name, sql FROM sqlite_master WHERE type = 'view'"
+            ).fetchall()
+        return [{"name": n, "definition": s} for n, s in rows]
+
+    def _triggers(self) -> list[dict[str, Any]]:
+        with self._connect() as con:
+            rows = con.execute(
+                "SELECT name, tbl_name, sql FROM sqlite_master WHERE type = 'trigger'"
+            ).fetchall()
+        return [{"name": n, "table": t, "definition": s} for n, t, s in rows]
+
+
+def _q(ident: str) -> str:
+    """Quote an identifier for PRAGMA/SELECT (escape_pragma_arg analog)."""
+    return '"' + ident.replace('"', '""') + '"'

@@ -179,6 +179,8 @@ def _profile_sql() -> str:
 # Candidate single-column keys: positives and negatives, mirroring
 # detect_primary_key / detect_auto_increment (postgres/sampling.rs:160,280).
 PK_CANDIDATES = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
     ("orders", "o_orderkey"),
     ("customer", "c_custkey"),
     ("part", "p_partkey"),

@@ -1,0 +1,96 @@
+"""Physical-plan assertions (SURVEY.md §5.3): pushdown, pruning, broadcast,
+and no-Python-in-hot-path guarantees that value checks alone can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbsurveyor_spark.catalog import load_table
+from dbsurveyor_spark.operators import dedup, relational, similarity
+from dbsurveyor_spark.plans.asserts import (
+    assert_broadcast_join,
+    assert_no_python_eval,
+    assert_pushed_filters,
+    assert_read_schema_only,
+    assert_whole_stage_codegen,
+    formatted_plan,
+)
+from dbsurveyor_spark.survey import quality
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestPushdownAndPruning:
+    def test_q1_shipdate_filter_pushed_to_scan(self, spark):
+        df = relational.q1_pricing_summary(spark, SF)
+        assert_pushed_filters(df, "l_shipdate")
+
+    def test_q1_scan_prunes_to_needed_columns(self, spark):
+        df = relational.q1_pricing_summary(spark, SF)
+        assert_read_schema_only(
+            df,
+            "lineitem.parquet",
+            {
+                "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate",
+            },
+        )
+
+    def test_q3_segment_filter_pushed(self, spark):
+        df = relational.q3_shipping_priority(spark, SF)
+        assert_pushed_filters(df, "c_mktsegment")
+
+    def test_projection_reaches_scan_for_two_column_query(self, spark):
+        df = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+        assert_read_schema_only(df, "orders.parquet", {"o_orderkey", "o_totalprice"})
+
+
+class TestJoinStrategy:
+    def test_q5_broadcasts_dims(self, spark):
+        # region+nation are bounded-cardinality: must be broadcast, never shuffled.
+        assert_broadcast_join(relational.q5_local_supplier(spark, SF), at_least=2)
+
+    def test_q3_no_cartesian(self, spark):
+        plan = formatted_plan(relational.q3_shipping_priority(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q3_top10_is_take_ordered(self, spark):
+        # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+        # top-N + driver merge), not a global sort.
+        plan = formatted_plan(relational.q3_shipping_priority(spark, SF))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_ann_centroid_join_is_broadcast(self, spark):
+        assert_broadcast_join(similarity.ann_ivf_topk(spark, SF), at_least=1)
+
+
+class TestJvmOnlyHotPaths:
+    def test_core_queries_have_no_python_eval(self, spark):
+        for fn in (
+            relational.q1_pricing_summary,
+            relational.q5_local_supplier,
+            quality.quality_completeness,
+            dedup.dedup_minhash_lsh,
+            similarity.ann_bruteforce_topk,
+        ):
+            assert_no_python_eval(fn(spark, SF))
+
+    def test_q1_whole_stage_codegen(self, spark):
+        assert_whole_stage_codegen(
+            None, rebuild=lambda: relational.q1_pricing_summary(spark, SF)
+        )
+
+
+class TestScanEconomy:
+    def test_quality_completeness_single_scan(self, spark):
+        # One aggregate job: exactly one lineitem scan in the plan.
+        plan = formatted_plan(quality.quality_completeness(spark, SF))
+        assert plan.count("lineitem.parquet") <= 2  # scan node + its reuse ref
+
+    def test_filter_on_loaded_events_pushes_below_ts_conversion(self, spark):
+        # events gets a ts-conversion projection in catalog.load_table; filters
+        # on OTHER columns must still reach the parquet reader.
+        df = load_table(spark, SF, "events").filter(F.col("event_type") == "error")
+        assert_pushed_filters(df, "event_type")

@@ -1,0 +1,216 @@
+"""Sources (sqlite/jdbc/files) and export writers (json/markdown/ddl).
+
+Parity coverage for `adapters/sqlite/*`, `adapters/*/connection.rs`, and
+`dbsurveyor/src/output.rs` — see SURVEY.md §2.J.
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from dbsurveyor_spark.sources import JdbcSource, SqliteSource, read_csv, read_json
+from dbsurveyor_spark.sources.sqlite import map_sqlite_type
+from dbsurveyor_spark.survey import export
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sqlite_db(tmp_path_factory):
+    path = tmp_path_factory.mktemp("db") / "app.db"
+    con = sqlite3.connect(path)
+    con.executescript(
+        """
+        CREATE TABLE users (
+          id INTEGER PRIMARY KEY,
+          name TEXT NOT NULL,
+          email TEXT,
+          created_at TIMESTAMP
+        );
+        CREATE TABLE orders (
+          order_id INTEGER PRIMARY KEY,
+          user_id INTEGER REFERENCES users(id),
+          amount REAL
+        );
+        CREATE INDEX idx_orders_user ON orders(user_id);
+        CREATE VIEW v_users AS SELECT id, name FROM users;
+        INSERT INTO users VALUES (1,'alice','a@x.com','2025-01-01'),
+                                 (2,'bob',NULL,'2025-01-02');
+        INSERT INTO orders VALUES (10,1,9.5),(11,2,3.25);
+        """
+    )
+    con.commit()
+    con.close()
+    return str(path)
+
+
+class TestSqliteSource:
+    def test_table_names(self, sqlite_db):
+        assert SqliteSource(sqlite_db).table_names() == ["orders", "users"]
+
+    def test_schema_collection(self, sqlite_db):
+        t = SqliteSource(sqlite_db).collect_table_schema("users")
+        cols = {c["name"]: c for c in t["columns"]}
+        assert t["primary_key"]["columns"] == ["id"]
+        assert cols["id"]["is_primary_key"]
+        assert not cols["id"]["is_nullable"]  # PK implicitly NOT NULL
+        assert cols["name"]["data_type"] == "VARCHAR" and not cols["name"]["is_nullable"]
+        assert cols["email"]["is_nullable"]
+        assert cols["created_at"]["data_type"] == "TIMESTAMP"
+        assert t["row_count"] == 2
+
+    def test_fk_and_index_collection(self, sqlite_db):
+        t = SqliteSource(sqlite_db).collect_table_schema("orders")
+        assert t["foreign_keys"] == [
+            {
+                "name": "fk_orders_user_id",
+                "columns": ["user_id"],
+                "referenced_table": "users",
+                "referenced_columns": ["id"],
+            }
+        ]
+        assert any(i["columns"] == ["user_id"] for i in t["indexes"])
+
+    def test_database_info(self, sqlite_db):
+        info = SqliteSource(sqlite_db).database_info()
+        assert info["size_bytes"] > 0
+        assert info["encoding"] == "UTF-8"
+
+    def test_read_table_into_spark(self, spark, sqlite_db):
+        df = SqliteSource(sqlite_db).read_table(spark, "users")
+        rows = {r.id: r for r in df.collect()}
+        assert rows[1].name == "alice" and rows[2].email is None
+
+    def test_survey_document_validates(self, sqlite_db):
+        doc = SqliteSource(sqlite_db).survey()
+        assert export.validate_schema_doc(doc) == []
+        assert [v["name"] for v in doc["views"]] == ["v_users"]
+        assert export.object_count(doc) == 3  # 2 tables + 1 view
+
+    def test_type_affinity(self):
+        assert map_sqlite_type("INTEGER") == "BIGINT"
+        assert map_sqlite_type("VARCHAR(40)") == "VARCHAR"
+        assert map_sqlite_type("DOUBLE PRECISION") == "DOUBLE"
+        assert map_sqlite_type("DATETIME") == "TIMESTAMP"
+        assert map_sqlite_type(None) == "BLOB"
+
+
+class TestJdbcSource:
+    def test_partitioned_options(self):
+        src = JdbcSource("postgres://u:pw@db:5432/app")
+        opts = src.reader_options(
+            "orders", partition_column="order_id",
+            lower_bound=0, upper_bound=1_000_000, num_partitions=64,
+        )
+        assert opts["url"] == "jdbc:postgresql://db:5432/app"
+        assert opts["partitionColumn"] == "order_id"
+        assert opts["numPartitions"] == "64"
+        assert opts["password"] == "pw"
+        assert opts["pushDownPredicate"] == "true"
+
+    def test_partition_bounds_required_together(self):
+        src = JdbcSource("mysql://u@h/d")
+        with pytest.raises(ValueError):
+            src.reader_options("t", partition_column="id")
+
+    def test_pushdown_predicate_becomes_subquery(self):
+        opts = JdbcSource("postgres://u@h/d").reader_options(
+            "events", pushdown_predicate="ts > '2025-01-01'"
+        )
+        assert opts["dbtable"].startswith("(SELECT * FROM events WHERE")
+
+    def test_safe_url_and_repr_hide_credentials(self):
+        src = JdbcSource("postgres://admin:s3cret@h:5/d")
+        assert "s3cret" not in src.safe_url
+        assert "s3cret" not in repr(src)
+
+
+class TestFileSources:
+    def test_csv_with_schema_and_corrupt_records(self, spark, tmp_path):
+        p = tmp_path / "data.csv"
+        p.write_text("a,b\n1,x\nnotanint,y\n")
+        df = read_csv(
+            spark, str(p), schema="a INT, b STRING, _corrupt_record STRING"
+        )
+        rows = df.collect()
+        assert len(rows) == 2
+        bad = [r for r in rows if r._corrupt_record is not None]
+        assert len(bad) == 1 and bad[0].a is None
+
+    def test_json_lines(self, spark, tmp_path):
+        p = tmp_path / "data.jsonl"
+        p.write_text('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+        df = read_json(spark, str(p))
+        assert {r.k for r in df.collect()} == {1, 2}
+
+
+class TestExport:
+    @pytest.fixture(scope="class")
+    def doc(self, spark):
+        return export.collect_database_schema(spark, SF, name="sf0001")
+
+    def test_document_shape_and_validation(self, doc):
+        assert export.validate_schema_doc(doc) == []
+        assert doc["format_version"] == export.FORMAT_VERSION
+        names = [t["name"] for t in doc["tables"]]
+        assert "lineitem" in names and "documents" in names
+        orders = next(t for t in doc["tables"] if t["name"] == "orders")
+        assert orders["row_count"] > 0
+        assert orders["primary_key"]["columns"] == ["o_orderkey"]
+        fk = next(f for f in orders["foreign_keys"] if f["columns"] == ["o_custkey"])
+        assert fk["referenced_table"] == "customer"
+
+    def test_json_roundtrip(self, doc, tmp_path):
+        path = str(tmp_path / "schema.dbsurveyor.json")
+        export.write_schema_json(doc, path)
+        loaded = export.load_schema_json(path)
+        assert loaded["tables"][0]["name"] == doc["tables"][0]["name"]
+        assert export.validate_schema_doc(loaded) == []
+
+    def test_markdown(self, doc):
+        md = export.to_markdown(doc)
+        assert md.startswith("# Database Schema: sf0001")
+        assert "- **Tables**: 10" in md
+        assert "### lineitem" in md
+        assert "| l_orderkey | BIGINT" in md
+
+    def test_ddl(self, doc, duck):
+        ddl = export.to_sql_ddl(doc)
+        assert "CREATE TABLE orders" in ddl
+        assert "PRIMARY KEY (o_orderkey)" in ddl
+        assert "FOREIGN KEY (o_custkey) REFERENCES customer (c_custkey)" in ddl
+        # the emitted DDL must actually execute (DuckDB as ANSI checker)
+        scratch = duck.cursor()
+        scratch.execute("ATTACH ':memory:' AS ddlcheck")
+        scratch.execute("USE ddlcheck")
+        for stmt in ddl.split(";"):
+            if "CREATE TABLE" in stmt:
+                scratch.execute(stmt)
+        assert scratch.execute(
+            "SELECT COUNT(*) FROM information_schema.tables "
+            "WHERE table_catalog='ddlcheck'"
+        ).fetchone()[0] == 10
+
+    def test_mermaid(self, doc):
+        mmd = export.to_mermaid_erd(doc)
+        assert mmd.startswith("erDiagram")
+        assert "orders {" in mmd
+        assert "customer ||--o{ orders : o_custkey" in mmd
+
+    def test_validation_catches_problems(self, doc):
+        broken = json.loads(json.dumps(doc))
+        broken["tables"][0]["columns"] = []
+        broken["tables"].append(broken["tables"][1])
+        probs = export.validate_schema_doc(broken)
+        assert any("no columns" in p for p in probs)
+        assert any("duplicate table" in p for p in probs)
+
+    def test_compressed_parquet_roundtrip(self, spark, tmp_path):
+        df = spark.range(100).selectExpr("id", "id * 2 AS dbl")
+        path = str(tmp_path / "out.parquet")
+        export.write_compressed_parquet(df, path, "zstd")
+        back = spark.read.parquet(path)
+        assert back.count() == 100
