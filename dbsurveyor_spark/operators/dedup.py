@@ -9,9 +9,12 @@ with shuffle-bounded DataFrame plans (never O(n²) over the corpus):
 - minhash_lsh    : MinHash signatures (k=16) + LSH banding (4 bands × 4) —
                    the scale path: candidate pairs only within band buckets
                    (Broder's MinHash / LSH construction, public literature).
-- simhash        : 32-bit SimHash + 8-bit-band blocking; Hamming ≤ 3
+- simhash        : 48-bit SimHash + 12-bit-band blocking; Hamming ≤ 3
                    verified via bit_count(xor). 4 bands/≤3 bits guarantees
-                   no candidate is missed (pigeonhole).
+                   no candidate is missed (pigeonhole); 12-bit bands keep
+                   4096 buckets per band so bucket fan-out stays bounded
+                   far longer than byte bands (the true 100 TB path is
+                   permuted-sort blocking, Manku et al. WWW'07).
 - embedding      : sign-LSH buckets (first 8 dims) + cosine ≥ τ within
                    buckets, vector math via JVM higher-order functions.
 
@@ -29,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.hashing import (
@@ -37,7 +41,7 @@ from ..functions.hashing import (
     portable_hash32,
     portable_hash32_sql,
 )
-from ..functions.text import shingles, shingles_sql, tokens, tokens_sql
+from ..functions.text import shingles_sql, tokens, tokens_sql
 from ..functions.vectors import cosine_rounded, cosine_rounded_sql
 
 ID_OFFSET = 1_000_000
@@ -45,12 +49,29 @@ JACCARD_T = 0.8
 MINHASH_K = 16
 BANDS = 4
 ROWS_PER_BAND = MINHASH_K // BANDS
-SIMHASH_BITS = 32
+SIMHASH_BITS = 48
+SIMHASH_BAND_BITS = 12
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 SIMHASH_BANDS = 4
 HAMMING_MAX = 3
 COSINE_T = 0.95
 
 _MH_PARAMS = minhash_params(MINHASH_K)
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan yields fewer splits than cores.
+
+    At 100 TB the parquet layout provides parallelism for free and this is
+    a no-op; locally the corpus is a single small file (1-2 splits), which
+    would serialize per-row hash/aggregate work onto 2 of 32 cores.
+    Shuffling a few MB of text to unlock 16× parallelism is the right
+    trade exactly and only in that degenerate case.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target // 2:
+        return df.repartition(target)
+    return df
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,11 +135,35 @@ HAVING COUNT(*) > 1
 # ---------------------------------------------------------- n-gram Jaccard
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows — the codegen-friendly shingle construction.
+
+    Array-lambda shingling (transform + element_at) is evaluated by Spark's
+    INTERPRETED expression path and dominated the dedup wall-clock. This
+    shape stays inside whole-stage codegen end-to-end: posexplode tokens →
+    window lead(1)/lead(2) over (doc_id, pos) → concat_ws. The window's
+    hash(doc_id) shuffle is the ONLY data-sized exchange, and downstream
+    groupBy(doc_id) aggregations reuse that partitioning (no second
+    shuffle). Docs with < n tokens vanish naturally (lead(n-1) is null).
+
+    Rows may repeat a shingle within a doc (callers that need set semantics
+    — Jaccard — deduplicate; MinHash minima are unaffected by duplicates).
+    """
     corpus = _corpus(spark, sf_dir)
-    return corpus.select(
-        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
-    ).filter(F.size("sh") > 0)
+    toks = corpus.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead1, lead2 = F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("t"), lead1, lead2).alias("shingle"),
+            lead2.alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "shingle")
+    )
 
 
 _DOC_SHINGLES_SQL = f"""
@@ -130,9 +175,9 @@ WHERE len({shingles_sql(tokens_sql("text"))}) > 0
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard pairs ≥ τ via shingle-join (no n² cross join)."""
-    ds = _doc_shingles(spark, sf_dir).cache()
-    sizes = ds.select("doc_id", F.size("sh").alias("n_sh"))
-    exploded = ds.select("doc_id", F.explode("sh").alias("shingle"))
+    # distinct (set semantics) reuses the window's doc_id partitioning.
+    exploded = _shingle_rows(spark, sf_dir).dropDuplicates(["doc_id", "shingle"]).cache()
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -180,43 +225,64 @@ WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 9) >= {JACCAR
 # ------------------------------------------------------------- MinHash LSH
 
 
+def _bucket_pairs(ids):
+    """All (a, b) with a < b from a sorted id array — pure JVM array ops.
+
+    Used after a bucket groupBy: the pair space is generated WITHIN each
+    LSH bucket (never a corpus-wide self-join), and the upstream pipeline
+    is evaluated exactly once — a self-join would recompute it per side.
+    """
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: k=16 permutations, 4 bands × 4 rows.
 
-    One shuffle to aggregate signatures, one to bucket bands, one bounded
-    self-join inside buckets — the canonical near-dup plan for 100 TB.
+    Plan (one linear pipeline, three shuffles, no self-join):
+    shingle-explode → hash once per row → groupBy doc (16 min aggs) →
+    posexplode band hashes → groupBy (band, hash) collecting doc ids →
+    in-bucket pair expansion → groupBy pair counting shared bands.
     """
-    exploded = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("shingle")
+    # hash projected ONCE per row, not once per aggregate expression;
+    # duplicate shingles within a doc don't change any MIN.
+    exploded = _shingle_rows(spark, sf_dir).select(
+        "doc_id", portable_hash32(F.col("shingle")).alias("h")
     )
-    h = portable_hash32(F.col("shingle"))
+    h = F.col("h")
     sig_aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_31).alias(f"m{j}")
         for j, (a, b) in enumerate(_MH_PARAMS)
     ]
     sigs = exploded.groupBy("doc_id").agg(*sig_aggs)
-    band_rows = []
-    for bi in range(BANDS):
-        cols = [f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band_rows.append(
-            sigs.select(
-                "doc_id",
-                F.lit(bi).alias("band_idx"),
-                F.md5(F.concat_ws("_", *cols)).alias("band_hash"),
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_", *[f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+                )
             )
-        )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
-    x, y = bands.alias("x"), bands.alias("y")
+            for bi in range(BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
 
@@ -253,12 +319,16 @@ GROUP BY x.doc_id, y.doc_id
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash near-dup pairs, Hamming ≤ 3, byte-band blocking."""
-    corpus = _corpus(spark, sf_dir)
-    toks = corpus.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    """48-bit SimHash near-dup pairs, Hamming ≤ 3, 12-bit-band blocking."""
+    corpus = _spread(spark, _corpus(spark, sf_dir))
+    toks = (
+        corpus.select(
+            "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+        )
+        # hash projected ONCE per row, not once per bit aggregate
+        .select("doc_id", portable_hash32(F.col("token")).alias("h"))
     )
-    h = portable_hash32(F.col("token"))
+    h = F.col("h")
     bit_sums = [
         F.sum(
             F.when((F.shiftright(h, b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
@@ -269,20 +339,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.lit(0).cast("bigint")
     for b in range(SIMHASH_BITS):
         sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    sims = agg.select("doc_id", sim.alias("simhash"))
-    band_frames = [
-        sims.select(
-            "doc_id",
-            "simhash",
-            F.lit(bi).alias("band_idx"),
-            F.shiftright(F.col("simhash"), bi * 8).bitwiseAND(F.lit(255)).alias("band_val"),
-        )
-        for bi in range(SIMHASH_BANDS)
-    ]
-    bands = band_frames[0]
-    for extra in band_frames[1:]:
-        bands = bands.unionByName(extra)
-    x, y = bands.alias("x"), bands.alias("y")
+    # sims is tiny (one bigint per doc) — cache it so the token aggregation
+    # runs once, then SELF-JOIN the banded view. Unlike minhash (sparse
+    # buckets), simhash clusters are DENSE on this corpus (thousands of docs
+    # within Hamming ≤ 3), so in-bucket array expansion would materialize
+    # multi-million-element arrays in single tasks; a streamed join + AQE
+    # skew splitting handles dense buckets gracefully.
+    sims = agg.select("doc_id", sim.alias("simhash")).cache()
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), bi * SIMHASH_BAND_BITS).bitwiseAND(
+                F.lit(SIMHASH_BAND_MASK)
+            )
+            for bi in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sims.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
     hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
     return (
         x.join(
@@ -313,7 +388,7 @@ def _simhash_sql() -> str:
     )
     band_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash, {bi} AS band_idx, "
-        f"(simhash >> {bi * 8}) & 255 AS band_val FROM sims"
+        f"(simhash >> {bi * SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK} AS band_val FROM sims"
         for bi in range(SIMHASH_BANDS)
     )
     return f"""

@@ -29,8 +29,13 @@ def get_session(
     to ``local[$SPARK_GRAFT_CPUS]``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode runs everything in the driver JVM; Spark's 1g default
+        # heap is far too small for 32 concurrent task threads. Takes effect
+        # only when this process launches the JVM (i.e. the first session).
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
