@@ -98,11 +98,12 @@ def quality_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         aggs.append(F.coalesce(empty, F.lit(0)).cast("bigint").alias(f"{col}__empty"))
     one = df.agg(*aggs)
-    rows = []
+    # single inline() reshape — see survey_column_profile for rationale
+    entries = []
     for col in DIRTY_COLS:
         nulls, empty = F.col(f"{col}__nulls"), F.col(f"{col}__empty")
-        rows.append(
-            one.select(
+        entries.append(
+            F.struct(
                 F.lit(col).alias("column_name"),
                 nulls.alias("null_count"),
                 empty.alias("empty_count"),
@@ -112,7 +113,7 @@ def quality_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("completeness"),
             )
         )
-    return reduce(DataFrame.unionByName, rows)
+    return one.select(F.inline(F.array(*entries)))
 
 
 def _completeness_sql() -> str:
@@ -155,21 +156,22 @@ def quality_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.struct(*[F.col(c) for c in UNIQ_COLS])).alias("__row_distinct")
     )
     one = df.agg(*aggs)
-    rows = []
+    # single inline() reshape — see survey_column_profile for rationale
+    entries = []
     for col in UNIQ_COLS:
         dup = F.col("__total") - F.col(f"{col}__dwn")
-        rows.append(
-            one.select(
+        entries.append(
+            F.struct(
                 F.lit(col).alias("column_name"),
                 dup.alias("duplicate_count"),
                 (
                     (F.col("__total") - dup).cast("double") / F.col("__total")
                 ).alias("uniqueness"),
-            ).filter(F.col("duplicate_count") > 0)
+            )
         )
     row_dup = F.col("__total") - F.col("__row_distinct")
-    rows.append(
-        one.select(
+    entries.append(
+        F.struct(
             F.lit("__rows__").alias("column_name"),
             row_dup.alias("duplicate_count"),
             ((F.col("__total") - row_dup).cast("double") / F.col("__total")).alias(
@@ -177,7 +179,11 @@ def quality_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return reduce(DataFrame.unionByName, rows)
+    melted = one.select(F.inline(F.array(*entries)))
+    # per-column rows only appear when duplicated; the row-level row always does
+    return melted.filter(
+        (F.col("column_name") == "__rows__") | (F.col("duplicate_count") > 0)
+    )
 
 
 def _uniqueness_sql() -> str:
@@ -248,23 +254,22 @@ def quality_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first(f"{col}__n").alias(f"{col}__n"),
         ]
     one = joined.agg(*cnt_aggs)
-    rows = []
-    for col in ANOMALY_COLS:
-        rows.append(
-            one.select(
-                F.lit(col).alias("column_name"),
-                F.col(f"{col}__outliers").alias("outlier_count"),
-                F.lit(Z_THRESHOLD).alias("z_score_threshold"),
-                F.col(f"{col}__mean").alias("mean"),
-                F.col(f"{col}__std").alias("std_dev"),
-            ).filter(
-                (F.col("outlier_count") > 0)
-                & (F.col("std_dev") > MIN_STD)
-                & (F.col(f"outlier_count").isNotNull())
-            )
+    # single inline() reshape — see survey_column_profile for rationale
+    entries = [
+        F.struct(
+            F.lit(col).alias("column_name"),
+            F.col(f"{col}__outliers").alias("outlier_count"),
+            F.lit(Z_THRESHOLD).alias("z_score_threshold"),
+            F.col(f"{col}__mean").alias("mean"),
+            F.col(f"{col}__std").alias("std_dev"),
         )
-    out = reduce(DataFrame.unionByName, rows)
-    return out
+        for col in ANOMALY_COLS
+    ]
+    return one.select(F.inline(F.array(*entries))).filter(
+        (F.col("outlier_count") > 0)
+        & (F.col("std_dev") > MIN_STD)
+        & (F.col("outlier_count").isNotNull())
+    )
 
 
 def _anomaly_sql() -> str:
