@@ -100,8 +100,93 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(attach_payload(docs))
 
 
+# ----------------------------------------------------- frame sampling (video)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_n_bytes", LongType()),
+    ]
+)
+
+FRAME_SIZE = 64  # stub "frame" = 64-byte chunk of the payload
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def frame_sample(
+    media: DataFrame, frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Video-frame sampling plumbing: payload → every `stride`-th fixed-size
+    chunk, one output row per sampled frame (fan-out inside the Arrow batch,
+    no shuffle). A real implementation swaps the chunker for a container
+    demuxer (ffmpeg); partitioning, batch fan-out, and schema are the real
+    pattern."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, sizes = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n_frames = max(1, len(payload) // frame_size)
+                for fi in range(0, n_frames, stride):
+                    chunk = payload[fi * frame_size : (fi + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_payload(docs))
+
+
+# ------------------------------------------------- feature extraction (stub)
+
+EMBED_DIM = 8
+
+
+def extract_features(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Decode → feature-extract seam: payload → fixed-dim float vector.
+
+    The stub derives a deterministic vector from byte statistics; a real
+    model (CLIP et al.) slots into the same mapInPandas shape — per-batch
+    model invocation amortizes model load across the Arrow batch, which is
+    the pattern that matters at 100 TB (never per-row inference)."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("feature", ArrayType(FloatType())),
+        ]
+    )
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats = [
+                [
+                    float((sum(payload[i::dim]) % 1000) / 1000.0)
+                    for i in range(dim)
+                ]
+                for payload in batch["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "feature": feats})
+
+    return media.mapInPandas(_feats, schema)
+
+
 QUERIES = {
     "mm_decode_stats": mm_decode_stats,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 # Intentionally no ORACLES entry: mapInPandas is not SQL-expressible; the

@@ -120,22 +120,8 @@ def stream_windowed_counts_job(
     """Run the tumbling-window count as a real Structured Streaming job over
     the events parquet (file source, availableNow trigger, 10-min watermark)
     and return the materialized result from the in-memory sink."""
-    # The file streaming source requires a DIRECTORY; the test tables are
-    # single read-only files — expose one via a symlink dir beside the
-    # checkpoint.
-    src_dir = Path(checkpoint_dir + "_src")
-    src_dir.mkdir(parents=True, exist_ok=True)
-    link = src_dir / "events.parquet"
-    if not link.exists():
-        link.symlink_to(table_path(sf_dir, "events"))
-    # Schema must match the RAW file (ts = nanos-as-long, see catalog);
-    # convert to a proper timestamp after the streaming scan.
-    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
+    stream = _event_stream(spark, sf_dir, checkpoint_dir).withWatermark(
+        "ts", "10 minutes"
     )
     agg = (
         stream.groupBy(
@@ -154,6 +140,128 @@ def stream_windowed_counts_job(
     )
     query.awaitTermination(120)
     return spark.table("stream_counts")
+
+
+def _event_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> DataFrame:
+    """File-source stream over the events table (symlink-dir trick: the file
+    streaming source requires a directory; the test tables are single
+    read-only files)."""
+    src_dir = Path(checkpoint_dir + "_src")
+    src_dir.mkdir(parents=True, exist_ok=True)
+    link = src_dir / "events.parquet"
+    if not link.exists():
+        link.symlink_to(table_path(sf_dir, "events"))
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(str(src_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def stream_session_window_job(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Gap-based sessionization as a REAL streaming job via Spark's native
+    `session_window` (dynamic-gap session aggregation with watermark state
+    eviction) — the streaming analog of `stream_sessionization`.
+
+    Boundary note: session_window merges an event into a session iff its ts
+    is STRICTLY before prev_end = prev_ts + gap, while the batch lag-based
+    flag starts a new session iff ts > prev_ts + gap — the two disagree
+    only for gaps of exactly 30:00.000000.
+    """
+    stream = _event_stream(spark, sf_dir, checkpoint_dir).withWatermark(
+        "ts", "10 minutes"
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DECIMAL_T)).cast("double").alias("value_sum"),
+        )
+        .select("user_id", "n_events", "value_sum")
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.table("stream_sessions")
+
+
+def stream_stateful_user_totals_job(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals (event count + value sum) carried in explicit
+    GroupState across micro-batches — the escape hatch for stateful logic
+    Spark's built-in windowed/session aggregations can't express.
+
+    Arrow-batched per group; state is a single (count, sum) tuple per user,
+    so state size is O(users), not O(events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_sum", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [round(s, 6)]}
+        )
+
+    stream = _event_stream(spark, sf_dir, checkpoint_dir).select("user_id", "value")
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        result.writeStream.format("memory")
+        .queryName("stream_user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    # update mode may emit a row per micro-batch per user; last wins.
+    latest = spark.table("stream_user_totals")
+    w = Window.partitionBy("user_id").orderBy(F.monotonically_increasing_id().desc())
+    return (
+        latest.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 QUERIES = {

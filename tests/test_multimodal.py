@@ -45,3 +45,54 @@ def test_resize_stub_raises(spark):
     docs = attach_payload(load_table(spark, SF_ORACLE, "documents"))
     with pytest.raises(NotImplementedError):
         resize_stub(docs, 224, 224)
+
+
+class TestFrameSample:
+    def test_frame_rows_and_stride(self, spark):
+        from dbsurveyor_spark.multimodal.codec import (
+            FRAME_STRIDE,
+            attach_payload,
+            frame_sample,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "x" * 300), (2, "y" * 10)], "doc_id bigint, text string"
+        )
+        rows = frame_sample(attach_payload(docs)).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 1: 300 bytes → 4 full frames → indices 0 (stride 4)
+        assert [r.frame_idx for r in by_doc[1]] == [0]
+        assert by_doc[1][0].frame_n_bytes == 64
+        # doc 2: short payload still yields one (partial) frame
+        assert [r.frame_idx for r in by_doc[2]] == [0]
+        assert by_doc[2][0].frame_n_bytes == 10
+        assert FRAME_STRIDE == 4
+
+    def test_long_payload_multiple_frames(self, spark):
+        from dbsurveyor_spark.multimodal.codec import attach_payload, frame_sample
+
+        docs = spark.createDataFrame(
+            [(7, "z" * (64 * 9))], "doc_id bigint, text string"
+        )
+        rows = frame_sample(attach_payload(docs)).collect()
+        assert sorted(r.frame_idx for r in rows) == [0, 4, 8]
+
+
+class TestExtractFeatures:
+    def test_fixed_dim_deterministic(self, spark):
+        from dbsurveyor_spark.multimodal.codec import (
+            EMBED_DIM,
+            attach_payload,
+            extract_features,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, "other text")], "doc_id bigint, text string"
+        )
+        out1 = {r.doc_id: r.feature for r in extract_features(attach_payload(docs)).collect()}
+        out2 = {r.doc_id: r.feature for r in extract_features(attach_payload(docs)).collect()}
+        assert out1 == out2  # deterministic
+        assert all(len(v) == EMBED_DIM for v in out1.values())
+        assert all(0.0 <= x < 1.0 for v in out1.values() for x in v)

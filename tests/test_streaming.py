@@ -1,11 +1,19 @@
-"""True Structured Streaming: file source + watermark + availableNow."""
+"""True Structured Streaming: file source + watermark + availableNow;
+session_window sessionization; applyInPandasWithState custom operator."""
 
 from __future__ import annotations
 
 import shutil
 import tempfile
 
+import pytest
+from pyspark.sql import functions as F
+
+from dbsurveyor_spark.catalog import load_table
 from dbsurveyor_spark.streaming.events import (
+    stream_session_window_job,
+    stream_sessionization,
+    stream_stateful_user_totals_job,
     stream_tumbling_counts,
     stream_windowed_counts_job,
 )
@@ -13,16 +21,52 @@ from dbsurveyor_spark.streaming.events import (
 from .conftest import SF_ORACLE
 
 
-def test_streaming_matches_batch(spark):
-    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir="/root/repo/.tmp")
-    try:
-        streamed = stream_windowed_counts_job(spark, SF_ORACLE, ckpt)
-        batch = stream_tumbling_counts(spark, SF_ORACLE).select(
-            "window_start", "event_type", "event_count"
+@pytest.fixture
+def ckpt():
+    d = tempfile.mkdtemp(prefix="ckpt_", dir="/root/repo/.tmp")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(d + "_src", ignore_errors=True)
+
+
+def test_streaming_matches_batch(spark, ckpt):
+    streamed = stream_windowed_counts_job(spark, SF_ORACLE, ckpt)
+    batch = stream_tumbling_counts(spark, SF_ORACLE).select(
+        "window_start", "event_type", "event_count"
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b, f"stream/batch divergence: {len(s ^ b)} rows differ"
+    assert len(s) > 0
+
+
+def test_session_window_matches_batch_sessionization(spark, ckpt):
+    """Native session_window streaming sessions == batch lag/cumsum sessions
+    (same 30-min gap; boundary semantics differ only at exact-gap ties,
+    which the synthetic microsecond timestamps never hit)."""
+    streamed = stream_session_window_job(spark, SF_ORACLE, ckpt)
+    batch = (
+        stream_sessionization(spark, SF_ORACLE)
+        .select("user_id", "n_events", "value_sum")
+    )
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(s) > 0
+    assert s == b, f"session divergence: {len(set(s) ^ set(b))} rows differ"
+
+
+def test_stateful_user_totals(spark, ckpt):
+    """applyInPandasWithState totals == plain batch groupBy totals."""
+    streamed = stream_stateful_user_totals_job(spark, SF_ORACLE, ckpt)
+    batch = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
         )
-        s = {tuple(r) for r in streamed.collect()}
-        b = {tuple(r) for r in batch.collect()}
-        assert s == b, f"stream/batch divergence: {len(s ^ b)} rows differ"
-        assert len(s) > 0
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    )
+    s = {(r.user_id, r.n_events) for r in streamed.collect()}
+    b = {(r.user_id, r.n_events) for r in batch.collect()}
+    assert len(s) > 0
+    assert s == b, f"stateful totals diverge: {len(s ^ b)} rows differ"
