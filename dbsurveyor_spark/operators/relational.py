@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.aggregates import davg, davg_sql, dsum, dsum_sql
+from ..functions.aggregates import DECIMAL_T, davg, davg_sql, dsum, dsum_sql
 
 Q1_CUTOFF = "1998-09-02"
 
@@ -260,12 +260,103 @@ WHERE NOT EXISTS (
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan→filter→agg with every predicate pushed to
+    the parquet reader — the canonical pushdown benchmark (zero joins, one
+    exchange of a single partial-sum row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT
+  {dsum_sql("l_extendedprice * l_discount", "revenue")},
+  COUNT(*) AS line_count
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations in one
+    pass (Spark plans one Expand + single aggregation — no re-scan per
+    grouping set)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        dsum(F.col("o_totalprice"), "total_sales"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       {dsum_sql("o_totalprice", "total_sales")},
+       COUNT(*) AS order_count
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative revenue ordered by order date — the running-
+    aggregate window shape (one shuffle on the partition key; the frame is
+    the default rows-unbounded-preceding via explicit spec)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DECIMAL_T))
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).cast("bigint").alias("order_seq"),
+    )
+
+
+RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+         AS order_seq
+FROM orders
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "window_top_orders_per_cust": window_top_orders_per_cust,
+    "window_running_totals": window_running_totals,
     "rollup_sales": rollup_sales,
+    "cube_sales": cube_sales,
     "set_ops_customers": set_ops_customers,
 }
 
@@ -273,7 +364,10 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
     "window_top_orders_per_cust": WINDOW_SQL,
+    "window_running_totals": RUNNING_SQL,
     "rollup_sales": ROLLUP_SQL,
+    "cube_sales": CUBE_SQL,
     "set_ops_customers": SET_OPS_SQL,
 }

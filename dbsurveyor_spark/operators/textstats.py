@@ -168,11 +168,34 @@ LIMIT {TOP_TOKENS}
 """
 
 
+QUALITY_MIN = 0.8
+TOKENS_MIN = 20
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filtering: keep documents passing quality thresholds — the
+    decision step an LLM-data pipeline runs after scoring. Reuses the
+    text_stats projection; the filter composes into the same single scan."""
+    stats = text_stats(spark, sf_dir)
+    return stats.filter(
+        (F.col("quality_score") >= QUALITY_MIN) & (F.col("n_tokens") >= TOKENS_MIN)
+    ).select("doc_id", "n_tokens", "quality_score")
+
+
+def _quality_filter_sql() -> str:
+    return f"""
+SELECT doc_id, n_tokens, quality_score
+FROM ({_stats_sql()}) s
+WHERE quality_score >= {QUALITY_MIN} AND n_tokens >= {TOKENS_MIN}
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_token_histogram": text_token_histogram,
+    "text_quality_filter": text_quality_filter,
 }
 
 ORACLES = {
@@ -180,4 +203,5 @@ ORACLES = {
     "text_langid": _langid_sql(),
     "text_fingerprint": FINGERPRINT_SQL,
     "text_token_histogram": _histogram_sql(),
+    "text_quality_filter": _quality_filter_sql(),
 }

@@ -79,14 +79,35 @@ WHERE rn <= {STRATUM_LIMIT}
 """
 
 
+def sample_by_pk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OrderingStrategy::PrimaryKey (models.rs:362): first N rows by PK.
+
+    orderBy().limit() plans as TakeOrderedAndProject — per-partition top-N
+    heap then a driver merge of N rows, never a global sort. With min/max
+    column statistics (parquet row-group metadata) the scan also prunes
+    row groups whose PK range is above the cutoff.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy(F.asc("o_orderkey")).limit(MOST_RECENT_LIMIT)
+
+
+BY_PK_SQL = f"""
+SELECT * FROM orders
+ORDER BY o_orderkey ASC
+LIMIT {MOST_RECENT_LIMIT}
+"""
+
+
 QUERIES = {
     "sample_most_recent_orders": sample_most_recent_orders,
     "sample_random_orders": sample_random_orders,
     "sample_stratified_events": sample_stratified_events,
+    "sample_by_pk_orders": sample_by_pk_orders,
 }
 
 ORACLES = {
     "sample_most_recent_orders": MOST_RECENT_SQL,
     "sample_random_orders": RANDOM_SQL,
     "sample_stratified_events": STRATIFIED_SQL,
+    "sample_by_pk_orders": BY_PK_SQL,
 }
