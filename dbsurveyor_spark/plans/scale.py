@@ -1,0 +1,87 @@
+"""Scale utilities: bucketed co-located joins and skew-join salting.
+
+These are the two levers the DataFrame API doesn't apply automatically:
+
+- **Bucketing** pre-shuffles a table ONCE at write time (`bucketBy`), so
+  every later join/aggregation on the bucket key runs exchange-free. At
+  100 TB, a fact table joined daily on the same key amortizes its shuffle
+  across every downstream query.
+- **Salting** splits a hot key across `salt_factor` sub-keys so one
+  reducer doesn't receive the whole key's rows. AQE's skew-join splitting
+  handles moderate skew at runtime; explicit salting is for the extreme
+  case (a single key holding a double-digit percentage of the table) where
+  even a split partition can't hold the build side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- bucketing
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Sorting within buckets additionally removes the sort from later
+    sort-merge joins — the scan comes back bucketed AND ordered.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two tables bucketed on the join key: with matching bucket counts
+    Spark plans a sort-merge join with NO Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan."""
+    from .asserts import formatted_plan
+
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and " Exchange" in ln and "Reused" not in ln
+    )
+
+
+# ------------------------------------------------------------------ salting
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_factor: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (left/probe) side randomly
+    by hash, EXPLODE the small (right/build) side across all salt values,
+    and join on (key, salt).
+
+    The right side is replicated `salt_factor`× — appropriate when it is
+    small relative to the skew being split (the usual case: a huge
+    fact-side hot key against a modest dimension). Deterministic salting
+    (hash of a second column) keeps results reproducible.
+    """
+    salt = (F.crc32(F.concat_ws("\x00", *left.columns)) % salt_factor).cast("int")
+    left_s = left.withColumn("__salt", salt)
+    right_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    )
+    out = left_s.join(right_s, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
