@@ -464,7 +464,36 @@ WHERE {cos} >= {COSINE_T}
 """
 
 
+def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline DECISION step: the corpus with exact duplicates removed,
+    keeping each content group's min-id survivor. One groupBy on the content
+    hash (map-side combinable min) then a semi-join back on (doc_id == the
+    group's survivor) — no second scan of text, no window over the corpus."""
+    corpus = _corpus(spark, sf_dir)
+    hashed = corpus.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    survivors = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        hashed.join(survivors, ["content_hash", "doc_id"], "left_semi")
+        .select("doc_id", "content_hash")
+    )
+
+
+SURVIVOR_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+hashed AS (SELECT doc_id, md5(text) AS content_hash FROM corpus),
+survivors AS (SELECT content_hash, MIN(doc_id) AS doc_id
+              FROM hashed GROUP BY content_hash)
+SELECT h.doc_id, h.content_hash
+FROM hashed h
+SEMI JOIN survivors s
+  ON h.content_hash = s.content_hash AND h.doc_id = s.doc_id
+"""
+
+
 QUERIES = {
+    "dedup_survivor_corpus": dedup_survivor_corpus,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -473,6 +502,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_survivor_corpus": SURVIVOR_SQL,
     "dedup_exact": EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
