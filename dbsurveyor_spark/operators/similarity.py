@@ -28,6 +28,7 @@ N_PROBES = 10  # probe set: vec_id < 10
 TOP_K = 5
 N_CELLS = 8  # IVF cells: centroids = vec_id < 8
 IVF_K = 3
+NPROBE = 2  # cells searched per query (the standard IVF recall lever)
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,8 +73,10 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search: assign all vectors to nearest seed centroid (broadcast
-    join), then probes scan only their own cell."""
+    """IVF search: assign all vectors to their nearest seed centroid (one
+    broadcast-join pass), then each probe scans its NPROBE nearest cells —
+    multi-cell probing recovers the neighbors that straddle a cell
+    boundary, the standard IVF recall/cost dial."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
@@ -85,14 +88,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cell_cos"), F.asc("cell_id")
     )
-    assigned = (
+    ranked_cells = (
         emb.crossJoin(F.broadcast(centroids))
         .select("vec_id", "embedding", "cell_id", cos_c.alias("cell_cos"))
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
     )
-    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+    assigned = ranked_cells.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "cell_id"
+    )
+    # probes keep their NPROBE nearest cells (not just the assignment cell)
+    probes = ranked_cells.filter(
+        (F.col("vec_id") < N_PROBES) & (F.col("rn") <= NPROBE)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("cell_id").alias("q_cell"),
@@ -126,18 +133,19 @@ def _ivf_sql() -> str:
     return f"""
 WITH centroids AS (SELECT vec_id AS cell_id, embedding FROM embeddings
                    WHERE vec_id < {N_CELLS}),
+ranked_cells AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_c} DESC, c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN centroids c
+),
 assigned AS (
-  SELECT vec_id, embedding, cell_id FROM (
-    SELECT e.vec_id, e.embedding, c.cell_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {cos_c} DESC, c.cell_id ASC) AS rn
-    FROM embeddings e CROSS JOIN centroids c
-  ) t WHERE rn = 1
+  SELECT vec_id, embedding, cell_id FROM ranked_cells WHERE rn = 1
 ),
 probes AS (
   SELECT vec_id AS query_id, embedding AS q_emb, cell_id AS q_cell
-  FROM assigned WHERE vec_id < {N_PROBES}
+  FROM ranked_cells WHERE vec_id < {N_PROBES} AND rn <= {NPROBE}
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cos_sim

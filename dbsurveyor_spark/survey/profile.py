@@ -307,9 +307,16 @@ SELECT '{ct}' AS child_table, '{cc}' AS child_column,
     return "\nUNION ALL\n".join(parts)
 
 
+def survey_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for the HLL scale path (rows-only driver check:
+    approx_count_distinct has no exact SQL oracle by construction)."""
+    return column_profile_approx(spark, sf_dir, PROFILE_TABLE)
+
+
 QUERIES = {
     "survey_schema_overview": survey_schema_overview,
     "survey_column_profile": survey_column_profile,
+    "survey_profile_approx": survey_profile_approx,
     "survey_pk_inference": survey_pk_inference,
     "survey_fk_inference": survey_fk_inference,
 }
