@@ -41,6 +41,18 @@ class TestPushdownAndPruning:
         df = relational.q3_shipping_priority(spark, SF)
         assert_pushed_filters(df, "c_mktsegment")
 
+    def test_q6_all_predicates_pushed(self, spark):
+        # the Q6 shape exists to prove full pushdown: every predicate column
+        # must reach the reader, and the scan must prune to exactly the
+        # filter+aggregate columns
+        df = relational.q6_forecast_revenue(spark, SF)
+        assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+        assert_read_schema_only(
+            df,
+            "lineitem.parquet",
+            {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
+        )
+
     def test_projection_reaches_scan_for_two_column_query(self, spark):
         df = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
         assert_read_schema_only(df, "orders.parquet", {"o_orderkey", "o_totalprice"})
