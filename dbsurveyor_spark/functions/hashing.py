@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 HASH_HEX_LEN = 15  # 60 bits < 63, always fits a signed BIGINT
 HASH32_HEX_LEN = 8  # 32-bit variant for arithmetic-safe minhash
+HASH48_HEX_LEN = 12  # 48-bit variant: every bit 0..47 is meaningful (simhash)
 MERSENNE_31 = (1 << 31) - 1
 
 
@@ -58,6 +59,24 @@ def portable_hash32_sql(expr: str) -> str:
     """DuckDB SQL fragment computing the same value as :func:`portable_hash32`."""
     return (
         f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, {HASH32_HEX_LEN})) "
+        "AS BIGINT)"
+    )
+
+
+def portable_hash48(col: Column | str) -> Column:
+    """48-bit deterministic hash — for bit-sampling uses (SimHash) where
+    every bit position up to 47 must actually vary. (portable_hash32 only
+    populates bits 0..31: shifting it right by ≥32 is constantly zero.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, HASH48_HEX_LEN), 16, 10).cast(
+        "bigint"
+    )
+
+
+def portable_hash48_sql(expr: str) -> str:
+    """DuckDB SQL fragment computing the same value as :func:`portable_hash48`."""
+    return (
+        f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, {HASH48_HEX_LEN})) "
         "AS BIGINT)"
     )
 

@@ -40,6 +40,8 @@ from ..functions.hashing import (
     minhash_params,
     portable_hash32,
     portable_hash32_sql,
+    portable_hash48,
+    portable_hash48_sql,
 )
 from ..functions.text import shingles_sql, tokens, tokens_sql
 from ..functions.vectors import cosine_rounded, cosine_rounded_sql
@@ -325,8 +327,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select(
             "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
         )
-        # hash projected ONCE per row, not once per bit aggregate
-        .select("doc_id", portable_hash32(F.col("token")).alias("h"))
+        # hash projected ONCE per row, not once per bit aggregate;
+        # 48-bit hash so EVERY sampled bit 0..47 actually varies
+        .select("doc_id", portable_hash48(F.col("token")).alias("h"))
     )
     h = F.col("h")
     bit_sums = [
@@ -377,7 +380,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    h = portable_hash32_sql("token")
+    h = portable_hash48_sql("token")
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(SIMHASH_BITS)

@@ -41,12 +41,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     n_chars = F.length("text")
     n_tokens = F.size(toks)
+    # NULLIF guards: empty / whitespace-only documents must yield NULL ratios
+    # (not a DIVIDE_BY_ZERO abort — Spark 4 runs ANSI mode by default).
+    # Identical NULLIF in the oracle keeps the engines bit-equal.
+    chars_d = F.nullif(n_chars, F.lit(0))
+    tokens_d = F.nullif(n_tokens, F.lit(0))
     no_punct = F.regexp_replace(F.col("text"), PUNCT_RE, "")
-    punct_ratio = (n_chars - F.length(no_punct)).cast("double") / n_chars
-    sw_ratio = stopword_count(toks).cast("double") / n_tokens
+    punct_ratio = (n_chars - F.length(no_punct)).cast("double") / chars_d
+    sw_ratio = stopword_count(toks).cast("double") / tokens_d
     avg_tok = (
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
-        / n_tokens
+        / tokens_d
     )
     quality = (
         0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
@@ -72,15 +77,15 @@ SELECT
   doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len({toks}) AS BIGINT) AS n_tokens,
-  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({toks}), 9)
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / NULLIF(len({toks}), 0), 9)
     AS avg_token_len,
   round(CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g'))
-        AS DOUBLE) / length(text), 9) AS punct_ratio,
-  round(CAST({sw} AS DOUBLE) / len({toks}), 9) AS stopword_ratio,
+        AS DOUBLE) / NULLIF(length(text), 0), 9) AS punct_ratio,
+  round(CAST({sw} AS DOUBLE) / NULLIF(len({toks}), 0), 9) AS stopword_ratio,
   round(0.4 * least(1.0, CAST(len({toks}) AS DOUBLE) / 100.0)
       + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g'))
-               AS DOUBLE) / length(text))
-      + 0.3 * (1.0 - CAST({sw} AS DOUBLE) / len({toks})), 9) AS quality_score
+               AS DOUBLE) / NULLIF(length(text), 0))
+      + 0.3 * (1.0 - CAST({sw} AS DOUBLE) / NULLIF(len({toks}), 0)), 9) AS quality_score
 FROM documents
 """
 

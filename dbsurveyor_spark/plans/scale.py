@@ -76,8 +76,18 @@ def salted_join(
     The right side is replicated `salt_factor`× — appropriate when it is
     small relative to the skew being split (the usual case: a huge
     fact-side hot key against a modest dimension). Deterministic salting
-    (hash of a second column) keeps results reproducible.
+    (hash of the full row) keeps results reproducible, but note it cannot
+    spread a hot key whose rows are byte-identical duplicates.
+
+    Only inner/left joins are supported: a right or full outer join would
+    null-extend each unmatched RIGHT replica, duplicating such rows
+    salt_factor times.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(outer-preserving the replicated side would duplicate rows)"
+        )
     salt = (F.crc32(F.concat_ws("\x00", *left.columns)) % salt_factor).cast("int")
     left_s = left.withColumn("__salt", salt)
     right_s = right.withColumn(

@@ -25,13 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..security import parse_connection_string
 
-# postgres:// etc. → JDBC scheme.
+# postgres:// etc. → JDBC scheme. SQLite is deliberately absent: its URLs
+# are host-less file paths (jdbc:sqlite:/path) that don't fit the
+# host/port/database shape — use sources.sqlite.SqliteSource instead.
 _JDBC_SCHEMES = {
     "postgres": "postgresql",
     "postgresql": "postgresql",
     "mysql": "mysql",
     "mariadb": "mysql",
-    "sqlite": "sqlite",
 }
 
 

@@ -153,16 +153,20 @@ class SqliteSource:
         with self._connect() as con:
             cur = con.execute(f"SELECT * FROM {_q(table)}")
             names = [d[0] for d in cur.description]
-            batches = []
+            columns: list[list] = [[] for _ in names]
             while True:
                 rows = cur.fetchmany(batch_size)
                 if not rows:
                     break
-                arrays = [pa.array([r[i] for r in rows]) for i in range(len(names))]
-                batches.append(pa.RecordBatch.from_arrays(arrays, names=names))
-        if not batches:
+                for r in rows:
+                    for i, v in enumerate(r):
+                        columns[i].append(v)
+        if not any(columns):
             return spark.createDataFrame([], schema=", ".join(f"{n} string" for n in names))
-        tbl = pa.Table.from_batches(batches)
+        # one Arrow inference pass over each WHOLE column — per-batch
+        # inference would give an all-NULL batch a null type that clashes
+        # with the typed batches and fail Table.from_batches
+        tbl = pa.Table.from_arrays([pa.array(c) for c in columns], names=names)
         return spark.createDataFrame(tbl.to_pandas())
 
     def survey(self, name: str | None = None) -> dict[str, Any]:

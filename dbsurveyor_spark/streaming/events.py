@@ -138,7 +138,9 @@ def stream_windowed_counts_job(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    if not query.awaitTermination(600):
+        query.stop()
+        raise TimeoutError("streaming job did not finish within 600s")
     return spark.table("stream_counts")
 
 
@@ -192,7 +194,9 @@ def stream_session_window_job(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    if not query.awaitTermination(600):
+        query.stop()
+        raise TimeoutError("streaming job did not finish within 600s")
     return spark.table("stream_sessions")
 
 
@@ -253,14 +257,18 @@ def stream_stateful_user_totals_job(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
-    # update mode may emit a row per micro-batch per user; last wins.
+    if not query.awaitTermination(600):
+        query.stop()
+        raise TimeoutError("streaming job did not finish within 600s")
+    # update mode emits a row per micro-batch per user; the FINAL total is
+    # the one with the highest n_events (counts are strictly increasing per
+    # user), which is well-defined regardless of the memory sink's scan
+    # order — unlike monotonically_increasing_id, which tracks partition
+    # layout, not commit order.
     latest = spark.table("stream_user_totals")
-    w = Window.partitionBy("user_id").orderBy(F.monotonically_increasing_id().desc())
-    return (
-        latest.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    return latest.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("value_sum", "n_events").alias("value_sum"),
     )
 
 

@@ -262,7 +262,14 @@ def survey_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     frames = []
     for ct, cc, pt, pc in FK_CANDIDATES:
-        child = load_table(spark, sf_dir, ct).select(F.col(cc).alias("k")).distinct()
+        # NULL child keys don't participate in FK semantics (and the oracle's
+        # COUNT(DISTINCT) excludes them) — drop them before the distinct.
+        child = (
+            load_table(spark, sf_dir, ct)
+            .select(F.col(cc).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
         parent = load_table(spark, sf_dir, pt).select(F.col(pc).alias("k")).distinct()
         matched = child.join(parent, "k", "left_semi")
         stats = child.agg(F.count(F.lit(1)).alias("child_distinct")).crossJoin(

@@ -247,8 +247,15 @@ def quality_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt_aggs = []
     for col in ANOMALY_COLS:
         z = F.abs(F.col(col) - F.col(f"{col}__mean")) / F.col(f"{col}__std")
+        # nested when: the division only evaluates when std clears the
+        # guard, so a constant column can't DIVIDE_BY_ZERO under ANSI mode
+        # (reference behavior: such columns are skipped, anomaly.rs:54)
+        flag = F.when(
+            F.col(f"{col}__std") > MIN_STD,
+            F.when(z > Z_THRESHOLD, F.lit(1)).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0))
         cnt_aggs += [
-            F.sum((z > Z_THRESHOLD).cast("bigint")).alias(f"{col}__outliers"),
+            F.sum(flag.cast("bigint")).alias(f"{col}__outliers"),
             F.first(f"{col}__mean").alias(f"{col}__mean"),
             F.first(f"{col}__std").alias(f"{col}__std"),
             F.first(f"{col}__n").alias(f"{col}__n"),
@@ -262,6 +269,7 @@ def quality_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(Z_THRESHOLD).alias("z_score_threshold"),
             F.col(f"{col}__mean").alias("mean"),
             F.col(f"{col}__std").alias("std_dev"),
+            F.col(f"{col}__n").alias("n_values"),
         )
         for col in ANOMALY_COLS
     ]
@@ -269,6 +277,8 @@ def quality_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("outlier_count") > 0)
         & (F.col("std_dev") > MIN_STD)
         & (F.col("outlier_count").isNotNull())
+        # anomaly.rs:46 — a column needs ≥ MIN_VALUES numeric values
+        & (F.col("n_values") >= MIN_VALUES)
     )
 
 
@@ -292,13 +302,16 @@ def _anomaly_sql() -> str:
         parts.append(f"""
 SELECT * FROM (
   SELECT '{col}' AS column_name,
-         CAST(SUM(CASE WHEN abs({col} - {col}__mean) / {col}__std > {Z_THRESHOLD}
+         CAST(SUM(CASE WHEN {col}__std > {MIN_STD}
+                       AND abs({col} - {col}__mean) / {col}__std > {Z_THRESHOLD}
                   THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count,
          {Z_THRESHOLD} AS z_score_threshold,
          first({col}__mean) AS mean,
-         first({col}__std) AS std_dev
+         first({col}__std) AS std_dev,
+         first({col}__n) AS n_values
   FROM {ANOMALY_TABLE}, stats
-) t WHERE outlier_count > 0 AND std_dev > {MIN_STD}""")
+) t WHERE outlier_count > 0 AND std_dev > {MIN_STD}
+  AND n_values >= {MIN_VALUES}""")
     return (
         f"WITH raw AS (SELECT {', '.join(stat_cols)} FROM {ANOMALY_TABLE}),\n"
         f"stats AS (SELECT *, {', '.join(derived)} FROM raw)\n"
