@@ -11,6 +11,59 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Runtime-settable SQLConf entries every query in this engine depends on.
+# These are ALSO set in session.py's builder, but the driver harness (and any
+# downstream user) hands us an externally-built SparkSession without them, so
+# each entry point re-asserts the configs at runtime — the engine must be
+# self-contained, not dependent on who constructed the session.
+#
+# - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which Spark's
+#   parquet reader rejects outright (PARQUET_TYPE_ILLEGAL); read as raw
+#   int64 nanos and convert in load_table.
+# - timeZone UTC: timestamp collection (toPandas) is interpreted in the
+#   session timezone; oracle parity requires a deterministic zone.
+# - arrow: mapInPandas / pandas interchange must be Arrow-batched.
+# - adaptive: runtime coalescing + skew-join splitting at any scale.
+_RUNTIME_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ("spark.sql.adaptive.enabled", "true"),
+    ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ("spark.sql.adaptive.skewJoin.enabled", "true"),
+)
+
+
+def harden_session(spark: SparkSession) -> SparkSession:
+    """Assert the runtime-settable configs this engine needs on ANY session.
+
+    Idempotent and cheap (conf.set on an unchanged value is a no-op map
+    write); called from every data entry point so queries behave identically
+    under the driver's bare ``SparkSession.builder.getOrCreate()`` and our
+    own ``session.get_session()``.
+    """
+    # Plan-inspection mode (tests): AQE wraps plans in AdaptiveSparkPlan and
+    # hides codegen annotations, so plan asserts disable it — don't fight them.
+    inspecting = spark.conf.get("spark.dbsurveyor.planInspection", "false") == "true"
+    for key, value in _RUNTIME_CONFS:
+        if inspecting and key.startswith("spark.sql.adaptive."):
+            continue
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - a static conf on some build
+            pass
+    # Shuffle parallelism: only lower the default-200 when the caller hasn't
+    # chosen one (bare driver session); never clobber an explicit setting.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+            )
+    except Exception:  # pragma: no cover
+        pass
+    return spark
+
 TABLES = (
     "region",
     "nation",
@@ -40,14 +93,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     returning the raw scan (callers select/filter on top)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    harden_session(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong=true it arrives
-        # as raw nanos. Integer-divide to micros (DuckDB's truncation too) —
-        # double division would lose precision at 1e18 magnitudes.
+        # as raw int64 nanos. Integer-divide to micros (DuckDB's truncation
+        # too) — double division would lose precision at 1e18 magnitudes.
+        # Dtype-conditional so the code also works on a session/reader that
+        # already yields a native timestamp (e.g. a future Spark that reads
+        # NANOS directly, or re-written micros parquet).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -91,6 +91,9 @@ def assert_whole_stage_codegen(df: DataFrame | None, rebuild=None) -> None:
     spark = df.sparkSession if df is not None else SparkSession.getActiveSession()
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # harden_session (called inside every registry query) re-enables AQE;
+    # this flag tells it we're inspecting a static plan.
+    spark.conf.set("spark.dbsurveyor.planInspection", "true")
     try:
         target = rebuild() if rebuild is not None else df
         plan = formatted_plan(target)
@@ -98,4 +101,5 @@ def assert_whole_stage_codegen(df: DataFrame | None, rebuild=None) -> None:
         # "[codegen id : N]" (the WholeStageCodegen span membership).
         assert "codegen id" in plan, f"no WholeStageCodegen span:\n{plan}"
     finally:
+        spark.conf.set("spark.dbsurveyor.planInspection", "false")
         spark.conf.set("spark.sql.adaptive.enabled", prev)

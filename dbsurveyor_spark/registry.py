@@ -10,6 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .catalog import harden_session
 from .multimodal import codec as multimodal_codec
 from .operators import asof, dedup, relational, similarity, textstats
 from .streaming import events as streaming_events
@@ -29,13 +30,29 @@ _MODULES = [
 ]
 
 
+def _hardened(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Assert runtime session configs before running — the driver hands us an
+    externally-built SparkSession with none of session.py's settings."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        harden_session(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         for key, fn in mod.QUERIES.items():
             if key in out:
                 raise ValueError(f"duplicate query key {key!r}")
-            out[key] = fn
+            out[key] = _hardened(fn)
     return out
 
 

@@ -148,17 +148,21 @@ def _event_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> Data
     """File-source stream over the events table (symlink-dir trick: the file
     streaming source requires a directory; the test tables are single
     read-only files)."""
+    from pyspark.sql.types import LongType
+
+    from ..catalog import harden_session
+
+    harden_session(spark)
     src_dir = Path(checkpoint_dir + "_src")
     src_dir.mkdir(parents=True, exist_ok=True)
     link = src_dir / "events.parquet"
     if not link.exists():
         link.symlink_to(table_path(sf_dir, "events"))
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .parquet(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(str(src_dir))
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def stream_session_window_job(
