@@ -4,17 +4,19 @@ Five dedup strategies a 100 TB training-data pipeline needs, each expressed
 with shuffle-bounded DataFrame plans (never O(n²) over the corpus):
 
 - exact          : hash-groupBy on content md5 — one shuffle on the hash.
-- ngram_jaccard  : shingle-explode → pair-join on shingle → Jaccard ≥ τ.
-                   Pair space is bounded by shared shingles, not n².
+- ngram_jaccard  : PPJoin-style prefix filtering (Bayardo WWW'07, Xiao
+                   WWW'08): candidates collide on the rarest-shingle prefix
+                   (exact for any τ), verified with true Jaccard — bucket
+                   sizes bounded by shingle RARITY, immune to hot-shingle
+                   document-frequency skew.
 - minhash_lsh    : MinHash signatures (k=16) + LSH banding (4 bands × 4) —
                    the scale path: candidate pairs only within band buckets
                    (Broder's MinHash / LSH construction, public literature).
-- simhash        : 48-bit SimHash + 12-bit-band blocking; Hamming ≤ 3
-                   verified via bit_count(xor). 4 bands/≤3 bits guarantees
-                   no candidate is missed (pigeonhole); 12-bit bands keep
-                   4096 buckets per band so bucket fan-out stays bounded
-                   far longer than byte bands (the true 100 TB path is
-                   permuted-sort blocking, Manku et al. WWW'07).
+- simhash        : 48-bit SimHash + Manku block-permutation blocking
+                   (WWW'07): 6×8-bit blocks, one 24-bit key per 3-block
+                   combination (C(6,3)=20); Hamming ≤ 3 verified via
+                   bit_count(xor). Lossless (≤3 flipped bits touch ≤3
+                   blocks) with 2^24 buckets per key.
 - embedding      : sign-LSH buckets (first 8 dims) + cosine ≥ τ within
                    buckets, vector math via JVM higher-order functions.
 
@@ -48,10 +50,27 @@ from ..functions.vectors import cosine_rounded, cosine_rounded_sql
 
 ID_OFFSET = 1_000_000
 JACCARD_T = 0.8
+# τ as an exact integer fraction (4/5): prefix lengths must use integer
+# arithmetic — double math on 0.8*n rounds up across engine boundaries.
+JACCARD_NUM, JACCARD_DEN = 4, 5
 MINHASH_K = 16
 BANDS = 4
 ROWS_PER_BAND = MINHASH_K // BANDS
 SIMHASH_BITS = 48
+# Manku block-permutation blocking (WWW'07): split the 48-bit fingerprint
+# into 6 blocks of 8 bits. Hamming ≤ 3 flips bits in at most 3 blocks, so at
+# least 3 blocks survive intact — every C(6,3)=20 combination of 3 blocks is
+# a 24-bit equality key, and a near-dup pair MUST collide on at least one of
+# them (lossless candidate generation, like the old 4×12-bit banding, but
+# with 2^24 buckets per key instead of 2^12: bucket occupancy stays bounded
+# ~4000× longer as the corpus grows).
+SIMHASH_BLOCKS = 6
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS
+SIMHASH_BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
+SIMHASH_COMBO_SIZE = 3
+# Oracle-only: DuckDB mirrors the (equally lossless, simpler) 4×12-bit
+# banding; both schemes generate a superset of all Hamming≤3 pairs and the
+# exact bit_count verify makes the outputs identical.
 SIMHASH_BAND_BITS = 12
 SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 SIMHASH_BANDS = 4
@@ -60,8 +79,39 @@ COSINE_T = 0.95
 
 _MH_PARAMS = minhash_params(MINHASH_K)
 
+# Caches persisted by the most recent dedup query. Each query releases its
+# predecessor's blocks on entry, so running the full registry in one session
+# holds at most ONE query's cached frames in executor storage.
+_TRACKED_CACHES: list[DataFrame] = []
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+
+def release_caches() -> None:
+    """Unpersist every cache the dedup suite still holds."""
+    while _TRACKED_CACHES:
+        _TRACKED_CACHES.pop().unpersist()
+
+
+def _tracked_cache(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def _input_bytes(sf_dir: str, table: str) -> int:
+    """On-disk size of one table (file or Spark-written directory)."""
+    import os
+
+    p = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(p)
+            for f in files
+        )
+    return os.path.getsize(p) if os.path.exists(p) else 0
+
+
+def _spread(spark: SparkSession, df: DataFrame, approx_input_bytes: int) -> DataFrame:
     """Repartition ONLY when the scan yields fewer splits than cores.
 
     At 100 TB the parquet layout provides parallelism for free and this is
@@ -69,9 +119,14 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     would serialize per-row hash/aggregate work onto 2 of 32 cores.
     Shuffling a few MB of text to unlock 16× parallelism is the right
     trade exactly and only in that degenerate case.
+
+    Split count is ESTIMATED from file size (128 MB nominal split) so the
+    check never touches ``df.rdd`` — converting the relation to an RDD
+    materializes a second lineage driver-side.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target // 2:
+    est_splits = max(1, approx_input_bytes // (128 << 20))
+    if est_splits < target // 2:
         return df.repartition(target)
     return df
 
@@ -112,6 +167,7 @@ WHERE vec_id % 10 = 0
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: groups of identical content (md5), survivor = min id."""
+    release_caches()
     corpus = _corpus(spark, sf_dir)
     return (
         corpus.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
@@ -175,27 +231,89 @@ WHERE len({shingles_sql(tokens_sql("text"))}) > 0
 """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard pairs ≥ τ via shingle-join (no n² cross join)."""
-    # distinct (set semantics) reuses the window's doc_id partitioning.
-    exploded = _shingle_rows(spark, sf_dir).dropDuplicates(["doc_id", "shingle"]).cache()
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+def _jaccard_candidates(exploded: DataFrame) -> DataFrame:
+    """Prefix-filtered candidate pairs from distinct (doc_id, shingle) rows.
+
+    Exact for J ≥ τ (prefix-filter lemma): order each doc's shingles by
+    global document frequency (rarest first, shingle as tie-break — one
+    shared total order) and join docs only on their length-(n - ⌈τ·n⌉ + 1)
+    prefixes. A hot shingle (high DF) sorts LAST, so it enters a prefix only
+    for docs made almost entirely of even-hotter shingles — candidate bucket
+    sizes are bounded by shingle rarity, not popularity.
+    """
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        exploded.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # prefix length n - ceil(τ·n) + 1 in exact integer math:
+    # ceil(4n/5) = (4n + 4) div 5 for τ = 4/5.
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"({JACCARD_NUM} * n_sh + {JACCARD_DEN} - 1) div {JACCARD_DEN}")
+        + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "shingle")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard pairs ≥ τ, PPJoin-style prefix filtering.
+
+    Round-1 joined on raw shingle equality, which is quadratic in each
+    shingle's document frequency — one boilerplate trigram shared by 1% of a
+    100 TB corpus is a catastrophic bucket. Standard fix (Bayardo et al.
+    WWW'07 "Scaling Up All Pairs"; Xiao et al. WWW'08 PPJoin), EXACT for any
+    τ — the DuckDB oracle keeps the naive all-shingle join and the
+    correctness gate proves set equality:
+
+    1. order every doc's shingles by GLOBAL document frequency (rarest
+       first, shingle text as tie-break — one shared total order);
+    2. candidate pairs must collide on the length-(n - ⌈τ·n⌉ + 1) PREFIX of
+       both docs (prefix-filter lemma: any pair with J ≥ τ shares a prefix
+       token). High-DF shingles almost never appear in a prefix, so bucket
+       sizes are bounded by rarity instead of popularity;
+    3. verify candidates with the exact Jaccard via per-doc shingle arrays
+       (one array_intersect per candidate pair, JVM-side).
+    """
+    release_caches()
+    # distinct (set semantics) reuses the window's doc_id partitioning.
+    exploded = _tracked_cache(
+        _shingle_rows(spark, sf_dir).dropDuplicates(["doc_id", "shingle"])
+    )
+    candidates = _jaccard_candidates(exploded)
+    docsets = exploded.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh")
+    )
+    da = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    db = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(da, "doc_a")
+        .join(db, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                common.cast("double") / (F.col("n_a") + F.col("n_b") - common),
                 9,
             ),
         )
@@ -253,6 +371,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode band hashes → groupBy (band, hash) collecting doc ids →
     in-bucket pair expansion → groupBy pair counting shared bands.
     """
+    release_caches()
     # hash projected ONCE per row, not once per aggregate expression;
     # duplicate shingles within a doc don't change any MIN.
     exploded = _shingle_rows(spark, sf_dir).select(
@@ -320,9 +439,28 @@ GROUP BY x.doc_id, y.doc_id
 # ------------------------------------------------------------------ SimHash
 
 
+def _simhash_combo_keys() -> list[tuple[int, ...]]:
+    """All C(6,3)=20 combinations of 3 block indices (Manku WWW'07)."""
+    from itertools import combinations
+
+    return list(combinations(range(SIMHASH_BLOCKS), SIMHASH_COMBO_SIZE))
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """48-bit SimHash near-dup pairs, Hamming ≤ 3, 12-bit-band blocking."""
-    corpus = _spread(spark, _corpus(spark, sf_dir))
+    """48-bit SimHash near-dup pairs, Hamming ≤ 3, Manku block blocking.
+
+    Candidate generation is the block-permutation scheme from the module
+    docstring: 6×8-bit blocks, one 24-bit equality key per 3-block
+    combination (20 keys/doc). Lossless for Hamming ≤ 3, so the output is
+    identical to the old 4×12-bit banding — the oracle keeps the simpler
+    banded SQL and the correctness gate proves pair-set equality — but
+    buckets live in a 2^24 keyspace instead of 2^12, which keeps the
+    in-bucket join linear ~4000× further up the corpus-size curve.
+    """
+    release_caches()
+    corpus = _spread(
+        spark, _corpus(spark, sf_dir), 2 * _input_bytes(sf_dir, "documents")
+    )
     toks = (
         corpus.select(
             "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
@@ -348,17 +486,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within Hamming ≤ 3), so in-bucket array expansion would materialize
     # multi-million-element arrays in single tasks; a streamed join + AQE
     # skew splitting handles dense buckets gracefully.
-    sims = agg.select("doc_id", sim.alias("simhash")).cache()
-    band_vals = F.array(
+    sims = _tracked_cache(agg.select("doc_id", sim.alias("simhash")))
+
+    def _block(bi: int) -> F.Column:
+        return F.shiftright(F.col("simhash"), bi * SIMHASH_BLOCK_BITS).bitwiseAND(
+            F.lit(SIMHASH_BLOCK_MASK)
+        )
+
+    combo_vals = F.array(
         *[
-            F.shiftright(F.col("simhash"), bi * SIMHASH_BAND_BITS).bitwiseAND(
-                F.lit(SIMHASH_BAND_MASK)
+            # pack the 3 surviving blocks into one 24-bit key
+            sum(
+                (_block(bi) * F.lit(1 << (pos * SIMHASH_BLOCK_BITS)))
+                for pos, bi in enumerate(combo)
             )
-            for bi in range(SIMHASH_BANDS)
+            for combo in _simhash_combo_keys()
         ]
     )
     banded = sims.select(
-        "doc_id", "simhash", F.posexplode(band_vals).alias("band_idx", "band_val")
+        "doc_id", "simhash", F.posexplode(combo_vals).alias("band_idx", "band_val")
     )
     x, y = banded.alias("x"), banded.alias("y")
     hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
@@ -422,6 +568,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order math. Recall covers exact/near-exact duplicates (identical
     sign patterns); the ANN operators cover broader similarity search.
     """
+    release_caches()
     corpus = _vec_corpus(spark, sf_dir)
     e = F.col("embedding").cast("array<double>")
     bucket = F.lit(0).cast("bigint")
@@ -472,6 +619,7 @@ def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping each content group's min-id survivor. One groupBy on the content
     hash (map-side combinable min) then a semi-join back on (doc_id == the
     group's survivor) — no second scan of text, no window over the corpus."""
+    release_caches()
     corpus = _corpus(spark, sf_dir)
     hashed = corpus.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
     survivors = hashed.groupBy("content_hash").agg(

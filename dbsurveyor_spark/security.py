@@ -27,7 +27,7 @@ import os
 import secrets
 from dataclasses import dataclass, field
 from typing import Any
-from urllib.parse import parse_qsl, urlsplit
+from urllib.parse import parse_qsl, unquote, urlsplit
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -142,7 +142,13 @@ def parse_connection_string(connection_string: str) -> tuple[ConnectionInfo, Cre
         database=(parts.path or "").lstrip("/") or None,
         query_params=params,
     )
-    creds = Credentials(parts.username or "", parts.password)
+    # urlsplit does NOT percent-decode userinfo; credentials containing
+    # @ : / % must be percent-encoded in the URL and decoded here, or the
+    # JDBC driver receives the encoded form and authentication fails.
+    creds = Credentials(
+        unquote(parts.username) if parts.username else "",
+        unquote(parts.password) if parts.password is not None else None,
+    )
     return info, creds
 
 

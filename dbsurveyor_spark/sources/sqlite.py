@@ -18,6 +18,7 @@ paths would open each shard locally on the executor; that variant needs the
 
 from __future__ import annotations
 
+import contextlib
 import sqlite3
 from typing import Any
 
@@ -60,11 +61,14 @@ class SqliteSource:
         self._uri = f"file:{path}?mode=ro"
 
     def _connect(self) -> sqlite3.Connection:
+        # NB: callers wrap in contextlib.closing — sqlite3's `with con:` only
+        # manages transactions, not closure, and a multi-table survey opening
+        # a fresh connection per call would otherwise leak file handles.
         return sqlite3.connect(self._uri, uri=True)
 
     def database_info(self) -> dict[str, Any]:
         """PRAGMA-level database metadata (connection.rs:119-133)."""
-        with self._connect() as con:
+        with contextlib.closing(self._connect()) as con:
             page_count = con.execute("PRAGMA page_count").fetchone()[0]
             page_size = con.execute("PRAGMA page_size").fetchone()[0]
             encoding = con.execute("PRAGMA encoding").fetchone()[0]
@@ -75,7 +79,7 @@ class SqliteSource:
         }
 
     def table_names(self) -> list[str]:
-        with self._connect() as con:
+        with contextlib.closing(self._connect()) as con:
             rows = con.execute(
                 "SELECT name FROM sqlite_master WHERE type = 'table' "
                 "AND name NOT LIKE 'sqlite_%' ORDER BY name"
@@ -84,7 +88,7 @@ class SqliteSource:
 
     def collect_table_schema(self, table: str) -> dict[str, Any]:
         """Columns, PK, FKs, indexes for one table (schema_collection.rs)."""
-        with self._connect() as con:
+        with contextlib.closing(self._connect()) as con:
             cols = con.execute(f"PRAGMA table_info({_q(table)})").fetchall()
             fks = con.execute(f"PRAGMA foreign_key_list({_q(table)})").fetchall()
             idxs = con.execute(f"PRAGMA index_list({_q(table)})").fetchall()
@@ -135,7 +139,7 @@ class SqliteSource:
         }
 
     def row_count(self, table: str) -> int:
-        with self._connect() as con:
+        with contextlib.closing(self._connect()) as con:
             return con.execute(f"SELECT COUNT(*) FROM {_q(table)}").fetchone()[0]
 
     def read_table(
@@ -150,7 +154,7 @@ class SqliteSource:
         """
         import pyarrow as pa
 
-        with self._connect() as con:
+        with contextlib.closing(self._connect()) as con:
             cur = con.execute(f"SELECT * FROM {_q(table)}")
             names = [d[0] for d in cur.description]
             columns: list[list] = [[] for _ in names]
@@ -197,14 +201,14 @@ class SqliteSource:
         }
 
     def _views(self) -> list[dict[str, Any]]:
-        with self._connect() as con:
+        with contextlib.closing(self._connect()) as con:
             rows = con.execute(
                 "SELECT name, sql FROM sqlite_master WHERE type = 'view'"
             ).fetchall()
         return [{"name": n, "definition": s} for n, s in rows]
 
     def _triggers(self) -> list[dict[str, Any]]:
-        with self._connect() as con:
+        with contextlib.closing(self._connect()) as con:
             rows = con.execute(
                 "SELECT name, tbl_name, sql FROM sqlite_master WHERE type = 'trigger'"
             ).fetchall()

@@ -162,7 +162,12 @@ def _dir_size(sf_dir: str) -> int:
     total = 0
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written tables are directories of part files; getsize on
+            # the directory entry itself would misreport the content size.
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
             total += os.path.getsize(p)
     return total
 

@@ -1,0 +1,112 @@
+"""Scale-behavior guards for the dedup suite (VERDICT round-1 items 4/5).
+
+These tests pin the properties that matter at 100 TB, on synthetic inputs
+built to trigger the round-1 failure modes:
+
+- ngram-jaccard: a corpus-wide hot shingle must NOT create a quadratic
+  candidate bucket (prefix filtering keeps candidates bounded by rarity).
+- simhash: the Manku 3-of-6 block-combination keys must be lossless for
+  Hamming ≤ 3 (candidate generation misses no near-dup pair).
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from dbsurveyor_spark.operators.dedup import (
+    HAMMING_MAX,
+    SIMHASH_BLOCK_BITS,
+    SIMHASH_BLOCK_MASK,
+    SIMHASH_BLOCKS,
+    _jaccard_candidates,
+    _simhash_combo_keys,
+)
+
+
+def test_jaccard_hot_shingle_bucket_is_bounded(spark):
+    """200 docs all sharing one boilerplate shingle: the naive shingle-join
+    yields C(200,2)=19900 candidate pairs; prefix filtering must yield none
+    (each doc's prefix holds only its RARE shingles, and the hot shingle
+    sorts last in the shared frequency order)."""
+    n_docs = 200
+    rows = []
+    for d in range(n_docs):
+        rows.append((d, "HOT"))  # document-frequency 200 shingle
+        for s in range(4):  # four unique (df=1) shingles per doc
+            rows.append((d, f"uniq_{d}_{s}"))
+    exploded = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    naive = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert naive == n_docs * (n_docs - 1) // 2  # the round-1 quadratic bucket
+
+    filtered = _jaccard_candidates(exploded).count()
+    assert filtered == 0, f"hot shingle leaked into prefixes: {filtered} candidates"
+
+
+def test_jaccard_prefix_filter_keeps_true_duplicates(spark):
+    """Exactness: docs sharing ≥ τ of their shingles MUST stay candidates
+    even when their shared shingles include the hot one."""
+    rows = []
+    # docs 1 and 2: identical 5-shingle sets (J=1.0) including HOT
+    for d in (1, 2):
+        rows += [(d, "HOT")] + [(d, f"pair_{s}") for s in range(4)]
+    # background docs make HOT hot
+    for d in range(10, 110):
+        rows += [(d, "HOT")] + [(d, f"bg_{d}_{s}") for s in range(4)]
+    exploded = spark.createDataFrame(rows, "doc_id long, shingle string")
+    cands = {
+        (r.doc_a, r.doc_b) for r in _jaccard_candidates(exploded).collect()
+    }
+    assert (1, 2) in cands, "prefix filter dropped an identical pair"
+
+
+def _combo_key(sim: int, combo: tuple[int, ...]) -> int:
+    key = 0
+    for pos, bi in enumerate(combo):
+        block = (sim >> (bi * SIMHASH_BLOCK_BITS)) & SIMHASH_BLOCK_MASK
+        key |= block << (pos * SIMHASH_BLOCK_BITS)
+    return key
+
+
+def test_simhash_combo_blocking_is_lossless_for_hamming_3():
+    """Any pair within Hamming ≤ 3 shares at least one 3-block combo key.
+
+    Exhaustive over flip patterns for a few random base fingerprints: all
+    1-, 2-, and 3-bit flips (48 + C(48,2) + C(48,3) = 18424 variants each).
+    """
+    combos = _simhash_combo_keys()
+    assert len(combos) == 20  # C(6,3)
+    assert len(set(combos)) == 20
+    rng = random.Random(7)
+    for _ in range(3):
+        base = rng.getrandbits(48)
+        base_keys = [(i, _combo_key(base, c)) for i, c in enumerate(combos)]
+        flip_sets = itertools.chain.from_iterable(
+            itertools.combinations(range(48), k) for k in (1, 2, 3)
+        )
+        for bits in flip_sets:
+            other = base
+            for b in bits:
+                other ^= 1 << b
+            other_keys = [(i, _combo_key(other, c)) for i, c in enumerate(combos)]
+            assert any(a == b for a, b in zip(base_keys, other_keys)), (
+                f"missed pair at flips {bits}"
+            )
+
+
+def test_simhash_blocks_cover_all_bits():
+    assert SIMHASH_BLOCKS * SIMHASH_BLOCK_BITS == 48
+    assert HAMMING_MAX < SIMHASH_BLOCKS - 2  # ≤3 flips leave ≥3 intact blocks
