@@ -14,11 +14,12 @@ from .catalog import harden_session
 from .multimodal import codec as multimodal_codec
 from .operators import asof, dedup, relational, similarity, textstats
 from .streaming import events as streaming_events
-from .survey import profile, quality, sampling
+from .survey import jsonschema, profile, quality, sampling
 
 _MODULES = [
     relational,
     profile,
+    jsonschema,
     sampling,
     quality,
     textstats,

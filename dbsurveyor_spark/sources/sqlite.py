@@ -123,17 +123,55 @@ class SqliteSource:
             }
             for fk in fks
         ]
+        # PRAGMA index_list rows: (seq, name, unique, origin, partial);
+        # origin 'pk' marks the implicit primary-key index
+        # (models.rs:133 Index / :148 IndexColumn shapes).
+        indexes = [
+            {
+                "name": idx[1],
+                "table_name": table,
+                "schema": None,
+                "columns": [
+                    {"name": c, "sort_order": "Ascending"}
+                    for c in index_cols.get(idx[1], [])
+                ],
+                "is_unique": bool(idx[2]),
+                "is_primary": idx[3] == "pk",
+                "index_type": None,
+            }
+            for idx in idxs
+        ]
+        constraints = []
+        if pk_cols:
+            constraints.append(
+                {
+                    "name": f"pk_{table}",
+                    "table_name": table,
+                    "schema": None,
+                    "constraint_type": "PrimaryKey",
+                    "columns": pk_cols,
+                    "check_clause": None,
+                }
+            )
+        constraints += [
+            {
+                "name": fk["name"],
+                "table_name": table,
+                "schema": None,
+                "constraint_type": "ForeignKey",
+                "columns": fk["columns"],
+                "check_clause": None,
+            }
+            for fk in foreign_keys
+        ]
         return {
             "name": table,
             "schema": None,
             "columns": columns,
             "primary_key": {"name": None, "columns": pk_cols} if pk_cols else None,
             "foreign_keys": foreign_keys,
-            "indexes": [
-                {"name": n, "columns": cs, "is_unique": bool(next(i[2] for i in idxs if i[1] == n))}
-                for n, cs in index_cols.items()
-            ],
-            "constraints": [],
+            "indexes": indexes,
+            "constraints": constraints,
             "comment": None,
             "row_count": self.row_count(table),
         }
@@ -174,19 +212,29 @@ class SqliteSource:
         return spark.createDataFrame(tbl.to_pandas())
 
     def survey(self, name: str | None = None) -> dict[str, Any]:
-        """Full-file schema document in the export shape (DatabaseSchema)."""
+        """Full-file schema document in the export shape (DatabaseSchema);
+        per-table PRAGMA index/constraint data flows into the top-level
+        registries like the reference document."""
+        import time
         from datetime import datetime, timezone
 
         from ..survey.export import COLLECTOR, FORMAT_VERSION
 
+        t_start = time.monotonic()
         info = self.database_info()
+        tables = [self.collect_table_schema(t) for t in self.table_names()]
         return {
             "format_version": FORMAT_VERSION,
-            "database_info": {**info, "name": name or info["name"]},
-            "tables": [self.collect_table_schema(t) for t in self.table_names()],
+            "database_info": {
+                **info,
+                "name": name or info["name"],
+                "access_level": "Full",
+                "collection_status": "Success",
+            },
+            "tables": tables,
             "views": self._views(),
-            "indexes": [],
-            "constraints": [],
+            "indexes": [ix for t in tables for ix in t["indexes"]],
+            "constraints": [c for t in tables for c in t["constraints"]],
             "procedures": [],
             "functions": [],
             "triggers": self._triggers(),
@@ -196,6 +244,7 @@ class SqliteSource:
             "collection_metadata": {
                 "collector_version": COLLECTOR,
                 "collected_at": datetime.now(timezone.utc).isoformat(),
+                "collection_duration_ms": int((time.monotonic() - t_start) * 1000),
                 "warnings": [],
             },
         }

@@ -75,8 +75,15 @@ def collect_database_schema(
 
     Row counts come from `survey_schema_overview` (parquet metadata counts);
     PK/FK facts from the inference queries when `infer_keys` (three small
-    aggregate jobs total — metadata-scale, not data-scale).
+    aggregate jobs total — metadata-scale, not data-scale). Inferred keys
+    also materialize as index/constraint entries (models.rs:133 Index,
+    models.rs:156 Constraint shapes): a lake table has no physical b-tree,
+    but the inferred unique key IS the logical index a reader of the
+    document needs.
     """
+    import time
+
+    t_start = time.monotonic()
     overview = {
         r["table_name"]: r
         for r in profile.survey_schema_overview(spark, sf_dir).collect()
@@ -115,6 +122,47 @@ def collect_database_schema(
             }
             for i, f in enumerate(schema.fields)
         ]
+        fks = fks_by_table.get(tname, [])
+        indexes = (
+            [
+                {
+                    "name": f"pk_{tname}_idx",
+                    "table_name": tname,
+                    "schema": None,
+                    "columns": [
+                        {"name": c, "sort_order": "Ascending"} for c in pk_cols
+                    ],
+                    "is_unique": True,
+                    "is_primary": True,
+                    "index_type": None,
+                }
+            ]
+            if pk_cols
+            else []
+        )
+        constraints = []
+        if pk_cols:
+            constraints.append(
+                {
+                    "name": f"pk_{tname}",
+                    "table_name": tname,
+                    "schema": None,
+                    "constraint_type": "PrimaryKey",
+                    "columns": pk_cols,
+                    "check_clause": None,
+                }
+            )
+        constraints += [
+            {
+                "name": fk["name"],
+                "table_name": tname,
+                "schema": None,
+                "constraint_type": "ForeignKey",
+                "columns": fk["columns"],
+                "check_clause": None,
+            }
+            for fk in fks
+        ]
         tables.append(
             {
                 "name": tname,
@@ -123,9 +171,9 @@ def collect_database_schema(
                 "primary_key": (
                     {"name": f"pk_{tname}", "columns": pk_cols} if pk_cols else None
                 ),
-                "foreign_keys": fks_by_table.get(tname, []),
-                "indexes": [],
-                "constraints": [],
+                "foreign_keys": fks,
+                "indexes": indexes,
+                "constraints": constraints,
                 "comment": None,
                 "row_count": int(overview[tname]["row_count"]) if tname in overview else None,
             }
@@ -139,11 +187,15 @@ def collect_database_schema(
             "size_bytes": _dir_size(sf_dir),
             "encoding": "UTF-8",
             "is_system_database": False,
+            "access_level": "Full",
+            "collection_status": "Success",
         },
         "tables": tables,
         "views": [],
-        "indexes": [],
-        "constraints": [],
+        # top-level registries are the flattened per-table entries
+        # (DatabaseSchema keeps both views, like the reference document)
+        "indexes": [ix for t in tables for ix in t["indexes"]],
+        "constraints": [c for t in tables for c in t["constraints"]],
         "procedures": [],
         "functions": [],
         "triggers": [],
@@ -153,6 +205,70 @@ def collect_database_schema(
         "collection_metadata": {
             "collector_version": COLLECTOR,
             "collected_at": datetime.now(timezone.utc).isoformat(),
+            "collection_duration_ms": int((time.monotonic() - t_start) * 1000),
+            "warnings": [],
+        },
+    }
+
+
+def collect_multi_database_schema(
+    spark: SparkSession,
+    datasets: dict[str, str],
+    continue_on_error: bool = True,
+    infer_keys: bool = True,
+) -> dict[str, Any]:
+    """Survey MANY datasets (sf_dirs) in one run — the lake analog of the
+    reference's server-wide multi-database collection
+    (`adapters/postgres/multi_database.rs:167 MultiDatabaseResult`,
+    `:107 DatabaseCollectionResult`, `:133 MultiDatabaseMetadata`).
+
+    ``datasets`` maps database-name → dataset directory. Failures are
+    recorded (not raised) when ``continue_on_error``, matching the
+    reference's config default.
+    """
+    import time
+
+    started = datetime.now(timezone.utc)
+    t0 = time.monotonic()
+    results: list[dict[str, Any]] = []
+    failures: list[dict[str, Any]] = []
+    for db_name, sf_dir in datasets.items():
+        d0 = time.monotonic()
+        try:
+            doc = collect_database_schema(
+                spark, sf_dir, name=db_name, infer_keys=infer_keys
+            )
+            results.append(
+                {
+                    "database_name": db_name,
+                    "schema": doc,
+                    "collection_duration_ms": int((time.monotonic() - d0) * 1000),
+                }
+            )
+        except Exception as exc:
+            if not continue_on_error:
+                raise
+            failures.append(
+                {
+                    "database_name": db_name,
+                    "error_message": str(exc),
+                    "is_connection_error": False,
+                }
+            )
+    return {
+        "server_info": {"server_type": "parquet-lake", "version": None},
+        "databases": results,
+        "failures": failures,
+        "collection_metadata": {
+            "started_at": started.isoformat(),
+            "total_duration_ms": int((time.monotonic() - t0) * 1000),
+            "databases_discovered": len(datasets),
+            "databases_filtered": 0,
+            "databases_collected": len(results),
+            "databases_failed": len(failures),
+            "databases_skipped": 0,
+            "max_concurrency": 1,
+            "collector_version": COLLECTOR,
             "warnings": [],
         },
     }
@@ -170,6 +286,61 @@ def _dir_size(sf_dir: str) -> int:
         elif os.path.exists(p):
             total += os.path.getsize(p)
     return total
+
+
+# ----------------------------------------------- reference-format interchange
+
+# SQL type string → UnifiedDataType tagged value (models.rs:1 UnifiedDataType;
+# the serde representation enforced by dbsurveyor-core/schemas/
+# dbsurveyor-schema-v1.0.json $defs.UnifiedDataType).
+_INT_BITS = {"BIGINT": 64, "INTEGER": 32, "SMALLINT": 16, "TINYINT": 8}
+
+
+def _unified_type(sql_type: str) -> Any:
+    t = sql_type.upper()
+    if t.endswith("[]"):
+        return {"Array": {"element_type": _unified_type(t[:-2])}}
+    if t in _INT_BITS:
+        return {"Integer": {"bits": _INT_BITS[t], "signed": True}}
+    if t == "DOUBLE":
+        return {"Float": {"precision": 53}}
+    if t == "REAL":
+        return {"Float": {"precision": 24}}
+    if t == "VARCHAR":
+        return {"String": {"max_length": None}}
+    if t == "BOOLEAN":
+        return "Boolean"
+    if t == "DATE":
+        return "Date"
+    if t == "TIMESTAMP":
+        return {"DateTime": {"with_timezone": False}}
+    if t == "BLOB":
+        return {"Binary": {"max_length": None}}
+    return {"Custom": {"type_name": t}}
+
+
+def to_reference_document(doc: dict[str, Any]) -> dict[str, Any]:
+    """Serialize the internal document to the reference's v1.0 interchange
+    format — identical structure, with column types re-encoded as
+    UnifiedDataType tagged values. The result validates against the
+    reference's published JSON Schema (tested in test_sources_export.py),
+    so a consumer of dbsurveyor documents can ingest ours unchanged.
+    """
+    import copy
+
+    out = copy.deepcopy(doc)
+    for t in out.get("tables", []):
+        for c in t.get("columns", []):
+            c["data_type"] = _unified_type(c["data_type"])
+    for v in out.get("views", []):
+        for c in v.get("columns", []) or []:
+            c["data_type"] = _unified_type(c["data_type"])
+    info = out.setdefault("database_info", {})
+    info.setdefault("access_level", "Full")
+    info.setdefault("collection_status", "Success")
+    meta = out.setdefault("collection_metadata", {})
+    meta.setdefault("collection_duration_ms", 0)
+    return out
 
 
 # ------------------------------------------------------------------ renderers

@@ -72,7 +72,12 @@ class TestSqliteSource:
                 "referenced_columns": ["id"],
             }
         ]
-        assert any(i["columns"] == ["user_id"] for i in t["indexes"])
+        idx = next(i for i in t["indexes"] if i["name"] == "idx_orders_user")
+        # models.rs:133 Index / :148 IndexColumn shape
+        assert idx["columns"] == [{"name": "user_id", "sort_order": "Ascending"}]
+        assert idx["table_name"] == "orders" and not idx["is_unique"]
+        ctypes = {c["constraint_type"] for c in t["constraints"]}
+        assert ctypes == {"PrimaryKey", "ForeignKey"}
 
     def test_database_info(self, sqlite_db):
         info = SqliteSource(sqlite_db).database_info()
@@ -88,7 +93,21 @@ class TestSqliteSource:
         doc = SqliteSource(sqlite_db).survey()
         assert export.validate_schema_doc(doc) == []
         assert [v["name"] for v in doc["views"]] == ["v_users"]
-        assert export.object_count(doc) == 3  # 2 tables + 1 view
+        # PRAGMA data flows into the top-level registries
+        assert [i["name"] for i in doc["indexes"]] == ["idx_orders_user"]
+        assert len(doc["constraints"]) == 3  # 2 PKs + 1 FK
+        # 2 tables + 1 view + 1 index + 3 constraints
+        assert export.object_count(doc) == 7
+
+    def test_survey_matches_reference_json_schema(self, sqlite_db):
+        jsonschema = pytest.importorskip("jsonschema")
+        ref_schema = json.load(
+            open(
+                "/root/reference/dbsurveyor-core/schemas/dbsurveyor-schema-v1.0.json"
+            )
+        )
+        doc = export.to_reference_document(SqliteSource(sqlite_db).survey())
+        jsonschema.validate(doc, ref_schema)
 
     def test_type_affinity(self):
         assert map_sqlite_type("INTEGER") == "BIGINT"
@@ -162,6 +181,51 @@ class TestExport:
         assert orders["primary_key"]["columns"] == ["o_orderkey"]
         fk = next(f for f in orders["foreign_keys"] if f["columns"] == ["o_custkey"])
         assert fk["referenced_table"] == "customer"
+
+    def test_inferred_keys_populate_indexes_and_constraints(self, doc):
+        orders = next(t for t in doc["tables"] if t["name"] == "orders")
+        idx = next(i for i in orders["indexes"] if i["is_primary"])
+        assert idx["columns"] == [{"name": "o_orderkey", "sort_order": "Ascending"}]
+        assert idx["is_unique"]
+        ctypes = [c["constraint_type"] for c in orders["constraints"]]
+        assert "PrimaryKey" in ctypes and "ForeignKey" in ctypes
+        # top-level registries are the flattened per-table views
+        assert any(i["table_name"] == "orders" for i in doc["indexes"])
+        assert any(
+            c["table_name"] == "orders" and c["constraint_type"] == "ForeignKey"
+            for c in doc["constraints"]
+        )
+        assert doc["database_info"]["access_level"] == "Full"
+        assert doc["collection_metadata"]["collection_duration_ms"] >= 0
+
+    def test_lake_doc_matches_reference_json_schema(self, doc):
+        jsonschema = pytest.importorskip("jsonschema")
+        ref_schema = json.load(
+            open(
+                "/root/reference/dbsurveyor-core/schemas/dbsurveyor-schema-v1.0.json"
+            )
+        )
+        ref_doc = export.to_reference_document(doc)
+        jsonschema.validate(ref_doc, ref_schema)
+        # spot-check the UnifiedDataType encoding
+        lineitem = next(t for t in ref_doc["tables"] if t["name"] == "lineitem")
+        cols = {c["name"]: c["data_type"] for c in lineitem["columns"]}
+        assert cols["l_orderkey"] == {"Integer": {"bits": 64, "signed": True}}
+
+    def test_multi_dataset_survey(self, spark):
+        result = export.collect_multi_database_schema(
+            spark,
+            {"sf0001": SF, "sf001": "/root/testdata/sf0.01", "missing": "/nope"},
+            infer_keys=False,
+        )
+        assert result["collection_metadata"]["databases_discovered"] == 3
+        assert result["collection_metadata"]["databases_collected"] == 2
+        assert result["collection_metadata"]["databases_failed"] == 1
+        names = [d["database_name"] for d in result["databases"]]
+        assert names == ["sf0001", "sf001"]
+        for d in result["databases"]:
+            assert export.validate_schema_doc(d["schema"]) == []
+        assert result["failures"][0]["database_name"] == "missing"
 
     def test_json_roundtrip(self, doc, tmp_path):
         path = str(tmp_path / "schema.dbsurveyor.json")
