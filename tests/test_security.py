@@ -6,6 +6,8 @@ Mirrors reference test coverage in `security/connection.rs`,
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from dbsurveyor_spark import security as sec
@@ -151,3 +153,53 @@ class TestEncryption:
         k2 = sec._derive_key("pw", b"\x00" * 16)
         k3 = sec._derive_key("pw", b"\x01" * 16)
         assert k1 == k2 and k1 != k3 and len(k1) == sec.KEY_SIZE
+
+
+class TestAesGcmKnownAnswers:
+    """Pin the cipher backend to the standard via public NIST CAVP
+    AES-256-GCM known-answer vectors (gcmEncryptExtIV256.rsp, zero key /
+    zero IV cases) — the analog of encryption.rs's vector tests. These run
+    for real when `cryptography` is installed; the envelope logic around
+    the cipher is covered either way."""
+
+    pytestmark = pytest.mark.skipif(
+        not sec.HAVE_AESGCM, reason="cryptography backend unavailable"
+    )
+
+    def test_cavp_empty_plaintext(self):
+        ct = sec.AESGCM(bytes(32)).encrypt(bytes(12), b"", None)
+        assert ct.hex() == "530f8afbc74536b9a963b4f1c4cb738b"
+
+    def test_cavp_zero_plaintext_block(self):
+        ct = sec.AESGCM(bytes(32)).encrypt(bytes(12), bytes(16), None)
+        assert ct.hex() == (
+            "cea7403d4d606b6e074ec5d3baf39d18"
+            "d0d1c8a799996bf0265b98b5d48ab919"
+        )
+
+    def test_kdf_known_answer(self):
+        # PBKDF2-HMAC-SHA256, 600k iterations, fixed salt — pinned output
+        # so an accidental parameter change (iterations, dklen, hash) fails.
+        k = sec._derive_key("correct horse", bytes(range(16)))
+        assert k.hex() == (
+            "96a5904c2e08c8da42305dbcc5d7cf18"
+            "ead2636d49f59526b606f26696281473"
+        )
+
+    def test_encrypted_json_roundtrip(self, tmp_path):
+        path = str(tmp_path / "schema.enc")
+        sec.write_encrypted_json({"tables": [{"name": "orders"}]}, path, "pw")
+        env = open(path, "rb").read()
+        assert env.startswith(sec.ENVELOPE_MAGIC)
+        back = json.loads(sec.decrypt_bytes(env, "pw"))
+        assert back == {"tables": [{"name": "orders"}]}
+
+    def test_tampered_ciphertext_rejected(self):
+        env = bytearray(sec.encrypt_bytes(b"secret", "pw"))
+        env[-1] ^= 0x01  # flip one tag bit
+        with pytest.raises(Exception):
+            sec.decrypt_bytes(bytes(env), "pw")
+
+    def test_envelope_magic_checked(self):
+        with pytest.raises(ValueError):
+            sec.decrypt_bytes(b"NOTMAGIC" + bytes(40), "pw")
