@@ -52,13 +52,25 @@ def _warmup(spark, sf_dir: str) -> None:
     - a q1-SHAPED throwaway aggregate (filter → project → groupBy with
       decimal sum/avg chains) with DIFFERENT predicates/keys, so Janino +
       JIT compile the same operator shapes q1 uses (~2 s of round-1's q1
-      number was this compile, not the query).
+      number was this compile, not the query);
+    - one tiny Arrow-batched pandas-UDF call over synthetic `range` data,
+      so the Python worker pool + Arrow serialization machinery are up
+      before any vector query is timed (worker spawn is infrastructure,
+      not query work).
     """
     from pyspark.sql import functions as F
 
     from dbsurveyor_spark.catalog import load_table
+    from dbsurveyor_spark.functions.vectors import cosine_rounded_arrow
 
     spark.range(1000).selectExpr("sum(id)").collect()
+    (
+        spark.range(1000)
+        .select(F.array(F.rand(7), F.rand(8)).alias("v"))
+        .select(cosine_rounded_arrow(F.col("v"), F.col("v")).alias("c"))
+        .agg({"c": "sum"})
+        .collect()
+    )
     li = load_table(spark, sf_dir, "lineitem")
     li.limit(1000).agg({"l_orderkey": "count"}).collect()
     dec = "decimal(30,6)"

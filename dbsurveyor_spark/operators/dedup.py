@@ -17,8 +17,10 @@ with shuffle-bounded DataFrame plans (never O(n²) over the corpus):
                    combination (C(6,3)=20); Hamming ≤ 3 verified via
                    bit_count(xor). Lossless (≤3 flipped bits touch ≤3
                    blocks) with 2^24 buckets per key.
-- embedding      : sign-LSH buckets (first 8 dims) + cosine ≥ τ within
-                   buckets, vector math via JVM higher-order functions.
+- embedding      : IVF-bucketed near-dup — the session's trained coarse
+                   quantizer indexes every vector under its NPROBE nearest
+                   cells; in-cell pairs verified with exact cosine (Arrow
+                   numpy kernel, fold-identical to the SQL mirror).
 
 The raw synthetic corpus contains no duplicates, so every strategy runs over
 a DETERMINISTICALLY AUGMENTED corpus: each doc_id/vec_id divisible by 10 is
@@ -46,7 +48,7 @@ from ..functions.hashing import (
     portable_hash48_sql,
 )
 from ..functions.text import shingles_sql, tokens, tokens_sql
-from ..functions.vectors import cosine_rounded, cosine_rounded_sql
+from ..functions.vectors import cosine_rounded, cosine_rounded_sql, cosine_sql
 
 ID_OFFSET = 1_000_000
 JACCARD_T = 0.8
@@ -561,31 +563,45 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
 # ------------------------------------------------------- embedding cosine
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: sign-LSH bucket (first 8 dims) + cosine ≥ τ.
+DEDUP_NPROBE = 2  # cells each vector is indexed under (recall lever)
 
-    The bucket join bounds the pair space; within-bucket cosine is JVM-side
-    higher-order math. Recall covers exact/near-exact duplicates (identical
-    sign patterns); the ANN operators cover broader similarity search.
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the trained IVF coarse quantizer.
+
+    Round-1 bucketed on the sign pattern of the first 8 dims — 256 buckets
+    total, and recall limited to sign-identical vectors. Now it reuses the
+    session's trained √n-cell quantizer (`similarity.trained_centroid_rows`,
+    built once per lake on the base embeddings table — duplicated rows carry
+    identical vectors, so they land in their original's cells); every
+    vector is indexed under its DEDUP_NPROBE nearest cells, candidate pairs
+    co-occur in a cell, and the exact cosine verifies. Buckets hold
+    ~NPROBE·n/k vectors regardless of the data's sign distribution, and a
+    near-dup pair (cos ≥ 0.95) practically always shares its
+    nearest-or-second cell — the standard IVF recall argument, with the
+    cell count growing with the corpus.
     """
+    from ..functions.vectors import cosine_rounded_arrow
+    from .similarity import rank_cells, trained_centroid_rows
+
     release_caches()
     corpus = _vec_corpus(spark, sf_dir)
-    e = F.col("embedding").cast("array<double>")
-    bucket = F.lit(0).cast("bigint")
-    for i in range(8):
-        bucket = bucket + F.when(
-            F.element_at(e, i + 1) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    withb = corpus.select("vec_id", "embedding", bucket.alias("bucket"))
-    x, y = withb.alias("x"), withb.alias("y")
-    cos = cosine_rounded(
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    # cache: the self-join below would otherwise re-run assignment per side
+    ranked = _tracked_cache(
+        rank_cells(corpus, cent_rows, DEDUP_NPROBE)
+        .join(corpus, "vec_id")
+        .select("vec_id", "embedding", "cell_id")
+    )
+    x, y = ranked.alias("x"), ranked.alias("y")
+    cos = cosine_rounded_arrow(
         F.col("x.embedding").cast("array<double>"),
         F.col("y.embedding").cast("array<double>"),
     )
     return (
         x.join(
             y,
-            (F.col("x.bucket") == F.col("y.bucket"))
+            (F.col("x.cell_id") == F.col("y.cell_id"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(
@@ -594,22 +610,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= COSINE_T)
+        .distinct()  # a pair can share both probed cells
     )
 
 
 def _embedding_sql() -> str:
-    bucket = " + ".join(
-        f"(CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) > 0 "
-        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
-        for i in range(8)
-    )
+    from .similarity import train_sql_ctes
+
+    train_ctes, cent = train_sql_ctes("embeddings")
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
     cos = cosine_rounded_sql("x.embedding", "y.embedding")
     return f"""
 WITH corpus AS ({_VEC_CORPUS_SQL}),
-withb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM corpus)
-SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, {cos} AS cos_sim
-FROM withb x JOIN withb y
-  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+{train_ctes},
+ranked AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+    FROM corpus e CROSS JOIN {cent} c
+  ) t WHERE rn <= {DEDUP_NPROBE}
+)
+SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, {cos} AS cos_sim
+FROM ranked x JOIN ranked y
+  ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
 WHERE {cos} >= {COSINE_T}
 """
 

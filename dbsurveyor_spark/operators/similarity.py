@@ -7,15 +7,17 @@
 - ann_ivf_topk: IVF ANN with a TRAINED coarse quantizer. Centroids are
   k-means-refined from a deterministic hash-ordered sample (seeds = the
   √n vectors with the smallest md5(vec_id), KMEANS_ITERS Lloyd steps with
-  exact-decimal means so both engines derive bit-identical centroids),
-  then one broadcast-join pass assigns every vector to its nearest cell
-  and probes search their NPROBE nearest cells — the classic
+  exact-decimal means so both engines derive bit-identical centroids).
+  Assignment is one streaming corpus pass against the closure-captured
+  model (functions/vectors.cell_topk_mapper — no corpus×k cross join, no
+  wide shuffle); probes search their NPROBE nearest cells — the classic
   inverted-file trade: recall for a |corpus|/√n scan reduction.
   (IVF as in Jégou et al., "Product Quantization for Nearest Neighbor
   Search"; k-means coarse quantizer per Lloyd — public literature.)
 
-Vector math is JVM-side higher-order functions (functions/vectors.py); the
-DuckDB oracle replays the identical left-fold arithmetic.
+Vector math is Arrow-batched numpy kernels with HOF-fold-identical
+arithmetic (functions/vectors.py); the DuckDB oracle replays the identical
+left-fold order, so values match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -25,7 +27,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.vectors import cosine_rounded, cosine_rounded_sql
+from ..functions.vectors import (
+    CELL_TOPK_SCHEMA,
+    cell_topk_mapper,
+    cosine_rounded_arrow,
+    cosine_rounded_sql,
+    cosine_sql,
+)
 
 N_PROBES = 10  # probe set: vec_id < 10
 TOP_K = 5
@@ -44,7 +52,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    cos = cosine_rounded(
+    cos = cosine_rounded_arrow(
         F.col("q_emb").cast("array<double>"),
         F.col("embedding").cast("array<double>"),
     )
@@ -88,79 +96,114 @@ def _n_cells(n: int) -> int:
     return max(MIN_CELLS, int(math.floor(math.sqrt(n))))
 
 
-def _train_centroids(emb: DataFrame, k: int, dim: int) -> DataFrame:
-    """Deterministic sampled k-means: seeds = k smallest md5(vec_id) (a
-    uniform, reproducible sample), then KMEANS_ITERS Lloyd steps. Means use
-    exact decimal sums so the result is engine- and partitioning-invariant.
+# Trained coarse quantizers, keyed by sf_dir. An IVF index is MODEL STATE:
+# built once, queried by every ANN/dedup call against the same lake — the
+# exact analog of Faiss's train()/add() split. The cached value is the
+# collected centroid rows (k×dim doubles, metadata-scale), deterministic,
+# and rides in task closures like a broadcast variable.
+_CENTROID_CACHE: dict[str, list] = {}
 
-    Training cost per step is one broadcast cross join (corpus × k) plus a
-    k-group aggregate — the same shape Faiss uses for coarse-quantizer
-    training, and embarrassingly parallel over the corpus.
+
+def trained_centroid_rows(spark: SparkSession, sf_dir: str) -> list:
+    """The sf_dir's coarse quantizer — [(cell_id, [double]·dim)] sorted by
+    cell_id — trained on the base embeddings table, memoized per session.
+    Shared by ANN search and embedding dedup: an augmented/duplicated corpus
+    row carries an identical vector, so its cell assignment equals its
+    original's under the same model."""
+    if sf_dir not in _CENTROID_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        _CENTROID_CACHE[sf_dir] = _train_centroids(emb, _n_cells(emb.count()))
+    return _CENTROID_CACHE[sf_dir]
+
+
+def _train_centroids(emb: DataFrame, k: int) -> list:
+    """Deterministic sampled k-means → centroid rows [(cell_id, vector)].
+    Seeds = k smallest md5(vec_id) (a uniform, reproducible sample — one
+    distributed top-k, never a global sort), then KMEANS_ITERS Lloyd steps.
+
+    Each step is one corpus pass: the `cell_topk_mapper` kernel streams the
+    cached corpus once and emits (vec_id → nearest cell); per-dimension
+    means then go through a posexplode → (cell, pos) aggregate — ONE small
+    codegen shape regardless of dim (a dim-wide list of per-element
+    aggregates compiles a huge class; multi-second janino cost), with
+    exact-decimal sums so centroids are bit-identical across engines and
+    partitionings. Model parameters are collected between iterations, so
+    iteration i's lineage never nests iteration i-1's pass (collected
+    doubles round-trip exactly — determinism is unaffected).
     """
-    md5_order = F.md5(F.col("vec_id").cast("string"))
-    seeds = emb.orderBy(md5_order).limit(k)
-    # row_number over the k-row seed frame only (never the corpus)
-    w_seed = Window.orderBy(F.md5(F.col("vec_id").cast("string")))
-    centroids = seeds.select(
-        F.row_number().over(w_seed).cast("bigint").alias("cell_id"),
-        F.col("embedding").cast("array<double>").alias("c_emb"),
-    )
+    md5_order = F.md5(F.col("vec_id").cast("string")).alias("o")
     e = F.col("embedding").cast("array<double>")
-    mean_vec = F.array(
-        *[
-            F.sum(F.element_at(e, i + 1).cast(_DEC)).cast("double")
-            / F.count(F.lit(1))
-            for i in range(dim)
-        ]
+    seed_rows = (
+        emb.select(md5_order, e.alias("c_emb")).orderBy("o").limit(k).collect()
     )
-    for _ in range(KMEANS_ITERS):
-        assigned = _rank_cells(emb, centroids).filter(F.col("rn") == 1)
-        centroids = assigned.groupBy("cell_id").agg(mean_vec.alias("c_emb"))
-    return centroids
+    rows = [(i + 1, list(r["c_emb"])) for i, r in enumerate(seed_rows)]
+    emb = emb.cache()
+    try:
+        for _ in range(KMEANS_ITERS):
+            assign = rank_cells(emb, rows, nprobe=1).select(
+                "vec_id", "cell_id"
+            )
+            per_dim = (
+                emb.select("vec_id", F.posexplode(e).alias("pos", "v"))
+                .join(assign, "vec_id")
+                .groupBy("cell_id", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("v").cast(_DEC)).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("m")
+                )
+            )
+            updated = per_dim.groupBy("cell_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_emb")
+            )
+            rows = sorted(
+                (r["cell_id"], list(r["c_emb"])) for r in updated.collect()
+            )
+        return rows
+    finally:
+        emb.unpersist()
 
 
-def _rank_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cell_id, cell_cos, rn): every vector's cells by
-    descending cosine — one broadcast cross join, window per vector."""
-    cos_c = cosine_rounded(
-        F.col("c_emb"), F.col("embedding").cast("array<double>")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cell_cos"), F.asc("cell_id")
-    )
-    return (
-        emb.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "embedding", "cell_id", cos_c.alias("cell_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
+def rank_cells(emb: DataFrame, cent_rows: list, nprobe: int) -> DataFrame:
+    """(vec_id, cell_id, rn): every vector's `nprobe` nearest cells, via one
+    streaming corpus pass (functions/vectors.cell_topk_mapper). Slim by
+    design — no embedding payload moves; callers re-attach vectors with a
+    co-partitioned join on vec_id where needed."""
+    return emb.mapInPandas(
+        cell_topk_mapper(cent_rows, nprobe), CELL_TOPK_SCHEMA
     )
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search: train the coarse quantizer, assign all vectors to their
-    nearest centroid (one broadcast-join pass), then each probe scans its
-    NPROBE nearest cells — multi-cell probing recovers the neighbors that
-    straddle a cell boundary, the standard IVF recall/cost dial.
+    """IVF search: one streaming pass assigns every vector to its nearest
+    trained cell, probes search their NPROBE nearest cells (multi-cell
+    probing recovers neighbors that straddle a cell boundary — the standard
+    IVF recall/cost dial), and only in-cell candidates get an exact cosine.
 
-    The corpus count / dimension lookups are metadata-scale driver reads
-    (two tiny jobs) used to SIZE the plan, like AQE statistics.
-    """
+    The candidate join is slim-first: (vec_id, cell_id) ⋈ broadcast probes,
+    THEN vectors re-attach via one join on vec_id — corpus embeddings never
+    ride through the cell match."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = emb.count()
-    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
-    centroids = _train_centroids(emb, _n_cells(n), dim)
-    ranked_cells = _rank_cells(emb, centroids)
-    assigned = ranked_cells.filter(F.col("rn") == 1).select(
-        "vec_id", "embedding", "cell_id"
-    )
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    cells = rank_cells(emb, cent_rows, NPROBE)
+    assigned = cells.filter(F.col("rn") == 1).select("vec_id", "cell_id")
     # probes keep their NPROBE nearest cells (not just the assignment cell)
-    probes = ranked_cells.filter(
-        (F.col("vec_id") < N_PROBES) & (F.col("rn") <= NPROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("cell_id").alias("q_cell"),
+    probes = (
+        cells.filter((F.col("vec_id") < N_PROBES) & (F.col("rn") <= NPROBE))
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cell_id").alias("q_cell"),
+        )
     )
-    cos = cosine_rounded(
+    cos = cosine_rounded_arrow(
         F.col("q_emb").cast("array<double>"),
         F.col("embedding").cast("array<double>"),
     )
@@ -173,6 +216,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell_id") == F.col("q_cell"))
             & (F.col("vec_id") != F.col("query_id")),
         )
+        .join(emb, "vec_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -186,29 +230,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_SQL_DIM = 64  # test-table embedding dim; Spark introspects, SQL is static
 
 
-def _ivf_sql(dim: int = IVF_SQL_DIM) -> str:
-    """Mirror of ann_ivf_topk incl. quantizer training, Lloyd loop unrolled.
+def train_sql_ctes(source: str, dim: int = IVF_SQL_DIM) -> tuple[str, str]:
+    """CTE chain mirroring `_train_centroids` over relation ``source``.
 
-    Means use the identical decimal-sum-then-double-divide so centroids are
-    bit-equal to Spark's; cosine is rounded to 9 decimals on both sides, so
-    assignment tie-breaks agree too.
+    Returns (cte_fragment, final_centroid_cte_name); the fragment expects to
+    be spliced into a WITH list. Shared by the IVF oracle and the
+    IVF-bucketed embedding-dedup oracle so both replay the same quantizer.
     """
-    cos_assign = cosine_rounded_sql("c.c_emb", "e.embedding")
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
     mean_exprs = ", ".join(
         f"CAST(SUM(CAST(CAST(embedding[{j + 1}] AS DOUBLE) AS DECIMAL(30,9)))"
         f" AS DOUBLE) / COUNT(*)"
         for j in range(dim)
     )
-    iters = []
+    parts = [
+        f"""cells AS (
+  SELECT GREATEST({MIN_CELLS}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k
+  FROM {source}
+),
+seeds_ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR))) AS BIGINT) AS cell_id,
+         CAST(embedding AS DOUBLE[]) AS c_emb
+  FROM {source}
+),
+seeds AS (
+  SELECT cell_id, c_emb FROM seeds_ranked, cells WHERE cell_id <= k
+)"""
+    ]
     prev = "seeds"
     for i in range(1, KMEANS_ITERS + 1):
-        iters.append(
+        parts.append(
             f"""a{i} AS (
   SELECT e.vec_id, e.embedding, c.cell_id,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
            ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
-  FROM embeddings e CROSS JOIN {prev} c
+  FROM {source} e CROSS JOIN {prev} c
 ),
 c{i} AS (
   SELECT cell_id, list_value({mean_exprs}) AS c_emb
@@ -216,29 +274,27 @@ c{i} AS (
 )"""
         )
         prev = f"c{i}"
-    iter_sql = ",\n".join(iters)
+    return ",\n".join(parts), prev
+
+
+def _ivf_sql(dim: int = IVF_SQL_DIM) -> str:
+    """Mirror of ann_ivf_topk incl. quantizer training, Lloyd loop unrolled.
+
+    Means use the identical decimal-sum-then-double-divide so centroids are
+    bit-equal to Spark's; cosine is rounded to 9 decimals on both sides, so
+    assignment tie-breaks agree too.
+    """
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
     cos = cosine_rounded_sql("p.q_emb", "a.embedding")
     return f"""
-WITH cells AS (
-  SELECT GREATEST({MIN_CELLS}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k
-  FROM embeddings
-),
-seeds_ranked AS (
-  SELECT CAST(ROW_NUMBER() OVER (
-           ORDER BY md5(CAST(vec_id AS VARCHAR))) AS BIGINT) AS cell_id,
-         CAST(embedding AS DOUBLE[]) AS c_emb
-  FROM embeddings
-),
-seeds AS (
-  SELECT cell_id, c_emb FROM seeds_ranked, cells WHERE cell_id <= k
-),
-{iter_sql},
+WITH {train_ctes},
 final AS (
   SELECT e.vec_id, e.embedding, c.cell_id,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
            ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
-  FROM embeddings e CROSS JOIN {prev} c
+  FROM embeddings e CROSS JOIN {cent} c
 ),
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM final WHERE rn = 1

@@ -85,9 +85,19 @@ class TestJvmOnlyHotPaths:
             relational.q5_local_supplier,
             quality.quality_completeness,
             dedup.dedup_minhash_lsh,
-            similarity.ann_bruteforce_topk,
+            dedup.dedup_simhash,
         ):
             assert_no_python_eval(fn(spark, SF))
+
+    def test_vector_scoring_uses_arrow_kernel_not_row_python(self, spark):
+        # The cosine hot kernel is DELIBERATELY an Arrow-batched pandas UDF:
+        # HOF lambdas are interpreted (~10× pass cost at dim=64) and a fully
+        # unrolled fold blows janino's method limit inside join codegen
+        # (functions/vectors.py:_cosine_kernel). Assert the fast shape: Arrow
+        # eval present, row-at-a-time Python absent.
+        plan = formatted_plan(similarity.ann_bruteforce_topk(spark, SF))
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
 
     def test_q1_whole_stage_codegen(self, spark):
         assert_whole_stage_codegen(
