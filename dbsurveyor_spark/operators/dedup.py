@@ -324,9 +324,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NGRAM_SQL = f"""
-WITH corpus AS ({_CORPUS_SQL}),
-ds AS ({_DOC_SHINGLES_SQL}),
+# CTE chain + final select split out so the clusters oracle can reuse the
+# verified-pair derivation verbatim (spliced after its own corpus CTE).
+_NGRAM_CTES = f"""ds AS ({_DOC_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM ds),
 exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
 common AS (
@@ -334,13 +334,19 @@ common AS (
   FROM exploded a JOIN exploded b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b,
+)"""
+
+_NGRAM_SELECT = f"""SELECT doc_a, doc_b,
        round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 9) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 9) >= {JACCARD_T}
+WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 9) >= {JACCARD_T}"""
+
+NGRAM_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_NGRAM_CTES}
+{_NGRAM_SELECT}
 """
 
 
@@ -668,6 +674,90 @@ SEMI JOIN survivors s
 """
 
 
+# ------------------------------------------------- near-dup cluster survivors
+
+
+def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs → cluster survivors:
+    (doc_id, cluster_id = min doc_id reachable, is_survivor). This is the
+    DECISION step for NEAR duplicates — `dedup_survivor_corpus` handles
+    exact groups, but a near-dup relation is not transitive-by-hash, so the
+    corpus must be clustered before one representative per cluster is kept
+    (the standard corpus-dedup pipeline, e.g. web-crawl preprocessing).
+
+    Edges are `dedup_ngram_jaccard`'s exact τ ≥ 0.8 pairs. Labels start as
+    each doc's own id and propagate as min(own, neighbors) per round — a
+    driver loop over cached metadata-slim frames ((doc_id, label) longs;
+    text/shingles never enter the iteration). Convergence is witnessed by
+    sum(label), which strictly decreases until fixpoint, so both engines
+    reach the IDENTICAL fixpoint (min id per component is well-defined)
+    regardless of round count; the DuckDB oracle derives the same labels
+    via recursive transitive closure. Rounds scale with component DIAMETER
+    (near-dup clusters are shallow in practice; for adversarial chains
+    switch to alternating small-star/large-star — Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+    Reference analog: dbsurveyor has no clustering step — this extends
+    §2.E beyond the reference for the 100 TB pipeline story.
+    """
+    release_caches()
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = _tracked_cache(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"),
+                         F.col("doc_a").alias("doc_b"))
+        ).toDF("src", "dst")
+    )
+    labels = _tracked_cache(
+        _corpus(spark, sf_dir).select(
+            "doc_id", F.col("doc_id").alias("label")
+        )
+    )
+    total = labels.agg(F.sum("label")).first()[0]
+    while True:
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = _tracked_cache(
+            labels.join(nbr, labels["doc_id"] == nbr["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_total = labels.agg(F.sum("label")).first()[0]
+        if new_total == total:
+            break
+        total = new_total
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    )
+
+
+CLUSTERS_SQL = f"""
+WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+{_NGRAM_CTES},
+pairs AS ({_NGRAM_SELECT}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+)
+SELECT doc_id, MIN(r) AS cluster_id, doc_id = MIN(r) AS is_survivor
+FROM reach GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_survivor_corpus": dedup_survivor_corpus,
     "dedup_exact": dedup_exact,
@@ -675,6 +765,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_neardup_clusters": dedup_neardup_clusters,
 }
 
 ORACLES = {
@@ -684,4 +775,5 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": _embedding_sql(),
+    "dedup_neardup_clusters": CLUSTERS_SQL,
 }

@@ -110,3 +110,46 @@ def test_simhash_combo_blocking_is_lossless_for_hamming_3():
 def test_simhash_blocks_cover_all_bits():
     assert SIMHASH_BLOCKS * SIMHASH_BLOCK_BITS == 48
     assert HAMMING_MAX < SIMHASH_BLOCKS - 2  # ≤3 flips leave ≥3 intact blocks
+
+
+def test_neardup_clusters_fixpoint_on_chain(spark):
+    """Label propagation must reach the per-component min even when the
+    near-dup relation is a CHAIN (a~b, b~c, but a!~c): the driver loop's
+    sum(label) fixpoint witness has to keep iterating past round one.
+    Builds a 5-doc chain + an isolated doc directly on the edge relation."""
+    from dbsurveyor_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14)], "doc_a long, doc_b long"
+    )
+    corpus = spark.createDataFrame(
+        [(i,) for i in (10, 11, 12, 13, 14, 99)], "doc_id long"
+    )
+    # Drive the same loop body the operator uses, on injected inputs.
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = corpus.select("doc_id", F.col("doc_id").alias("label"))
+    total = labels.agg(F.sum("label")).first()[0]
+    rounds = 0
+    while True:
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = labels.join(nbr, labels["doc_id"] == nbr["dst"], "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        new_total = labels.agg(F.sum("label")).first()[0]
+        rounds += 1
+        if new_total == total:
+            break
+        total = new_total
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 99: 99}
+    assert rounds >= 3  # a chain forces multiple propagation rounds
+    assert dedup.dedup_neardup_clusters is not None
