@@ -1,0 +1,327 @@
+"""Command-line surface mirroring the reference's two binaries.
+
+The reference ships `dbsurveyor-collect` (survey a live database into a
+portable `.dbsurveyor.json` document — dbsurveyor-collect/src/main.rs:60
+Cli, :148 Command) and `dbsurveyor` (postprocess that document —
+dbsurveyor/src/main.rs Command: generate/analyze/sql/validate). This module
+exposes the same verbs over the Spark-lake engine:
+
+  python -m dbsurveyor_spark.cli collect <source> -o schema.json \
+      [--name N] [--sample N] [--redact-mode MODE] [--no-infer-keys] \
+      [--compress] [--encrypt --passphrase P] [--database DIR ...]
+  python -m dbsurveyor_spark.cli test <source>
+  python -m dbsurveyor_spark.cli list-types
+  python -m dbsurveyor_spark.cli generate <schema.json> --format FMT [-o OUT]
+  python -m dbsurveyor_spark.cli analyze <schema.json> [--detailed]
+  python -m dbsurveyor_spark.cli sql <schema.json> [-o OUT]
+  python -m dbsurveyor_spark.cli validate <schema.json>
+
+Sources: a parquet-lake directory (the engine's native input), or
+`sqlite:///path.db` (sources/sqlite.py). JDBC URLs are accepted by `test`
+for URL/credential validation (a live server is needed to go further).
+Sampling fills the document's `samples` with reference-shaped TableSample
+entries (models.rs:399) — redacted per security.py's mode BEFORE the rows
+touch the document, matching the reference's redact-by-default posture.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import sys
+from datetime import datetime, timezone
+from typing import Any
+
+SOURCE_TYPES = (
+    ("parquet-lake", "directory of <table>.parquet files (native)"),
+    ("sqlite", "sqlite:///path.db — PRAGMA-based schema + Spark-read rows"),
+    ("jdbc", "jdbc:postgresql://… / jdbc:mysql://… via spark.read.jdbc"),
+)
+
+
+def _get_spark():
+    from .session import get_session
+
+    return get_session("dbsurveyor-spark-cli")
+
+
+def _is_lake_dir(source: str) -> bool:
+    return os.path.isdir(source)
+
+
+def _sqlite_path(url: str) -> str:
+    """sqlite:///absolute/path.db → /absolute/path.db (also sqlite:path)."""
+    rest = url.split(":", 1)[1]
+    return rest[2:] if rest.startswith("///") else rest.lstrip("/") or rest
+
+
+# ------------------------------------------------------------------ collect
+
+
+def _sample_tables(spark, sf_dir: str, limit: int, mode: str) -> list[dict]:
+    """Reference-shaped TableSample list (models.rs:399): deterministic
+    head-by-first-column rows, redacted before entering the document."""
+    from .catalog import TABLES, load_table
+    from .security import redact_rows
+
+    out = []
+    for tname in TABLES:
+        df = load_table(spark, sf_dir, tname)
+        order_col = df.columns[0]
+        rows = [r.asDict(recursive=True) for r in df.orderBy(order_col).limit(limit).collect()]
+        out.append(
+            {
+                "table_name": tname,
+                "schema_name": None,
+                "rows": redact_rows(rows, mode) if mode != "none" else rows,
+                "sample_size": len(rows),
+                "total_rows": None,
+                "sampling_strategy": {"MostRecent": {"limit": limit}},
+                "collected_at": datetime.now(timezone.utc).isoformat(),
+                "warnings": [],
+                "sample_status": "Complete",
+            }
+        )
+    return out
+
+
+def cmd_collect(args: argparse.Namespace) -> int:
+    from .survey.export import (
+        collect_database_schema,
+        collect_multi_database_schema,
+        write_schema_json,
+    )
+
+    spark = _get_spark()
+    if args.database:
+        datasets = {os.path.basename(d.rstrip("/")) or d: d for d in args.database}
+        doc: dict[str, Any] = collect_multi_database_schema(
+            spark, datasets, infer_keys=not args.no_infer_keys
+        )
+    elif _is_lake_dir(args.source):
+        doc = collect_database_schema(
+            spark,
+            args.source,
+            name=args.name or os.path.basename(args.source.rstrip("/")),
+            infer_keys=not args.no_infer_keys,
+        )
+        if args.sample:
+            doc["samples"] = _sample_tables(
+                spark, args.source, args.sample, args.redact_mode
+            )
+    elif args.source.startswith("sqlite:"):
+        from .sources.sqlite import SqliteSource
+
+        doc = SqliteSource(_sqlite_path(args.source)).survey(name=args.name)
+    else:
+        print(f"unsupported collect source: {args.source}", file=sys.stderr)
+        return 2
+
+    out = args.output
+    if args.encrypt:
+        if not args.passphrase:
+            print("--encrypt requires --passphrase", file=sys.stderr)
+            return 2
+        write_schema_json(doc, out, passphrase=args.passphrase)
+    elif args.compress:
+        if not out.endswith(".gz"):
+            out += ".gz"
+        with gzip.open(out, "wt") as fh:
+            json.dump(doc, fh, indent=2, default=str)
+    else:
+        write_schema_json(doc, out)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_test(args: argparse.Namespace) -> int:
+    """Connection test (dbsurveyor-collect test): cheapest possible probe."""
+    src = args.source
+    if _is_lake_dir(src):
+        from .catalog import TABLES
+
+        present = [
+            t
+            for t in TABLES
+            if os.path.exists(os.path.join(src, f"{t}.parquet"))
+        ]
+        print(f"OK parquet-lake: {len(present)}/{len(TABLES)} tables present")
+        return 0 if present else 1
+    if src.startswith("sqlite:"):
+        from .sources.sqlite import SqliteSource
+
+        s = SqliteSource(_sqlite_path(src))
+        info = s.database_info()
+        print(f"OK sqlite: {info['name']} ({len(s.table_names())} tables)")
+        return 0
+    if src.startswith("jdbc:"):
+        from .security import parse_connection_string, sanitize_connection_url
+
+        # urlsplit needs the driver scheme, not the jdbc: envelope
+        parse_connection_string(src[len("jdbc:"):])
+        print(f"OK jdbc url parsed: jdbc:{sanitize_connection_url(src[len('jdbc:'):])}")
+        return 0
+    print(f"unsupported source: {src}", file=sys.stderr)
+    return 2
+
+
+def cmd_list_types(_args: argparse.Namespace) -> int:
+    for name, desc in SOURCE_TYPES:
+        print(f"{name:13s} {desc}")
+    return 0
+
+
+# -------------------------------------------------------------- postprocess
+
+
+def _load_doc(args: argparse.Namespace) -> dict[str, Any]:
+    from .survey.export import load_schema_json
+
+    if getattr(args, "passphrase", None):
+        from .security import decrypt_bytes
+
+        with open(args.input, "rb") as fh:
+            return json.loads(decrypt_bytes(fh.read(), args.passphrase))
+    if args.input.endswith(".gz"):
+        with gzip.open(args.input, "rt") as fh:
+            return json.load(fh)
+    return load_schema_json(args.input)
+
+
+def _emit(text: str, output: str | None) -> None:
+    if output:
+        with open(output, "w") as fh:
+            fh.write(text)
+        print(f"wrote {output}")
+    else:
+        print(text)
+
+
+def cmd_generate(args: argparse.Namespace) -> int:
+    from .survey.export import to_markdown, to_mermaid_erd, to_sql_ddl
+
+    doc = _load_doc(args)
+    if args.format == "markdown":
+        _emit(to_markdown(doc), args.output)
+    elif args.format == "mermaid":
+        _emit(to_mermaid_erd(doc), args.output)
+    elif args.format == "sql":
+        _emit(to_sql_ddl(doc), args.output)
+    else:  # json passthrough (re-serialize, e.g. decrypt/decompress)
+        _emit(json.dumps(doc, indent=2, default=str), args.output)
+    return 0
+
+
+def cmd_analyze(args: argparse.Namespace) -> int:
+    from .survey.export import object_count
+
+    doc = _load_doc(args)
+    tables = doc.get("tables", [])
+    print(f"database: {doc.get('database_info', {}).get('name')}")
+    print(f"objects: {object_count(doc)}")
+    print(f"tables: {len(tables)}")
+    print(f"columns: {sum(len(t.get('columns', [])) for t in tables)}")
+    print(f"rows: {sum(t.get('row_count') or 0 for t in tables)}")
+    pk = sum(1 for t in tables if t.get("primary_key"))
+    fk = sum(len(t.get("foreign_keys", []) or []) for t in tables)
+    print(f"primary keys: {pk}; foreign keys: {fk}")
+    if args.detailed:
+        for t in tables:
+            print(
+                f"  {t['name']}: {len(t.get('columns', []))} cols, "
+                f"{t.get('row_count')} rows"
+            )
+    return 0
+
+
+def cmd_sql(args: argparse.Namespace) -> int:
+    from .survey.export import to_sql_ddl
+
+    _emit(to_sql_ddl(_load_doc(args)), args.output)
+    return 0
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    from .survey.export import validate_schema_doc
+
+    problems = validate_schema_doc(_load_doc(args))
+    if problems:
+        for p in problems:
+            print(f"INVALID: {p}")
+        return 1
+    print("valid")
+    return 0
+
+
+# ------------------------------------------------------------------- parser
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from .security import REDACTION_MODES
+
+    p = argparse.ArgumentParser(prog="dbsurveyor-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("collect", help="survey a source into a schema document")
+    c.add_argument("source", help="lake dir or sqlite:///path.db")
+    c.add_argument("-o", "--output", default="dbsurveyor.json")
+    c.add_argument("--name", default=None)
+    c.add_argument("--sample", type=int, default=0, metavar="N")
+    c.add_argument("--redact-mode", choices=REDACTION_MODES, default="balanced")
+    c.add_argument("--no-infer-keys", action="store_true")
+    c.add_argument("--compress", action="store_true", help="gzip the JSON")
+    c.add_argument("--encrypt", action="store_true")
+    c.add_argument("--passphrase", default=None)
+    c.add_argument(
+        "--database",
+        action="append",
+        default=[],
+        metavar="DIR",
+        help="repeatable: survey several lake dirs into one server document",
+    )
+    c.set_defaults(fn=cmd_collect)
+
+    t = sub.add_parser("test", help="test a source connection")
+    t.add_argument("source")
+    t.set_defaults(fn=cmd_test)
+
+    lt = sub.add_parser("list-types", help="list supported source types")
+    lt.set_defaults(fn=cmd_list_types)
+
+    g = sub.add_parser("generate", help="render a schema document")
+    g.add_argument("input")
+    g.add_argument(
+        "--format", choices=("markdown", "mermaid", "sql", "json"), default="markdown"
+    )
+    g.add_argument("-o", "--output", default=None)
+    g.add_argument("--passphrase", default=None)
+    g.set_defaults(fn=cmd_generate)
+
+    a = sub.add_parser("analyze", help="summarize a schema document")
+    a.add_argument("input")
+    a.add_argument("--detailed", action="store_true")
+    a.add_argument("--passphrase", default=None)
+    a.set_defaults(fn=cmd_analyze)
+
+    s = sub.add_parser("sql", help="reconstruct DDL from a schema document")
+    s.add_argument("input")
+    s.add_argument("-o", "--output", default=None)
+    s.add_argument("--passphrase", default=None)
+    s.set_defaults(fn=cmd_sql)
+
+    v = sub.add_parser("validate", help="validate a schema document")
+    v.add_argument("input")
+    v.add_argument("--passphrase", default=None)
+    v.set_defaults(fn=cmd_validate)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,127 @@
+"""CLI e2e (SURVEY.md §2.J): the reference's two binaries' verbs over the
+lake engine — collect → validate → analyze → generate round trips, with
+the compress/encrypt envelopes and the sqlite source."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from dbsurveyor_spark import cli
+
+SF = "/root/testdata/sf0.001"
+
+
+def run(argv):
+    return cli.main(argv)
+
+
+@pytest.fixture(scope="module")
+def schema_path(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli") / "schema.json"
+    assert run(["collect", SF, "-o", str(out), "--sample", "2"]) == 0
+    return str(out)
+
+
+class TestCollect:
+    def test_document_validates_and_has_samples(self, schema_path):
+        assert run(["validate", schema_path]) == 0
+        doc = json.load(open(schema_path))
+        assert doc["database_info"]["name"] == "sf0.001"
+        assert len(doc["tables"]) == 10
+        samples = {s["table_name"]: s for s in doc["samples"]}
+        assert samples["orders"]["sample_size"] == 2
+        assert samples["orders"]["sampling_strategy"] == {
+            "MostRecent": {"limit": 2}
+        }
+
+    def test_compress_roundtrip(self, spark, tmp_path):
+        out = tmp_path / "schema.json"
+        assert run(["collect", SF, "-o", str(out), "--compress"]) == 0
+        gz = str(out) + ".gz"
+        assert run(["validate", gz]) == 0
+
+    def test_encrypt_roundtrip(self, spark, tmp_path):
+        pytest.importorskip("cryptography")
+        out = tmp_path / "schema.enc"
+        assert (
+            run(["collect", SF, "-o", str(out), "--encrypt", "--passphrase", "pw"])
+            == 0
+        )
+        # ciphertext is not JSON; with the passphrase it validates
+        with pytest.raises(Exception):
+            json.load(open(out))
+        assert run(["validate", str(out), "--passphrase", "pw"]) == 0
+
+    def test_multi_database_document(self, spark, tmp_path):
+        out = tmp_path / "server.json"
+        assert (
+            run(
+                ["collect", "x", "--database", SF, "--database",
+                 "/root/testdata/sf0.01", "-o", str(out)]
+            )
+            == 0
+        )
+        doc = json.load(open(out))
+        assert [d["database_name"] for d in doc["databases"]] == [
+            "sf0.001",
+            "sf0.01",
+        ]
+        assert doc["collection_metadata"]["databases_failed"] == 0
+
+
+class TestSources:
+    def test_lake_and_jdbc_probe(self, capsys):
+        assert run(["test", SF]) == 0
+        assert run(["test", "jdbc:postgresql://u:p%40s@h:5432/d"]) == 0
+        outerr = capsys.readouterr().out
+        assert "10/10 tables" in outerr
+        assert "p%40s" not in outerr  # credentials never echo
+
+    def test_sqlite_collect(self, tmp_path):
+        db = tmp_path / "mini.db"
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t(a INTEGER PRIMARY KEY, b TEXT)")
+        con.execute("INSERT INTO t VALUES (1, 'x')")
+        con.commit()
+        con.close()
+        url = f"sqlite://{db}"
+        assert run(["test", url]) == 0
+        out = tmp_path / "sq.json"
+        assert run(["collect", url, "-o", str(out)]) == 0
+        assert run(["validate", str(out)]) == 0
+
+    def test_unsupported_source_fails_cleanly(self):
+        assert run(["test", "mongodb://host/db"]) == 2
+
+
+class TestPostprocess:
+    def test_generate_formats(self, schema_path, tmp_path, capsys):
+        for fmt, needle in (
+            ("markdown", "# Database"),
+            ("mermaid", "erDiagram"),
+            ("sql", "CREATE TABLE"),
+            ("json", '"format_version"'),
+        ):
+            out = tmp_path / f"out.{fmt}"
+            assert run(["generate", schema_path, "--format", fmt, "-o", str(out)]) == 0
+            assert needle in out.read_text()
+
+    def test_sql_matches_generate_sql(self, schema_path, capsys):
+        assert run(["sql", schema_path]) == 0
+        assert "CREATE TABLE" in capsys.readouterr().out
+
+    def test_analyze_reports_objects(self, schema_path, capsys):
+        assert run(["analyze", schema_path, "--detailed"]) == 0
+        out = capsys.readouterr().out
+        assert "tables: 10" in out
+        assert "lineitem" in out
+
+    def test_validate_rejects_broken_doc(self, schema_path, tmp_path):
+        doc = json.load(open(schema_path))
+        doc["tables"][0]["columns"] = []
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps(doc, default=str))
+        assert run(["validate", str(bad)]) == 1
