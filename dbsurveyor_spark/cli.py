@@ -111,6 +111,12 @@ def cmd_collect(args: argparse.Namespace) -> int:
             doc["samples"] = _sample_tables(
                 spark, args.source, args.sample, args.redact_mode
             )
+        if args.enable_quality:
+            from .survey.quality import collect_quality_metrics
+
+            doc["quality_metrics"] = collect_quality_metrics(
+                spark, args.source
+            )
     elif args.source.startswith("sqlite:"):
         from .sources.sqlite import SqliteSource
 
@@ -271,6 +277,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--sample", type=int, default=0, metavar="N")
     c.add_argument("--redact-mode", choices=REDACTION_MODES, default="balanced")
     c.add_argument("--no-infer-keys", action="store_true")
+    c.add_argument(
+        "--enable-quality",
+        action="store_true",
+        help="attach TableQualityMetrics per table (two scans per table)",
+    )
     c.add_argument("--compress", action="store_true", help="gzip the JSON")
     c.add_argument("--encrypt", action="store_true")
     c.add_argument("--passphrase", default=None)

@@ -281,8 +281,8 @@ def _ivf_sql(dim: int = IVF_SQL_DIM) -> str:
     """Mirror of ann_ivf_topk incl. quantizer training, Lloyd loop unrolled.
 
     Means use the identical decimal-sum-then-double-divide so centroids are
-    bit-equal to Spark's; cosine is rounded to 9 decimals on both sides, so
-    assignment tie-breaks agree too.
+    bit-equal to Spark's; cell ranking orders by RAW cosine (bit-identical
+    doubles on both engines) with cell_id tie-breaks, matching the kernel.
     """
     cos_assign = cosine_sql("c.c_emb", "e.embedding")
     train_ctes, cent = train_sql_ctes("embeddings", dim)

@@ -525,6 +525,161 @@ FROM parts
 """
 
 
+# ------------------------------------------------ document-level collection
+
+
+def collect_quality_metrics(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+    z_threshold: float = 3.0,
+    rsd: float = 0.02,
+) -> list[dict]:
+    """TableQualityMetrics-shaped dicts for the schema document
+    (quality/models.rs:273 TableQualityMetrics; analyzer.rs:171 equal-weight
+    score) — the engine behind the CLI's `--enable-quality`.
+
+    Two plain aggregate jobs per table, both Expand-free:
+    pass 1 sweeps counts + HLL distincts (per column AND over the full row
+    struct) + numeric mean/stddev; pass 2 counts |x-μ| > z·σ outliers using
+    pass 1's moments. Distinct ratios use approx_count_distinct — the
+    document records ratios, where HLL's ±2% is immaterial, and the exact
+    per-column suite (quality_* queries) stays available for oracle-checked
+    analysis. At 100 TB both passes are single linear scans with tiny
+    aggregation state, map-side combinable.
+    """
+    from datetime import datetime, timezone
+
+    from ..catalog import TABLES
+
+    numeric_types = {"int", "bigint", "double", "float", "decimal", "smallint"}
+    out: list[dict] = []
+    for tname in tables if tables is not None else list(TABLES):
+        df = load_table(spark, sf_dir, tname)
+        cols = df.columns
+        num_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName().split("(")[0] in numeric_types
+        ]
+        aggs = [
+            F.count(F.lit(1)).alias("__total"),
+            F.approx_count_distinct(F.struct(*cols), rsd).alias("__row_distinct"),
+        ]
+        for c in cols:
+            aggs += [
+                F.count(F.col(c)).alias(f"{c}__nonnull"),
+                F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__distinct"),
+            ]
+        for c in num_cols:
+            aggs += [
+                F.avg(F.col(c).cast("double")).alias(f"{c}__mean"),
+                F.stddev_pop(F.col(c).cast("double")).alias(f"{c}__std"),
+            ]
+        r = df.agg(*aggs).first()
+        total = r["__total"] or 0
+
+        null_cols = []
+        comp_scores = []
+        dup_cols = []
+        uniq_scores = []
+        for c in cols:
+            nonnull = r[f"{c}__nonnull"]
+            nulls = total - nonnull
+            comp_scores.append((nonnull / total) if total else 1.0)
+            if nulls:
+                null_cols.append(
+                    {
+                        "column_name": c,
+                        "null_count": nulls,
+                        "null_ratio": round(nulls / total, 6),
+                    }
+                )
+            uniq = min(r[f"{c}__distinct"], nonnull)
+            # HLL reads within 3·rsd of exact-unique are noise, not dups
+            if nonnull - uniq < 3 * rsd * nonnull:
+                uniq = nonnull
+            uniq_scores.append((uniq / nonnull) if nonnull else 1.0)
+            if nonnull and uniq < nonnull:
+                dup_cols.append(
+                    {
+                        "column_name": c,
+                        "duplicate_count": nonnull - uniq,
+                        "unique_count": uniq,
+                        "uniqueness": round(uniq / nonnull, 6),
+                    }
+                )
+
+        outliers = []
+        checks = []
+        for c in num_cols:
+            mean, std = r[f"{c}__mean"], r[f"{c}__std"]
+            if mean is None or std is None or std == 0:
+                continue
+            checks.append((c, mean, std))
+        if checks:
+            o = df.agg(
+                *[
+                    F.sum(
+                        (
+                            F.abs(F.col(c).cast("double") - F.lit(m))
+                            > z_threshold * F.lit(sd)
+                        ).cast("bigint")
+                    ).alias(c)
+                    for c, m, sd in checks
+                ]
+            ).first()
+            for c, m, sd in checks:
+                n_out = o[c] or 0
+                if n_out:
+                    outliers.append(
+                        {
+                            "column_name": c,
+                            "outlier_count": n_out,
+                            "z_score_threshold": z_threshold,
+                            "mean": m,
+                            "std_dev": sd,
+                        }
+                    )
+
+        comp = sum(comp_scores) / len(comp_scores) if comp_scores else 1.0
+        row_distinct = min(r["__row_distinct"], total)
+        if total - row_distinct < 3 * rsd * total:  # HLL noise floor
+            row_distinct = total
+        row_uniq = (row_distinct / total) if total else 1.0
+        consistency = 1.0  # parquet columns are strongly typed
+        score = (comp + consistency + row_uniq) / 3.0
+        out.append(
+            {
+                "table_name": tname,
+                "schema_name": None,
+                "analyzed_rows": total,
+                "completeness": {
+                    "score": round(comp, 6),
+                    "null_columns": null_cols,
+                },
+                "consistency": {
+                    "score": consistency,
+                    "type_inconsistencies": [],
+                    "format_violations": [],
+                },
+                "uniqueness": {
+                    "score": round(row_uniq, 6),
+                    "duplicate_columns": dup_cols,
+                    "duplicate_row_count": total - row_distinct,
+                },
+                "anomalies": {
+                    "outlier_count": sum(a["outlier_count"] for a in outliers),
+                    "outliers": outliers,
+                },
+                "quality_score": round(score, 6),
+                "threshold_violations": [],
+                "analyzed_at": datetime.now(timezone.utc).isoformat(),
+            }
+        )
+    return out
+
+
 QUERIES = {
     "quality_completeness": quality_completeness,
     "quality_uniqueness": quality_uniqueness,

@@ -125,3 +125,30 @@ class TestPostprocess:
         bad = tmp_path / "bad.json"
         bad.write_text(json.dumps(doc, default=str))
         assert run(["validate", str(bad)]) == 1
+
+
+class TestQualityCollection:
+    def test_enable_quality_attaches_reference_shaped_metrics(
+        self, spark, tmp_path
+    ):
+        out = tmp_path / "q.json"
+        assert run(["collect", SF, "-o", str(out), "--enable-quality"]) == 0
+        doc = json.load(open(out))
+        metrics = {m["table_name"]: m for m in doc["quality_metrics"]}
+        assert set(metrics) == {
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        }
+        ev = metrics["events"]
+        for section in ("completeness", "consistency", "uniqueness", "anomalies"):
+            assert section in ev
+        assert 0.0 <= ev["quality_score"] <= 1.0
+        assert ev["analyzed_rows"] > 0
+        # parquet tables are typed: consistency is structurally clean
+        assert ev["consistency"]["type_inconsistencies"] == []
+        # the synthetic tables have no exact duplicate rows; the HLL noise
+        # floor must not invent any
+        assert all(
+            m["uniqueness"]["duplicate_row_count"] == 0
+            for m in metrics.values()
+        )
