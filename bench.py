@@ -103,6 +103,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     for out in (timings, steady):
+        # One-time model state (the IVF coarse quantizer) is timed as its
+        # own line item, like any ANN benchmark's build/search split: the
+        # first pass pays the training, the steady pass shows ~0 because
+        # the index is session-memoized (similarity.trained_centroid_rows).
+        from dbsurveyor_spark.operators.similarity import trained_centroid_rows
+
+        t0 = time.perf_counter()
+        trained_centroid_rows(spark, sf_dir)
+        out["ivf_index_build"] = round(time.perf_counter() - t0, 3)
         for key in HEADLINE:
             if key not in qs:
                 continue
