@@ -276,12 +276,94 @@ def stream_stateful_user_totals_job(
     )
 
 
+# --------------------------------------------------- at-least-once dedup
+
+
+DUP_MOD = 10  # every event_id % DUP_MOD == 0 is delivered twice
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest dedup for at-least-once delivery (batch equivalent of
+    `stream_dedup_job`): the feed re-delivers every DUP_MOD-th event;
+    collapse to one row per event_id and record how many deliveries were
+    absorbed. Duplicate deliveries are EXACT copies, so MIN over each
+    payload column is the unique payload — the aggregate is map-side
+    combinable, one shuffle on event_id (the same shape a 100 TB ingest
+    dedup needs; the streaming variant bounds its state with a watermark).
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts", "value"
+    )
+    dups = events.filter(F.col("event_id") % DUP_MOD == 0)
+    deliveries = events.unionByName(dups)
+    return deliveries.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("delivery_count"),
+        F.min("event_type").alias("event_type"),
+        F.min("user_id").alias("user_id"),
+        F.min("ts").alias("ts"),
+        F.min("value").alias("value"),
+    )
+
+
+DEDUP_EVENTS_SQL = f"""
+WITH deliveries AS (
+  SELECT event_id, event_type, user_id, ts, value FROM events
+  UNION ALL
+  SELECT event_id, event_type, user_id, ts, value FROM events
+  WHERE event_id % {DUP_MOD} = 0
+)
+SELECT event_id, COUNT(*) AS delivery_count,
+       MIN(event_type) AS event_type, MIN(user_id) AS user_id,
+       MIN(ts) AS ts, MIN(value) AS value
+FROM deliveries GROUP BY event_id
+"""
+
+
+def stream_dedup_job(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """True streaming ingest dedup: duplicate deliveries are injected into
+    the stream (explode fan-out for event_id % DUP_MOD == 0), then
+    `dropDuplicatesWithinWatermark("event_id")` emits exactly one row per
+    event and EVICTS each key's state once the 10-minute watermark passes —
+    the bounded-state property that makes exactly-once ingest viable on an
+    unbounded 100 TB feed (plain dropDuplicates would hold every key
+    forever)."""
+    stream = _event_stream(spark, sf_dir, checkpoint_dir)
+    fanout = stream.withColumn(
+        "delivery",
+        F.explode(
+            F.when(
+                F.col("event_id") % DUP_MOD == 0,
+                F.array(F.lit(1), F.lit(2)),
+            ).otherwise(F.array(F.lit(1)))
+        ),
+    ).drop("delivery")
+    deduped = fanout.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(600):
+        query.stop()
+        raise TimeoutError("streaming job did not finish within 600s")
+    return spark.table("stream_dedup")
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sessionization": stream_sessionization,
+    "stream_dedup_events": stream_dedup_events,
 }
 
 ORACLES = {
     "stream_tumbling_counts": TUMBLING_SQL,
     "stream_sessionization": SESSION_SQL,
+    "stream_dedup_events": DEDUP_EVENTS_SQL,
 }

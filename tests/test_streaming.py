@@ -70,3 +70,18 @@ def test_stateful_user_totals(spark, ckpt):
     b = {(r.user_id, r.n_events) for r in batch.collect()}
     assert len(s) > 0
     assert s == b, f"stateful totals diverge: {len(s ^ b)} rows differ"
+
+
+def test_stream_dedup_emits_each_event_once(spark, ckpt):
+    """Injected duplicate deliveries must collapse: one output row per
+    event_id, payload equal to the batch table's."""
+    from dbsurveyor_spark.streaming.events import DUP_MOD, stream_dedup_job
+
+    out = stream_dedup_job(spark, SF_ORACLE, ckpt)
+    events = load_table(spark, SF_ORACLE, "events")
+    n_events = events.count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+    # spot-check payload equality on the re-delivered subset
+    dup_ids = out.filter(F.col("event_id") % DUP_MOD == 0).count()
+    assert dup_ids == events.filter(F.col("event_id") % DUP_MOD == 0).count()
