@@ -10,8 +10,9 @@ DETERMINISTIC STUB (`_fake_decode`); real decoders drop into the same seam
 (`decode_fn` parameter). The Spark-side plumbing — binary columns, schema,
 batch iteration, partition-parallel execution — is real and tested.
 
-`mm_decode_stats` is registered as a rows-only driver check (no SQL oracle:
-mapInPandas is not SQL-expressible).
+The stub codecs are pure byte arithmetic, so both registry keys carry SQL
+oracles replaying the stub semantics (see ORACLES below); with a real
+decoder injected they would drop back to rows-only checks.
 """
 
 from __future__ import annotations
@@ -189,6 +190,35 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
 }
 
-# Intentionally no ORACLES entry: mapInPandas is not SQL-expressible; the
-# driver records a rows-only check for this key.
-ORACLES: dict[str, str] = {}
+# The mapInPandas MECHANISM is not SQL-expressible, but the deterministic
+# stub codecs are pure byte arithmetic — so the oracles replay the stub
+# semantics in SQL and the driver gets full value checks (a real injected
+# decoder would drop these keys back to rows-only). strlen() is DuckDB's
+# BYTE length, matching len(text.encode("utf-8")).
+_DECODE_SQL = f"""
+WITH media AS (
+  SELECT doc_id, strlen(text) AS n,
+         (['jpeg', 'png', 'webp'])[(doc_id % {len(_FORMATS)}) + 1] AS media_format
+  FROM documents
+)
+SELECT doc_id, n AS n_bytes,
+       64 + n % 640 AS width,
+       64 + (n * 7) % 480 AS height,
+       media_format
+FROM media
+"""
+
+_FRAME_SQL = f"""
+WITH media AS (SELECT doc_id, strlen(text) AS n FROM documents),
+frames AS (
+  SELECT doc_id, fi AS frame_idx,
+         LEAST({FRAME_SIZE}, n - fi * {FRAME_SIZE}) AS frame_n_bytes
+  FROM media, unnest(range(0, GREATEST(1, n // {FRAME_SIZE}), {FRAME_STRIDE})) AS t(fi)
+)
+SELECT doc_id, frame_idx, frame_n_bytes FROM frames
+"""
+
+ORACLES: dict[str, str] = {
+    "mm_decode_stats": _DECODE_SQL,
+    "mm_frame_sample": _FRAME_SQL,
+}
