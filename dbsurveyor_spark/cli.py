@@ -34,6 +34,8 @@ import sys
 from datetime import datetime, timezone
 from typing import Any
 
+from pyspark.sql import functions as F
+
 SOURCE_TYPES = (
     ("parquet-lake", "directory of <table>.parquet files (native)"),
     ("sqlite", "sqlite:///path.db — PRAGMA-based schema + Spark-read rows"),
@@ -70,7 +72,10 @@ def _sample_tables(spark, sf_dir: str, limit: int, mode: str) -> list[dict]:
     for tname in TABLES:
         df = load_table(spark, sf_dir, tname)
         order_col = df.columns[0]
-        rows = [r.asDict(recursive=True) for r in df.orderBy(order_col).limit(limit).collect()]
+        rows = [
+            r.asDict(recursive=True)
+            for r in df.orderBy(F.desc(order_col)).limit(limit).collect()
+        ]
         out.append(
             {
                 "table_name": tname,
@@ -94,9 +99,23 @@ def cmd_collect(args: argparse.Namespace) -> int:
         write_schema_json,
     )
 
+    if args.encrypt and args.compress:
+        print("--encrypt and --compress are mutually exclusive", file=sys.stderr)
+        return 2
     spark = _get_spark()
     if args.database:
-        datasets = {os.path.basename(d.rstrip("/")) or d: d for d in args.database}
+        if args.sample or args.enable_quality:
+            print(
+                "warning: --sample/--enable-quality apply to single-lake "
+                "collect only; ignored for --database",
+                file=sys.stderr,
+            )
+        # name by basename; on collision fall back to the full path so no
+        # requested lake is ever silently dropped
+        datasets: dict[str, str] = {}
+        for d in args.database:
+            key = os.path.basename(d.rstrip("/")) or d
+            datasets[d if key in datasets else key] = d
         doc: dict[str, Any] = collect_multi_database_schema(
             spark, datasets, infer_keys=not args.no_infer_keys
         )
@@ -120,6 +139,12 @@ def cmd_collect(args: argparse.Namespace) -> int:
     elif args.source.startswith("sqlite:"):
         from .sources.sqlite import SqliteSource
 
+        if args.sample or args.enable_quality:
+            print(
+                "warning: --sample/--enable-quality apply to lake-dir "
+                "collect only; ignored for sqlite sources",
+                file=sys.stderr,
+            )
         doc = SqliteSource(_sqlite_path(args.source)).survey(name=args.name)
     else:
         print(f"unsupported collect source: {args.source}", file=sys.stderr)
@@ -134,8 +159,7 @@ def cmd_collect(args: argparse.Namespace) -> int:
     elif args.compress:
         if not out.endswith(".gz"):
             out += ".gz"
-        with gzip.open(out, "wt") as fh:
-            json.dump(doc, fh, indent=2, default=str)
+        write_schema_json(doc, out, compress=True)
     else:
         write_schema_json(doc, out)
     print(f"wrote {out}")
@@ -158,15 +182,24 @@ def cmd_test(args: argparse.Namespace) -> int:
     if src.startswith("sqlite:"):
         from .sources.sqlite import SqliteSource
 
-        s = SqliteSource(_sqlite_path(src))
-        info = s.database_info()
-        print(f"OK sqlite: {info['name']} ({len(s.table_names())} tables)")
+        try:
+            s = SqliteSource(_sqlite_path(src))
+            info = s.database_info()
+            n_tables = len(s.table_names())
+        except Exception as exc:
+            print(f"FAIL sqlite: {exc}", file=sys.stderr)
+            return 1
+        print(f"OK sqlite: {info['name']} ({n_tables} tables)")
         return 0
     if src.startswith("jdbc:"):
         from .security import parse_connection_string, sanitize_connection_url
 
         # urlsplit needs the driver scheme, not the jdbc: envelope
-        parse_connection_string(src[len("jdbc:"):])
+        try:
+            parse_connection_string(src[len("jdbc:"):])
+        except ValueError as exc:
+            print(f"FAIL jdbc url: {exc}", file=sys.stderr)
+            return 1
         print(f"OK jdbc url parsed: jdbc:{sanitize_connection_url(src[len('jdbc:'):])}")
         return 0
     print(f"unsupported source: {src}", file=sys.stderr)

@@ -103,11 +103,6 @@ def cosine_rounded_arrow(a: Column, b: Column) -> Column:
     return F.round(_cosine_kernel(a, b), COS_ROUND)
 
 
-def embedding_dim(df, col: str = "embedding") -> int:
-    """Array length of one row (plan-sizing metadata lookup, one tiny job)."""
-    return df.select(F.size(col).alias("d")).first()["d"]
-
-
 # Schema of cell_topk_mapper output (mapInPandas contract).
 CELL_TOPK_SCHEMA = "vec_id bigint, cell_id bigint, rn int"
 

@@ -48,7 +48,12 @@ from ..functions.hashing import (
     portable_hash48_sql,
 )
 from ..functions.text import shingles_sql, tokens, tokens_sql
-from ..functions.vectors import cosine_rounded, cosine_rounded_sql, cosine_sql
+from ..functions.vectors import (
+    cosine_rounded_arrow,
+    cosine_rounded_sql,
+    cosine_sql,
+)
+from ..plans.cache import release_caches, tracked_cache as _tracked_cache
 
 ID_OFFSET = 1_000_000
 JACCARD_T = 0.8
@@ -81,22 +86,10 @@ COSINE_T = 0.95
 
 _MH_PARAMS = minhash_params(MINHASH_K)
 
-# Caches persisted by the most recent dedup query. Each query releases its
-# predecessor's blocks on entry, so running the full registry in one session
-# holds at most ONE query's cached frames in executor storage.
-_TRACKED_CACHES: list[DataFrame] = []
-
-
-def release_caches() -> None:
-    """Unpersist every cache the dedup suite still holds."""
-    while _TRACKED_CACHES:
-        _TRACKED_CACHES.pop().unpersist()
-
-
-def _tracked_cache(df: DataFrame) -> DataFrame:
-    df = df.cache()
-    _TRACKED_CACHES.append(df)
-    return df
+# Tracked caching is shared with the other operator modules
+# (plans/cache.py): each query's release_caches() on entry frees the
+# previous query's blocks, so a full registry sweep holds one query's
+# caches at a time.
 
 
 def _input_bytes(sf_dir: str, table: str) -> int:
@@ -587,7 +580,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-or-second cell — the standard IVF recall argument, with the
     cell count growing with the corpus.
     """
-    from ..functions.vectors import cosine_rounded_arrow
     from .similarity import rank_cells, trained_centroid_rows
 
     release_caches()

@@ -189,9 +189,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The candidate join is slim-first: (vec_id, cell_id) ⋈ broadcast probes,
     THEN vectors re-attach via one join on vec_id — corpus embeddings never
     ride through the cell match."""
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent_rows = trained_centroid_rows(spark, sf_dir)
-    cells = rank_cells(emb, cent_rows, NPROBE)
+    # cache: assigned and probes both read this frame — without it the
+    # corpus assignment pass (scan + Arrow kernel) runs once per branch
+    # (ReuseExchange is unreliable for self-referencing subtrees).
+    cells = tracked_cache(rank_cells(emb, cent_rows, NPROBE))
     assigned = cells.filter(F.col("rn") == 1).select("vec_id", "cell_id")
     # probes keep their NPROBE nearest cells (not just the assignment cell)
     probes = (

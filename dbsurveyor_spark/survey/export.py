@@ -447,17 +447,30 @@ def to_mermaid_erd(doc: dict[str, Any]) -> str:
 # ------------------------------------------------------------------- file IO
 
 
-def write_schema_json(doc: dict[str, Any], path: str, passphrase: str | None = None) -> None:
-    """Write the `.dbsurveyor.json`-shaped document (optionally encrypted —
-    the `.enc` analog; refuses plaintext fallback if crypto is missing)."""
+def write_schema_json(
+    doc: dict[str, Any],
+    path: str,
+    passphrase: str | None = None,
+    compress: bool = False,
+) -> None:
+    """Write the `.dbsurveyor.json`-shaped document — optionally encrypted
+    (the `.enc` analog; refuses plaintext fallback if crypto is missing) or
+    gzip-compressed. Every envelope writes tmp + os.replace, so a crash
+    never leaves a truncated document at the destination."""
     if passphrase is not None:
         from ..security import write_encrypted_json
 
         write_encrypted_json(doc, path, passphrase)
         return
     tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh, indent=2, default=str)
+    if compress:
+        import gzip
+
+        with gzip.open(tmp, "wt") as fh:
+            json.dump(doc, fh, indent=2, default=str)
+    else:
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=2, default=str)
     os.replace(tmp, path)
 
 

@@ -560,7 +560,9 @@ def collect_quality_metrics(
         num_cols = [
             f.name
             for f in df.schema.fields
-            if f.dataType.typeName().split("(")[0] in numeric_types
+            # simpleString(): 'int'/'bigint'/'decimal(30,6)' — typeName()
+            # would say 'integer'/'long' and silently skip integer columns
+            if f.dataType.simpleString().split("(")[0] in numeric_types
         ]
         aggs = [
             F.count(F.lit(1)).alias("__total"),

@@ -152,3 +152,44 @@ class TestQualityCollection:
             m["uniqueness"]["duplicate_row_count"] == 0
             for m in metrics.values()
         )
+
+
+class TestReviewRegressions:
+    def test_malformed_jdbc_and_missing_sqlite_fail_cleanly(self, capsys):
+        assert run(["test", "jdbc:oracle:thin:@host"]) == 1
+        assert run(["test", "sqlite:///no/such/file.db"]) == 1
+        err = capsys.readouterr().err
+        assert "FAIL" in err
+
+    def test_basename_collision_keeps_both_lakes(self, spark, tmp_path):
+        import shutil
+
+        a = tmp_path / "lakeA" / "sf"
+        b = tmp_path / "lakeB" / "sf"
+        for d in (a, b):
+            d.mkdir(parents=True)
+            for t in ("region", "nation"):
+                shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+        out = tmp_path / "server.json"
+        assert (
+            run(["collect", "x", "--database", str(a), "--database", str(b),
+                 "-o", str(out), "--no-infer-keys"]) == 0
+        )
+        doc = json.load(open(out))
+        # both lakes surveyed (second keyed by full path, not dropped)
+        assert doc["collection_metadata"]["databases_discovered"] == 2
+
+    def test_encrypt_plus_compress_rejected(self, tmp_path):
+        out = tmp_path / "x.json"
+        assert (
+            run(["collect", SF, "-o", str(out), "--encrypt", "--compress",
+                 "--passphrase", "pw"]) == 2
+        )
+
+    def test_samples_are_descending_head(self, spark, tmp_path):
+        out = tmp_path / "s.json"
+        assert run(["collect", SF, "-o", str(out), "--sample", "2"]) == 0
+        doc = json.load(open(out))
+        orders = next(s for s in doc["samples"] if s["table_name"] == "orders")
+        keys = [r["o_orderkey"] for r in orders["rows"]]
+        assert keys == sorted(keys, reverse=True)  # newest-by-key first
