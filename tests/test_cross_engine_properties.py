@@ -1,0 +1,122 @@
+"""Randomized cross-engine determinism properties (batched, seed-fixed).
+
+Rather than per-example hypothesis runs (a JVM round trip per example),
+each property generates one adversarial corpus up front and compares the
+engines in a single batched job — same coverage, ~100× cheaper.
+
+Properties pinned:
+- portable_hash32/48/64(s) agree between Spark and DuckDB for arbitrary
+  unicode (including quotes, NULs are excluded — parquet/utf8 contract).
+- cosine over random vectors is BIT-identical three ways: Spark HOF fold,
+  the Arrow numpy kernel, and DuckDB's list_reduce mirror — the invariant
+  every vector operator's oracle parity rests on.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dbsurveyor_spark.functions.hashing import (
+    portable_hash32,
+    portable_hash32_sql,
+    portable_hash48,
+    portable_hash48_sql,
+    portable_hash64,
+    portable_hash64_sql,
+)
+from dbsurveyor_spark.functions.vectors import (
+    cosine_rounded,
+    cosine_rounded_arrow,
+    cosine_rounded_sql,
+)
+
+ALPHABETS = [
+    "abcdefghijklmnopqrstuvwxyz",
+    "ABC xyz 0123456789",
+    "äöüßéèêñçØπΩλ",
+    "日本語中文한국어",
+    "😀🎉🚀💡",
+    "'\"\\;--%_{}()[]|&$`",
+    " \t\r\n",
+]
+
+
+def _random_strings(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        alpha = rng.choice(ALPHABETS)
+        out.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 40))))
+    out += ["", "a", "é", "Á"]  # edge: empty, combining accent
+    return out
+
+
+class TestHashParity:
+    @pytest.mark.parametrize(
+        "spark_fn,sql_fn",
+        [
+            (portable_hash32, portable_hash32_sql),
+            (portable_hash48, portable_hash48_sql),
+            (portable_hash64, portable_hash64_sql),
+        ],
+        ids=["h32", "h48", "h64"],
+    )
+    def test_hash_matches_duckdb_on_random_unicode(self, spark, spark_fn, sql_fn):
+        strings = _random_strings(300, seed=20260813)
+        sdf = spark.createDataFrame([(s,) for s in strings], "s string")
+        got = [
+            r["h"]
+            for r in sdf.select(spark_fn(F.col("s")).alias("h"))
+            .collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in strings])
+        want = [r[0] for r in con.execute(f"SELECT {sql_fn('s')} FROM t").fetchall()]
+        assert got == want
+
+
+class TestCosineTriParity:
+    def test_three_implementations_bit_identical(self, spark):
+        rng = random.Random(7)
+        dim = 64
+        vecs = []
+        for i in range(120):
+            if i % 10 == 0:
+                vecs.append([0.0] * dim)  # zero-norm guard path
+            else:
+                vecs.append([rng.uniform(-1, 1) for _ in range(dim)])
+        rows = [(i, vecs[i], vecs[(i * 7 + 3) % len(vecs)]) for i in range(len(vecs))]
+        sdf = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+        hof = {
+            r["i"]: r["c"]
+            for r in sdf.select(
+                "i", cosine_rounded(F.col("a"), F.col("b")).alias("c")
+            ).collect()
+        }
+        arrow = {
+            r["i"]: r["c"]
+            for r in sdf.select(
+                "i", cosine_rounded_arrow(F.col("a"), F.col("b")).alias("c")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE v(i BIGINT, a DOUBLE[], b DOUBLE[])")
+        con.executemany(
+            "INSERT INTO v VALUES (?, ?, ?)", [(i, a, b) for i, a, b in rows]
+        )
+        duck = {
+            r[0]: r[1]
+            for r in con.execute(
+                f"SELECT i, {cosine_rounded_sql('a', 'b')} FROM v"
+            ).fetchall()
+        }
+        for i in hof:
+            ha = struct.pack("<d", hof[i])
+            assert ha == struct.pack("<d", arrow[i]), f"hof≠arrow at {i}"
+            assert ha == struct.pack("<d", duck[i]), f"hof≠duckdb at {i}"
