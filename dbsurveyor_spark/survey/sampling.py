@@ -98,11 +98,76 @@ LIMIT {MOST_RECENT_LIMIT}
 """
 
 
+# ------------------------------------------- training-data pipeline splits
+
+# Deterministic hash split: md5(doc_id) bucket 0-99 → 90/5/5. Scan-local
+# (no shuffle, no RNG state), reproducible across engines and runs, and
+# stable under corpus growth — a document keeps its split forever, the
+# property a training pipeline needs for held-out integrity at 100 TB.
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5
+
+# Per-language target keep-rates for corpus mixing (domain/language
+# rebalancing, the Pile/ROOTS-style weighted mixture): deterministic
+# hash-Bernoulli per doc, so the mix is exact in expectation and
+# reproducible row-for-row.
+MIX_WEIGHTS = {"en": 100, "de": 60, "fr": 60, "es": 40, "ja": 40}
+MIX_DEFAULT_PCT = 20
+
+
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = portable_hash64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+_SPLIT_BUCKET = f"{portable_hash64_sql('CAST(doc_id AS VARCHAR)')} % 100"
+
+SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_SPLIT_BUCKET} < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {_SPLIT_BUCKET} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture: keep each doc with its language's target
+    rate via hash-Bernoulli — one scan-local filter, no shuffle, no RNG;
+    re-running (or adding data) never flips a previous keep decision."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    rate = F.lit(MIX_DEFAULT_PCT)
+    for lang, pct in MIX_WEIGHTS.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    keep = portable_hash64(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))) % 100
+    return docs.filter(keep < rate)
+
+
+_MIX_RATE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in MIX_WEIGHTS.items()
+) + f" ELSE {MIX_DEFAULT_PCT} END"
+
+MIX_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {portable_hash64_sql("'mix_' || CAST(doc_id AS VARCHAR)")} % 100 < {_MIX_RATE}
+"""
+
+
 QUERIES = {
     "sample_most_recent_orders": sample_most_recent_orders,
     "sample_random_orders": sample_random_orders,
     "sample_stratified_events": sample_stratified_events,
     "sample_by_pk_orders": sample_by_pk_orders,
+    "sample_hash_split": sample_hash_split,
+    "sample_weighted_mix": sample_weighted_mix,
 }
 
 ORACLES = {
@@ -110,4 +175,6 @@ ORACLES = {
     "sample_random_orders": RANDOM_SQL,
     "sample_stratified_events": STRATIFIED_SQL,
     "sample_by_pk_orders": BY_PK_SQL,
+    "sample_hash_split": SPLIT_SQL,
+    "sample_weighted_mix": MIX_SQL,
 }
