@@ -5,7 +5,7 @@ ANN's cell assignment) registers it here; the NEXT query that calls
 `release_caches()` on entry frees the predecessor's blocks. Running the
 whole registry in one session therefore holds at most one query's cached
 frames in executor storage — the memory-hygiene contract the driver's
-42-query sweep relies on.
+full registry sweep relies on.
 """
 
 from __future__ import annotations
