@@ -116,3 +116,46 @@ class TestScanEconomy:
         # on OTHER columns must still reach the parquet reader.
         df = load_table(spark, SF, "events").filter(F.col("event_type") == "error")
         assert_pushed_filters(df, "event_type")
+
+
+class TestRound2OperatorPlans:
+    def test_weighted_mix_prunes_documents_scan(self, spark):
+        # hash-Bernoulli keep can't push (md5 of a column), but the scan
+        # must read only the three projected columns, never text/n_chars.
+        from dbsurveyor_spark.survey import sampling
+
+        assert_read_schema_only(
+            sampling.sample_weighted_mix(spark, SF),
+            "documents.parquet",
+            {"doc_id", "lang", "source"},
+        )
+
+    def test_hash_split_prunes_documents_scan(self, spark):
+        from dbsurveyor_spark.survey import sampling
+
+        assert_read_schema_only(
+            sampling.sample_hash_split(spark, SF),
+            "documents.parquet",
+            {"doc_id", "lang"},
+        )
+
+    def test_stream_dedup_events_single_shuffle_no_python(self, spark):
+        from dbsurveyor_spark.streaming import events as streaming_events
+
+        df = streaming_events.stream_dedup_events(spark, SF)
+        assert_no_python_eval(df)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+
+    def test_clusters_edge_pipeline_has_no_cartesian(self, spark):
+        from dbsurveyor_spark.operators import dedup
+
+        plan = formatted_plan(dedup.dedup_neardup_clusters(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ann_ivf_caches_cell_assignment(self, spark):
+        # both plan branches (assigned + probes) must read the cached
+        # assignment, not re-run the corpus mapInPandas pass per branch
+        plan = formatted_plan(similarity.ann_ivf_topk(spark, SF))
+        assert plan.count("InMemoryTableScan") >= 2, plan
