@@ -34,8 +34,6 @@ import sys
 from datetime import datetime, timezone
 from typing import Any
 
-from pyspark.sql import functions as F
-
 SOURCE_TYPES = (
     ("parquet-lake", "directory of <table>.parquet files (native)"),
     ("sqlite", "sqlite:///path.db — PRAGMA-based schema + Spark-read rows"),
@@ -65,6 +63,8 @@ def _sqlite_path(url: str) -> str:
 def _sample_tables(spark, sf_dir: str, limit: int, mode: str) -> list[dict]:
     """Reference-shaped TableSample list (models.rs:399): deterministic
     head-by-first-column rows, redacted before entering the document."""
+    from pyspark.sql import functions as F
+
     from .catalog import TABLES, load_table
     from .security import redact_rows
 
@@ -110,12 +110,19 @@ def cmd_collect(args: argparse.Namespace) -> int:
                 "collect only; ignored for --database",
                 file=sys.stderr,
             )
-        # name by basename; on collision fall back to the full path so no
-        # requested lake is ever silently dropped
+        # name by basename; identical paths dedupe, distinct paths with
+        # colliding basenames get a numbered suffix so no requested lake
+        # is ever silently dropped or double-surveyed
         datasets: dict[str, str] = {}
         for d in args.database:
-            key = os.path.basename(d.rstrip("/")) or d
-            datasets[d if key in datasets else key] = d
+            if d in datasets.values():
+                continue
+            base = os.path.basename(d.rstrip("/")) or d
+            key, i = base, 2
+            while key in datasets:
+                key = f"{base}#{i}"
+                i += 1
+            datasets[key] = d
         doc: dict[str, Any] = collect_multi_database_schema(
             spark, datasets, infer_keys=not args.no_infer_keys
         )

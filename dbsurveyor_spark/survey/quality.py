@@ -552,7 +552,9 @@ def collect_quality_metrics(
 
     from ..catalog import TABLES
 
-    numeric_types = {"int", "bigint", "double", "float", "decimal", "smallint"}
+    numeric_types = {
+        "int", "bigint", "double", "float", "decimal", "smallint", "tinyint",
+    }
     out: list[dict] = []
     for tname in tables if tables is not None else list(TABLES):
         df = load_table(spark, sf_dir, tname)

@@ -111,7 +111,7 @@ SPLIT_VAL_PCT = 5
 # rebalancing, the Pile/ROOTS-style weighted mixture): deterministic
 # hash-Bernoulli per doc, so the mix is exact in expectation and
 # reproducible row-for-row.
-MIX_WEIGHTS = {"en": 100, "de": 60, "fr": 60, "es": 40, "ja": 40}
+MIX_WEIGHTS = {"en": 100, "de": 60, "fr": 60, "es": 40, "zh": 40}
 MIX_DEFAULT_PCT = 20
 
 

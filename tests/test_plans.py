@@ -146,6 +146,9 @@ class TestRound2OperatorPlans:
         assert_no_python_eval(df)
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
+        # exactly ONE physical shuffle (the event_id aggregate); formatted
+        # explain renders each node twice — tree line + detail section
+        assert plan.count("Exchange") <= 2, plan
 
     def test_clusters_edge_pipeline_has_no_cartesian(self, spark):
         from dbsurveyor_spark.operators import dedup
