@@ -169,6 +169,124 @@ def cell_topk_mapper(cent_rows: list, nprobe: int):
     return mapper
 
 
+# Schema of centroid_partial_mapper output: one row per (partition, cell)
+# holding that partition's member count and exact per-dimension sums in
+# 1e-9 units (the DECIMAL(30,9) lattice). int64 is safe partition-locally:
+# |unit| ≤ 1e9·|v| and partition row counts are bounded by
+# spark.sql.files.maxPartitionBytes, keeping sums ≪ 2^63.
+CENTROID_PARTIAL_SCHEMA = "cell_id bigint, cnt bigint, sums array<bigint>"
+
+
+def centroid_partial_mapper(cent_rows: list):
+    """mapInPandas factory for one Lloyd step's map side: fuse nearest-cell
+    assignment (bit-identical scoring to :func:`cell_topk_mapper` at
+    nprobe=1) with per-partition partial mean state — emitting only
+    (cell_id, cnt, sums) per partition instead of corpus×dim rows through a
+    shuffle. The driver merges the ≤ partitions×k partial rows exactly.
+
+    Exact-decimal parity: each coordinate is quantized to the
+    DECIMAL(30,9) lattice exactly as Spark's double→decimal cast (shortest
+    decimal repr, then HALF_UP — ties away from zero) and DuckDB's
+    equivalent cast do. The vectorized path floor(v·1e9 + 0.5) is exact
+    whenever the scaled value is ≥1e-4 units away from a rounding
+    boundary; the rare boundary-zone values replay the cast via
+    Decimal(repr(v)) so no float-product error can flip a unit. Integer
+    unit sums are order-independent, so the result is bit-identical to a
+    single-pass decimal aggregate regardless of partitioning.
+    """
+    cell_ids = [int(r[0]) for r in cent_rows]
+    cvecs = [[float(x) for x in r[1]] for r in cent_rows]
+
+    def mapper(batches):  # pragma: no cover — runs on executors
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        cids = np.asarray(cell_ids, dtype=np.int64)
+        C = np.asarray(cvecs, dtype=np.float64)  # k × dim
+        k, dim = C.shape
+        cn = np.zeros(k)
+        for i in range(dim):
+            cn += C[:, i] * C[:, i]
+        cn = np.sqrt(cn)
+        S = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        quant = Decimal(1).scaleb(-9)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            # -- assignment: the exact fold/rank of cell_topk_mapper(…, 1)
+            acc = np.zeros((m, k))
+            na = np.zeros(m)
+            for i in range(dim):
+                ai = A[:, i]
+                na += ai * ai
+                acc += ai[:, None] * C[None, :, i]
+            na = np.sqrt(na)
+            ok = (na[:, None] > 0) & (cn[None, :] > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(ok, acc / (na[:, None] * cn[None, :]), 0.0)
+            best = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+            # -- exact DECIMAL(30,9) units
+            s = A * 1e9
+            u = np.floor(s + 0.5)  # nearest away from boundaries (any sign)
+            risky = np.abs(s + 0.5 - np.rint(s + 0.5)) < 1e-4
+            if risky.any():
+                for ri, ci in zip(*np.nonzero(risky)):
+                    u[ri, ci] = int(
+                        Decimal(repr(float(A[ri, ci])))
+                        .quantize(quant, rounding=ROUND_HALF_UP)
+                        .scaleb(9)
+                    )
+            np.add.at(S, best, u.astype(np.int64))
+            counts += np.bincount(best, minlength=k)
+        live = np.nonzero(counts)[0]
+        if live.size:
+            yield pd.DataFrame(
+                {
+                    "cell_id": cids[live],
+                    "cnt": counts[live],
+                    "sums": [S[i].tolist() for i in live],
+                }
+            )
+
+    return mapper
+
+
+def merge_centroid_partials(rows: list) -> list:
+    """Exact driver-side reduce of :func:`centroid_partial_mapper` output:
+    [(cell_id, mean_vector)] sorted by cell_id, empty cells absent. Means
+    replay cast(decimal_sum AS double)/count — Fraction→float is correctly
+    rounded, so the double equals what Spark/DuckDB derive from the same
+    decimal sum."""
+    from fractions import Fraction
+
+    totals: dict[int, tuple[int, list[int]]] = {}
+    for r in rows:
+        cid = int(r["cell_id"])
+        cnt, sums = totals.get(cid, (0, None))
+        add = [int(x) for x in r["sums"]]
+        if sums is None:
+            totals[cid] = (cnt + int(r["cnt"]), add)
+        else:
+            totals[cid] = (
+                cnt + int(r["cnt"]),
+                [a + b for a, b in zip(sums, add)],
+            )
+    return sorted(
+        (
+            cid,
+            [float(Fraction(t, 10**9)) / cnt for t in sums],
+        )
+        for cid, (cnt, sums) in totals.items()
+    )
+
+
 # ------------------------------------------------------------- DuckDB mirror
 
 

@@ -669,6 +669,76 @@ SEMI JOIN survivors s
 # ------------------------------------------------- near-dup cluster survivors
 
 
+def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Connected components by alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): O(log n) rounds on ANY graph — including adversarial chains,
+    where plain min-label propagation needs diameter rounds.
+
+    ``edges``: undirected (src, dst) pairs, src != dst (either orientation,
+    duplicates fine). Returns (node, label) for every node INCIDENT to an
+    edge, label = min node id of its component. Each round is two
+    groupBy-join passes over a metadata-slim two-long-column frame; the
+    superseded edge frame is unpersisted as soon as its successor
+    materializes, so storage holds at most two frames at once.
+
+    Both star operations preserve connectivity and only ever re-point a
+    node at a smaller id, so the fixpoint (a star per component, centered
+    at the component min) is unique and order-independent — iteration
+    count cannot change the result, which keeps the oracle's recursive
+    transitive closure an exact mirror.
+    """
+    # canonical big→small orientation: (a, b) with a > b
+    a, b = F.col("a"), F.col("b")
+    cur = (
+        edges.select(
+            F.greatest("src", "dst").alias("a"),
+            F.least("src", "dst").alias("b"),
+        )
+        .filter(a != b)
+        .distinct()
+    )
+    cur = cur.cache()
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        # -- large-star: u links every strictly-larger neighbor to
+        #    m(u) = min(N(u) ∪ {u}). All emitted pairs keep a > b.
+        und = cur.select(a.alias("u"), b.alias("v")).union(
+            cur.select(b.alias("u"), a.alias("v"))
+        )
+        m = und.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            und.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # -- small-star: every edge already points big→small; u links its
+        #    smaller neighborhood (and itself) to m(u) = min smaller nbr.
+        m2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        nxt = (
+            large.join(m2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(m2.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        nxt = nxt.cache()
+        n_nxt = nxt.count()
+        converged = n_nxt == n_cur and nxt.exceptAll(cur).isEmpty()
+        cur.unpersist()
+        cur, n_cur = nxt, n_nxt
+        if converged:
+            break
+    # fixpoint: a star per component — (a=node, b=component min).
+    # Track the surviving frame so the NEXT query's release_caches frees it
+    # (everything superseded was unpersisted inside the loop already).
+    _tracked_cache(cur)
+    return cur.select(F.col("a").alias("node"), F.col("b").alias("label"))
+
+
 def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over verified near-dup pairs → cluster survivors:
     (doc_id, cluster_id = min doc_id reachable, is_survivor). This is the
@@ -677,57 +747,34 @@ def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus must be clustered before one representative per cluster is kept
     (the standard corpus-dedup pipeline, e.g. web-crawl preprocessing).
 
-    Edges are `dedup_ngram_jaccard`'s exact τ ≥ 0.8 pairs. Labels start as
-    each doc's own id and propagate as min(own, neighbors) per round — a
-    driver loop over cached metadata-slim frames ((doc_id, label) longs;
-    text/shingles never enter the iteration). Convergence is witnessed by
-    sum(label), which strictly decreases until fixpoint, so both engines
-    reach the IDENTICAL fixpoint (min id per component is well-defined)
-    regardless of round count; the DuckDB oracle derives the same labels
-    via recursive transitive closure. Rounds scale with component DIAMETER
-    (near-dup clusters are shallow in practice; for adversarial chains
-    switch to alternating small-star/large-star — Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14).
+    Edges are `dedup_ngram_jaccard`'s exact τ ≥ 0.8 pairs, clustered by
+    alternating small-star/large-star contraction
+    (:func:`star_contraction_labels` — O(log n) rounds even on adversarial
+    chains). Docs with no near-dup edge are their own singleton cluster
+    via the left join. Both engines reach the identical fixpoint (min id
+    per component is well-defined); the DuckDB oracle derives the same
+    labels via recursive transitive closure.
     Reference analog: dbsurveyor has no clustering step — this extends
     §2.E beyond the reference for the 100 TB pipeline story.
     """
     release_caches()
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = _tracked_cache(
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"),
-                         F.col("doc_a").alias("doc_b"))
-        ).toDF("src", "dst")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    labels = _tracked_cache(
-        _corpus(spark, sf_dir).select(
-            "doc_id", F.col("doc_id").alias("label")
+    labels = star_contraction_labels(pairs)
+    return (
+        _corpus(spark, sf_dir)
+        .select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
         )
-    )
-    total = labels.agg(F.sum("label")).first()[0]
-    while True:
-        nbr = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("nl"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
         )
-        labels = _tracked_cache(
-            labels.join(nbr, labels["doc_id"] == nbr["dst"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        new_total = labels.agg(F.sum("label")).first()[0]
-        if new_total == total:
-            break
-        total = new_total
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
     )
 
 

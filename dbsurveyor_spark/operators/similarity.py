@@ -22,6 +22,8 @@ left-fold order, so values match bit-for-bit.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -29,10 +31,13 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions.vectors import (
     CELL_TOPK_SCHEMA,
+    CENTROID_PARTIAL_SCHEMA,
     cell_topk_mapper,
+    centroid_partial_mapper,
     cosine_rounded_arrow,
     cosine_rounded_sql,
     cosine_sql,
+    merge_centroid_partials,
 )
 
 N_PROBES = 10  # probe set: vec_id < 10
@@ -41,10 +46,10 @@ MIN_CELLS = 8  # floor on the cell count for tiny corpora
 KMEANS_ITERS = 2  # fixed Lloyd refinements (determinism > convergence here)
 IVF_K = 3
 NPROBE = 2  # cells searched per query (the standard IVF recall lever)
-# Exact-decimal accumulator for centroid means: decimal addition is
-# order-independent, so Spark and DuckDB derive bit-identical centroids
-# regardless of partitioning (same convention as functions/aggregates.py).
-_DEC = "decimal(30,9)"
+# Centroid means accumulate on the decimal(30,9) lattice (exact integer
+# 1e-9 units inside centroid_partial_mapper): order-independent, so Spark
+# and DuckDB derive bit-identical centroids regardless of partitioning
+# (same convention as functions/aggregates.py).
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,26 +101,60 @@ def _n_cells(n: int) -> int:
     return max(MIN_CELLS, int(math.floor(math.sqrt(n))))
 
 
-# Trained coarse quantizers, keyed by sf_dir. An IVF index is MODEL STATE:
-# built once, queried by every ANN/dedup call against the same lake — the
-# exact analog of Faiss's train()/add() split. The cached value is the
-# collected centroid rows (k×dim doubles, metadata-scale), deterministic,
-# and rides in task closures like a broadcast variable.
-_CENTROID_CACHE: dict[str, list] = {}
+# Trained coarse quantizers, keyed by (sf_dir, content fingerprint). An IVF
+# index is MODEL STATE: built once, queried by every ANN/dedup call against
+# the same lake — the exact analog of Faiss's train()/add() split. The
+# cached value is the collected centroid rows (k×dim doubles,
+# metadata-scale), deterministic, and rides in task closures like a
+# broadcast variable. The fingerprint (mtime+size of the parquet files)
+# invalidates the model if the table is rewritten in-process, and the lock
+# serializes trainers so concurrent sessions can't race the dict.
+_CENTROID_CACHE: dict[tuple, list] = {}
+_CENTROID_LOCK = threading.Lock()
+
+
+def _lake_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, size) over the embeddings parquet file(s) — cheap content
+    identity for cache invalidation. Missing paths hash as empty (the
+    subsequent read will raise the real error)."""
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    paths = [root]
+    if os.path.isdir(root):
+        paths = sorted(
+            os.path.join(root, p) for p in os.listdir(root)
+        )
+    out = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            continue
+    return tuple(out)
 
 
 def trained_centroid_rows(spark: SparkSession, sf_dir: str) -> list:
     """The sf_dir's coarse quantizer — [(cell_id, [double]·dim)] sorted by
-    cell_id — trained on the base embeddings table, memoized per session.
-    Shared by ANN search and embedding dedup: an augmented/duplicated corpus
-    row carries an identical vector, so its cell assignment equals its
-    original's under the same model."""
-    if sf_dir not in _CENTROID_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding"
-        )
-        _CENTROID_CACHE[sf_dir] = _train_centroids(emb, _n_cells(emb.count()))
-    return _CENTROID_CACHE[sf_dir]
+    cell_id — trained on the base embeddings table, memoized per
+    (lake, content fingerprint). Shared by ANN search and embedding dedup:
+    an augmented/duplicated corpus row carries an identical vector, so its
+    cell assignment equals its original's under the same model."""
+    key = (sf_dir, _lake_fingerprint(sf_dir))
+    with _CENTROID_LOCK:
+        if key in _CENTROID_CACHE:
+            return _CENTROID_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    rows = _train_centroids(emb, _n_cells(emb.count()))
+    with _CENTROID_LOCK:
+        # drop stale models for the same lake (rewritten table)
+        for k in [k for k in _CENTROID_CACHE if k[0] == sf_dir and k != key]:
+            del _CENTROID_CACHE[k]
+        _CENTROID_CACHE[key] = rows
+    return rows
 
 
 def _train_centroids(emb: DataFrame, k: int) -> list:
@@ -123,13 +162,15 @@ def _train_centroids(emb: DataFrame, k: int) -> list:
     Seeds = k smallest md5(vec_id) (a uniform, reproducible sample — one
     distributed top-k, never a global sort), then KMEANS_ITERS Lloyd steps.
 
-    Each step is one corpus pass: the `cell_topk_mapper` kernel streams the
-    cached corpus once and emits (vec_id → nearest cell); per-dimension
-    means then go through a posexplode → (cell, pos) aggregate — ONE small
-    codegen shape regardless of dim (a dim-wide list of per-element
-    aggregates compiles a huge class; multi-second janino cost), with
-    exact-decimal sums so centroids are bit-identical across engines and
-    partitionings. Model parameters are collected between iterations, so
+    Each step is ONE streaming corpus pass: `centroid_partial_mapper` fuses
+    nearest-cell assignment (bit-identical scoring to the search kernel)
+    with map-side partial mean state, emitting only (cell_id, cnt,
+    unit-sums) per partition — ≤ partitions×k metadata-scale rows, no
+    corpus×dim shuffle. The driver merges partials with exact integer
+    arithmetic (`merge_centroid_partials`), replaying the
+    decimal(30,9)-sum-then-double-divide convention, so centroids stay
+    bit-identical to the DuckDB oracle's decimal aggregate regardless of
+    partitioning. Model parameters are collected between iterations, so
     iteration i's lineage never nests iteration i-1's pass (collected
     doubles round-trip exactly — determinism is unaffected).
     """
@@ -142,29 +183,10 @@ def _train_centroids(emb: DataFrame, k: int) -> list:
     emb = emb.cache()
     try:
         for _ in range(KMEANS_ITERS):
-            assign = rank_cells(emb, rows, nprobe=1).select(
-                "vec_id", "cell_id"
+            partials = emb.select(e.alias("embedding")).mapInPandas(
+                centroid_partial_mapper(rows), CENTROID_PARTIAL_SCHEMA
             )
-            per_dim = (
-                emb.select("vec_id", F.posexplode(e).alias("pos", "v"))
-                .join(assign, "vec_id")
-                .groupBy("cell_id", "pos")
-                .agg(
-                    (
-                        F.sum(F.col("v").cast(_DEC)).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("m")
-                )
-            )
-            updated = per_dim.groupBy("cell_id").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("c_emb")
-            )
-            rows = sorted(
-                (r["cell_id"], list(r["c_emb"])) for r in updated.collect()
-            )
+            rows = merge_centroid_partials(partials.collect())
         return rows
     finally:
         emb.unpersist()

@@ -7,15 +7,15 @@ documents): a data lake's JSON columns are exactly MongoDB-shaped documents,
 and surveying them is the same job — discover the fields, measure how often
 each appears, and classify the dominant value type.
 
-Two phases, like the reference:
-1. **Field discovery** — one distinct-aggregate over `json_object_keys`
-   collected to the driver (field NAMES are schema metadata: tiny, bounded
-   by document vocabulary, not corpus size).
-2. **Per-field statistics** — a SINGLE full-scan aggregate computing every
-   field's presence count, type histogram, distinct count, and min/max
-   examples at once (one struct per field, reshaped to rows with `inline`)
-   — the same one-pass shape as `survey_column_profile`, map-side
-   combinable, no per-field rescans.
+Shape: ONE data-sized explode (`json_object_keys` → (document, field)
+rows) → per-field scalar extraction → `groupBy(field)` — agg state is
+bounded by the field vocabulary, never by it×7 codegen expressions. This
+is deliberately the same plan DuckDB's mirror uses (unnest → extract →
+GROUP BY): a thousand-field document store stays one small codegen shape
+(the earlier one-aggregate-with-7·|fields|-expressions formulation hit
+janino blowup territory and needed a driver key-collect first; this
+needs neither). The single `count_distinct` per group plans as a
+two-phase aggregate — no Expand duplication of the input.
 
 Type classification happens on the EXTRACTED text (both engines unquote
 scalars identically), so a JSON string "123" classifies as integer on both
@@ -48,67 +48,67 @@ def _classify(v: F.Column) -> F.Column:
     )
 
 
-def survey_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-field: presence %, dominant type, distinct count, examples."""
-    import re
+def infer_json_schema(docs: DataFrame, doc_col: str, total: int) -> DataFrame:
+    """Schema-infer a JSON string column of ``docs`` (``total`` = row count).
 
-    ev = load_table(spark, sf_dir, JSON_TABLE).select(JSON_COLUMN)
-    total = ev.count()  # parquet-metadata count: plan sizing, not data pull
-    keys = sorted(
-        r.k
-        for r in ev.select(
-            F.explode(F.json_object_keys(F.col(JSON_COLUMN))).alias("k")
+    explode(json_object_keys) → get_json_object(doc, '$.'||field) →
+    groupBy(field): agg state is O(|fields|), plan size is O(1) in the
+    field vocabulary. present_cnt counts key OCCURRENCES (a present key
+    with a JSON-null value still counts — same as the mirror's COUNT(*));
+    value-dependent stats skip nulls via standard agg null semantics."""
+    kv = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.explode(F.json_object_keys(F.col(doc_col))).alias("field"),
+    ).filter(F.col("field").rlike(_FIELD_RE))
+    vals = kv.select(
+        "field",
+        F.expr("get_json_object(doc, concat('$.', field))").alias("v"),
+    ).withColumn("typ", _classify(F.col("v")))
+    c_bool, c_int = F.col("c_bool"), F.col("c_int")
+    c_dbl, c_str = F.col("c_dbl"), F.col("c_str")
+    dominant = (
+        F.when(
+            (c_bool > 0) & (c_bool >= c_int) & (c_bool >= c_dbl)
+            & (c_bool >= c_str),
+            F.lit("boolean"),
         )
-        .distinct()
-        .collect()
-        if re.match(_FIELD_RE, r.k)
+        .when((c_int > 0) & (c_int >= c_dbl) & (c_int >= c_str), F.lit("integer"))
+        .when((c_dbl > 0) & (c_dbl >= c_str), F.lit("double"))
+        .when(c_str > 0, F.lit("string"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        vals.groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("present_cnt"),
+            F.count_distinct("v").alias("n_distinct"),
+            F.min("v").alias("min_example"),
+            F.max("v").alias("max_example"),
+            F.count(F.when(F.col("typ") == "boolean", 1)).alias("c_bool"),
+            F.count(F.when(F.col("typ") == "integer", 1)).alias("c_int"),
+            F.count(F.when(F.col("typ") == "double", 1)).alias("c_dbl"),
+            F.count(F.when(F.col("typ") == "string", 1)).alias("c_str"),
+        )
+        .select(
+            "field",
+            "present_cnt",
+            F.round(F.col("present_cnt") * 100.0 / F.lit(total), 3).alias(
+                "presence_pct"
+            ),
+            dominant.alias("dominant_type"),
+            "n_distinct",
+            "min_example",
+            "max_example",
+        )
+        .orderBy("field")
     )
 
-    structs = []
-    for k in keys:
-        v = F.get_json_object(F.col(JSON_COLUMN), f"$.{k}")
-        typ = _classify(v)
-        present = F.count(
-            F.when(
-                F.array_contains(F.json_object_keys(F.col(JSON_COLUMN)), k), 1
-            )
-        )
-        c_bool = F.count(F.when(typ == "boolean", 1))
-        c_int = F.count(F.when(typ == "integer", 1))
-        c_dbl = F.count(F.when(typ == "double", 1))
-        c_str = F.count(F.when(typ == "string", 1))
-        dominant = (
-            F.when(
-                (c_bool > 0) & (c_bool >= c_int) & (c_bool >= c_dbl) & (c_bool >= c_str),
-                F.lit("boolean"),
-            )
-            .when((c_int > 0) & (c_int >= c_dbl) & (c_int >= c_str), F.lit("integer"))
-            .when((c_dbl > 0) & (c_dbl >= c_str), F.lit("double"))
-            .when(c_str > 0, F.lit("string"))
-            .otherwise(F.lit(None).cast("string"))
-        )
-        structs.append(
-            F.struct(
-                F.lit(k).alias("field"),
-                present.alias("present_cnt"),
-                F.round(present * 100.0 / F.lit(total), 3).alias("presence_pct"),
-                dominant.alias("dominant_type"),
-                F.count_distinct(v).alias("n_distinct"),
-                F.min(v).alias("min_example"),
-                F.max(v).alias("max_example"),
-            )
-        )
-    if not structs:
-        schema = (
-            "field string, present_cnt bigint, presence_pct double, "
-            "dominant_type string, n_distinct bigint, "
-            "min_example string, max_example string"
-        )
-        return spark.createDataFrame([], schema)
-    one_row = ev.agg(*[s.alias(f"s{i}") for i, s in enumerate(structs)])
-    return one_row.select(
-        F.inline(F.array(*[F.col(f"s{i}") for i in range(len(structs))]))
-    ).orderBy("field")
+
+def survey_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field: presence %, dominant type, distinct count, examples."""
+    ev = load_table(spark, sf_dir, JSON_TABLE).select(JSON_COLUMN)
+    total = ev.count()  # parquet-metadata count: plan sizing, not data pull
+    return infer_json_schema(ev, JSON_COLUMN, total)
 
 
 def _json_schema_sql() -> str:

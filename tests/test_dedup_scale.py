@@ -112,44 +112,66 @@ def test_simhash_blocks_cover_all_bits():
     assert HAMMING_MAX < SIMHASH_BLOCKS - 2  # ≤3 flips leave ≥3 intact blocks
 
 
-def test_neardup_clusters_fixpoint_on_chain(spark):
-    """Label propagation must reach the per-component min even when the
-    near-dup relation is a CHAIN (a~b, b~c, but a!~c): the driver loop's
-    sum(label) fixpoint witness has to keep iterating past round one.
-    Builds a 5-doc chain + an isolated doc directly on the edge relation."""
+def test_star_contraction_chain_and_mixed_components(spark):
+    """Star contraction must label a 5-doc chain plus disjoint shapes
+    (triangle, pair) with each component's min, in either edge
+    orientation, with duplicate edges present."""
+    from dbsurveyor_spark.operators.dedup import star_contraction_labels
+
+    edges = spark.createDataFrame(
+        [
+            (11, 10), (11, 12), (12, 13), (13, 14),  # chain 10..14
+            (20, 21), (21, 22), (22, 20),  # triangle
+            (31, 30), (31, 30),  # duplicate pair edges
+        ],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in star_contraction_labels(edges).collect()
+    }
+    # every node maps to its component min; roots, if present, map to
+    # themselves
+    expect_component = {
+        **{i: 10 for i in (10, 11, 12, 13, 14)},
+        **{i: 20 for i in (20, 21, 22)},
+        **{i: 30 for i in (30, 31)},
+    }
+    for node, label in got.items():
+        assert label == expect_component[node], (node, label)
+    assert {11, 12, 13, 14, 21, 22, 31} <= set(got)
+
+
+def test_star_contraction_adversarial_chain_logarithmic_rounds(spark):
+    """A 1,000-node path — the adversarial case for plain min-label
+    propagation (diameter rounds ≈ 1,000). Star contraction must converge
+    within max_rounds=12 ≈ O(log n): correct labels under that cap PROVE
+    the round bound, since an unconverged run cannot produce them."""
+    from dbsurveyor_spark.operators.dedup import star_contraction_labels
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    labels = star_contraction_labels(edges, max_rounds=12)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert set(got.values()) == {1}, f"labels not converged: {set(got.values())}"
+    assert set(got) >= set(range(2, n + 1))
+
+
+def test_neardup_clusters_operator_matches_star_labels(spark):
     from dbsurveyor_spark.operators import dedup
 
-    pairs = spark.createDataFrame(
-        [(10, 11), (11, 12), (12, 13), (13, 14)], "doc_a long, doc_b long"
-    )
-    corpus = spark.createDataFrame(
-        [(i,) for i in (10, 11, 12, 13, 14, 99)], "doc_id long"
-    )
-    # Drive the same loop body the operator uses, on injected inputs.
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
-    labels = corpus.select("doc_id", F.col("doc_id").alias("label"))
-    total = labels.agg(F.sum("label")).first()[0]
-    rounds = 0
-    while True:
-        nbr = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("nl"))
-        )
-        labels = labels.join(nbr, labels["doc_id"] == nbr["dst"], "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                "label"
-            ),
-        )
-        new_total = labels.agg(F.sum("label")).first()[0]
-        rounds += 1
-        if new_total == total:
-            break
-        total = new_total
-    got = {r["doc_id"]: r["label"] for r in labels.collect()}
-    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 99: 99}
-    assert rounds >= 3  # a chain forces multiple propagation rounds
-    assert dedup.dedup_neardup_clusters is not None
+    sf = "/root/testdata/sf0.001"
+    rows = dedup.dedup_neardup_clusters(spark, sf).collect()
+    assert rows, "clusters query returned nothing"
+    by_doc = {r["doc_id"]: r for r in rows}
+    # every cluster_id is the min doc_id of its member set
+    members: dict[int, list[int]] = {}
+    for r in rows:
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, docs in members.items():
+        assert cid == min(docs), (cid, docs)
+    for r in rows:
+        assert r["is_survivor"] == (r["doc_id"] == r["cluster_id"])
+    assert by_doc

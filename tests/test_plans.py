@@ -162,3 +162,49 @@ class TestRound2OperatorPlans:
         # assignment, not re-run the corpus mapInPandas pass per branch
         plan = formatted_plan(similarity.ann_ivf_topk(spark, SF))
         assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+class TestJsonSchemaShape:
+    """survey_json_schema_inference must stay O(1) plan-size in the field
+    vocabulary: one explode + one groupBy, no Expand (the multi-distinct
+    rewrite that duplicates the input per field), no per-field agg lists."""
+
+    def test_no_expand_in_plan(self, spark):
+        from dbsurveyor_spark.survey import jsonschema
+
+        plan = formatted_plan(
+            jsonschema.survey_json_schema_inference(spark, SF)
+        )
+        assert "Expand" not in plan, plan
+
+    def test_thousand_field_document_column(self, spark):
+        # A synthetic 1,000-field vocabulary: plan must neither grow with
+        # the vocabulary nor fall back from codegen. 50 docs × 20 fields
+        # each; every field name appears exactly once across the corpus.
+        from dbsurveyor_spark.survey.jsonschema import infer_json_schema
+
+        docs = []
+        fid = 0
+        for d in range(50):
+            parts = []
+            for j in range(20):
+                if fid % 3 == 0:
+                    parts.append(f'"f{fid:04d}": {fid}')
+                elif fid % 3 == 1:
+                    parts.append(f'"f{fid:04d}": "v{fid}"')
+                else:
+                    parts.append(f'"f{fid:04d}": {fid}.5')
+                fid += 1
+            docs.append("{" + ", ".join(parts) + "}")
+        df = spark.createDataFrame([(d,) for d in docs], "doc string")
+        out = infer_json_schema(df, "doc", len(docs))
+        plan = formatted_plan(out)
+        assert "Expand" not in plan, plan
+        rows = out.collect()
+        assert len(rows) == 1000
+        by_field = {r["field"]: r for r in rows}
+        assert by_field["f0000"]["dominant_type"] == "integer"
+        assert by_field["f0001"]["dominant_type"] == "string"
+        assert by_field["f0002"]["dominant_type"] == "double"
+        assert all(r["present_cnt"] == 1 for r in rows)
+        assert all(r["presence_pct"] == 2.0 for r in rows)

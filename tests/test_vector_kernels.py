@@ -90,3 +90,110 @@ class TestScaleProbe:
         # small multiple of the mean (quadratic blowup would be ~n/k × k)
         assert occupancy.max() < 25 * mean, occupancy.max()
         assert len(occupancy) > k * 0.5  # most cells actually used
+
+
+class TestCentroidPartialMapper:
+    """The fused Lloyd map-side aggregator: assignment must equal
+    cell_topk_mapper(nprobe=1); unit sums must replay the decimal(30,9)
+    cast EXACTLY as Spark (shortest-repr + HALF_UP) and DuckDB do."""
+
+    @staticmethod
+    def _partials(cents, vectors, chunks=1):
+        from dbsurveyor_spark.functions.vectors import centroid_partial_mapper
+
+        batches = [
+            pd.DataFrame({"embedding": [np.asarray(v) for v in part]})
+            for part in np.array_split(np.asarray(vectors, dtype=float), chunks)
+            if len(part)
+        ]
+        return list(centroid_partial_mapper(cents)(batches))
+
+    @staticmethod
+    def _spark_units(v):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            Decimal(repr(float(v)))
+            .quantize(Decimal(1).scaleb(-9), rounding=ROUND_HALF_UP)
+            .scaleb(9)
+        )
+
+    def test_matches_scalar_reference(self):
+        rng = np.random.default_rng(11)
+        dim, k, m = 8, 4, 60
+        cents = [(i + 1, list(rng.normal(size=dim))) for i in range(k)]
+        vecs = [list(rng.normal(size=dim)) for _ in range(m)]
+        out = pd.concat(self._partials(cents, vecs, chunks=3))
+        merged = {}
+        for _, r in out.iterrows():
+            cnt, sums = merged.get(r["cell_id"], (0, [0] * dim))
+            merged[r["cell_id"]] = (
+                cnt + int(r["cnt"]),
+                [a + b for a, b in zip(sums, r["sums"])],
+            )
+        # scalar reference: assign by fold cosine, sum exact units
+        expect = {}
+        for v in vecs:
+            best = min(
+                ((-_fold_cosine(v, c), cid) for cid, c in cents)
+            )[1]
+            cnt, sums = expect.get(best, (0, [0] * dim))
+            expect[best] = (
+                cnt + 1,
+                [a + self._spark_units(x) for a, x in zip(sums, v)],
+            )
+        assert merged == expect
+
+    def test_partition_invariance(self):
+        rng = np.random.default_rng(13)
+        cents = [(i + 1, list(rng.normal(size=6))) for i in range(3)]
+        vecs = [list(rng.normal(size=6)) for _ in range(50)]
+        from dbsurveyor_spark.functions.vectors import merge_centroid_partials
+
+        def rows(chunks):
+            out = pd.concat(self._partials(cents, vecs, chunks=chunks))
+            return [r for _, r in out.iterrows()]
+
+        assert merge_centroid_partials(rows(1)) == merge_centroid_partials(
+            rows(7)
+        )
+
+    def test_boundary_values_replay_decimal_cast(self):
+        # values engineered near the 1e-9 rounding boundary must take the
+        # exact Decimal path and match the shortest-repr HALF_UP cast
+        vals = [5e-10, -5e-10, 1.5e-9, 2.4999999995e-9, 0.1234567895,
+                -0.9999999995, 0.49999999999999994e-9, 1.0000000005]
+        dim = len(vals)
+        cents = [(1, [1.0] * dim)]
+        out = pd.concat(self._partials(cents, [vals]))
+        got = out.iloc[0]["sums"]
+        expect = [self._spark_units(v) for v in vals]
+        assert list(got) == expect
+
+    def test_spark_and_duckdb_agree_with_kernel(self, spark, duck):
+        from pyspark.sql import functions as F
+
+        # the kernel's unit lattice == Spark cast(decimal(30,9)) == DuckDB
+        # cast, on random and boundary-ish values
+        rng = np.random.default_rng(17)
+        vals = [float(x) for x in rng.normal(size=200)] + [
+            5e-10, -5e-10, 0.1234567895, -2.5e-9
+        ]
+        kernel = [self._spark_units(v) for v in vals]
+        sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+        got_spark = [
+            r["u"]
+            for r in sdf.select(
+                F.round(
+                    F.col("v").cast("decimal(30,9)") * 1000000000
+                ).cast("long").alias("u")
+            ).collect()
+        ]
+        got_duck = [
+            r[0]
+            for r in duck.execute(
+                "SELECT CAST(round(CAST(v AS DECIMAL(30,9)) * 1000000000) AS BIGINT)"
+                " FROM (SELECT unnest(?) AS v)", [vals]
+            ).fetchall()
+        ]
+        assert kernel == got_spark == got_duck
