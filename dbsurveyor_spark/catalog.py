@@ -52,14 +52,23 @@ def harden_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - a static conf on some build
             pass
-    # Shuffle parallelism: only lower the default-200 when the caller hasn't
-    # chosen one (bare driver session); never clobber an explicit setting.
+    # Shuffle parallelism: a bare driver session arrives with the stock 200,
+    # which is wrong for local[32]-scale work. Adjust it AT MOST ONCE per
+    # session (the sentinel below marks "we already decided"), so a caller
+    # who later sets any value — including an explicit 200 — is never
+    # clobbered on subsequent entry points. The first call can't distinguish
+    # an explicit 200 from the default (value comparison can't); callers who
+    # want 200 can set it after session start or export
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS=200.
     try:
-        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
-            )
+        sentinel = "spark.dbsurveyor.shufflePartitionsAdjusted"
+        if spark.conf.get(sentinel, "false") != "true":
+            spark.conf.set(sentinel, "true")
+            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+                )
     except Exception:  # pragma: no cover
         pass
     return spark

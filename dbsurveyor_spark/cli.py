@@ -52,9 +52,23 @@ def _is_lake_dir(source: str) -> bool:
 
 
 def _sqlite_path(url: str) -> str:
-    """sqlite:///absolute/path.db → /absolute/path.db (also sqlite:path)."""
-    rest = url.split(":", 1)[1]
-    return rest[2:] if rest.startswith("///") else rest.lstrip("/") or rest
+    """Resolve a sqlite URL to a filesystem path.
+
+    Handled forms (sqlite's own URI rules): `sqlite:///abs/path.db` (empty
+    netloc → path verbatim, the documented form), `sqlite:/abs/path.db`
+    (single-slash absolute, path verbatim), `sqlite:rel/path.db` (opaque
+    relative). A non-empty netloc (`sqlite://host/path`) has no local-file
+    meaning and is rejected rather than silently folded into a local path.
+    """
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    if parts.netloc:
+        raise ValueError(
+            f"sqlite URL has a host component ({parts.netloc!r}); "
+            "use sqlite:///absolute/path.db or sqlite:relative/path.db"
+        )
+    return parts.path
 
 
 # ------------------------------------------------------------------ collect
@@ -139,9 +153,28 @@ def cmd_collect(args: argparse.Namespace) -> int:
             )
         if args.enable_quality:
             from .survey.quality import collect_quality_metrics
+            from .survey.qualityconfig import (
+                AnomalyConfig,
+                AnomalySensitivity,
+                QualityConfig,
+            )
 
+            cfg = QualityConfig(
+                completeness_min=args.completeness_min,
+                uniqueness_min=args.uniqueness_min,
+                consistency_min=args.consistency_min,
+                anomaly_detection=AnomalyConfig(
+                    enabled=not args.no_anomaly,
+                    sensitivity=AnomalySensitivity(args.sensitivity),
+                ),
+            )
+            try:
+                cfg.validate()
+            except ValueError as exc:
+                print(f"invalid quality config: {exc}", file=sys.stderr)
+                return 2
             doc["quality_metrics"] = collect_quality_metrics(
-                spark, args.source
+                spark, args.source, config=cfg
             )
     elif args.source.startswith("sqlite:"):
         from .sources.sqlite import SqliteSource
@@ -152,7 +185,12 @@ def cmd_collect(args: argparse.Namespace) -> int:
                 "collect only; ignored for sqlite sources",
                 file=sys.stderr,
             )
-        doc = SqliteSource(_sqlite_path(args.source)).survey(name=args.name)
+        try:
+            path = _sqlite_path(args.source)
+        except ValueError as exc:
+            print(f"bad sqlite url: {exc}", file=sys.stderr)
+            return 2
+        doc = SqliteSource(path).survey(name=args.name)
     else:
         print(f"unsupported collect source: {args.source}", file=sys.stderr)
         return 2
@@ -273,6 +311,22 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     pk = sum(1 for t in tables if t.get("primary_key"))
     fk = sum(len(t.get("foreign_keys", []) or []) for t in tables)
     print(f"primary keys: {pk}; foreign keys: {fk}")
+    qm = doc.get("quality_metrics") or []
+    if qm:
+        scores = [m.get("quality_score") for m in qm if m.get("quality_score") is not None]
+        avg = sum(scores) / len(scores) if scores else 0.0
+        n_viol = sum(len(m.get("threshold_violations") or []) for m in qm)
+        print(
+            f"quality: {len(qm)} tables, avg score {avg:.4f}, "
+            f"{n_viol} threshold violations"
+        )
+        if args.detailed:
+            for m in qm:
+                for v in m.get("threshold_violations") or []:
+                    print(
+                        f"  {m['table_name']}: {v['metric']} "
+                        f"{v['actual']:.4f} < {v['threshold']} [{v['severity']}]"
+                    )
     if args.detailed:
         for t in tables:
             print(
@@ -321,6 +375,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--enable-quality",
         action="store_true",
         help="attach TableQualityMetrics per table (two scans per table)",
+    )
+    # QualityConfig surface (reference quality/config.rs:79; defaults are
+    # the reference's Default impl: Medium sensitivity, 0.95/0.98/0.90 mins)
+    c.add_argument(
+        "--sensitivity",
+        choices=("low", "medium", "high"),
+        default="medium",
+        help="anomaly z-score sensitivity: low=3.0σ, medium=2.5σ, high=2.0σ",
+    )
+    c.add_argument("--completeness-min", type=float, default=0.95)
+    c.add_argument("--uniqueness-min", type=float, default=0.98)
+    c.add_argument("--consistency-min", type=float, default=0.90)
+    c.add_argument(
+        "--no-anomaly",
+        action="store_true",
+        help="skip the outlier-detection pass",
     )
     c.add_argument("--compress", action="store_true", help="gzip the JSON")
     c.add_argument("--encrypt", action="store_true")

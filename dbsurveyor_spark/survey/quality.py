@@ -47,8 +47,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.aggregates import DECIMAL_T
+from .qualityconfig import AnomalySensitivity, QualityConfig
 
-Z_THRESHOLD = 2.5  # AnomalySensitivity::Medium (config.rs:30)
 MIN_STD = 1e-10  # anomaly.rs:54
 MIN_VALUES = 3  # anomaly.rs:46
 
@@ -219,13 +219,21 @@ ANOMALY_TABLE = "events"
 ANOMALY_COLS = ["value", "user_id"]
 
 
-def quality_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_anomaly_zscore(
+    spark: SparkSession,
+    sf_dir: str,
+    sensitivity: AnomalySensitivity = AnomalySensitivity.MEDIUM,
+) -> DataFrame:
     """Two-pass z-score outlier detection.
 
     Pass 1: exact-decimal Σx and Σx² per column → mean/std as doubles.
-    Pass 2: per-row |x−mean|/std > 2.5 counted per column. The 1-row stats
-    frame is broadcast-cross-joined (no shuffle of the fact table).
+    Pass 2: per-row |x−mean|/std > threshold counted per column; the
+    threshold comes from the `sensitivity` level (Low/Medium/High →
+    3.0/2.5/2.0, config.rs:27) — the registry/oracle pair runs the Medium
+    default. The 1-row stats frame is broadcast-cross-joined (no shuffle of
+    the fact table).
     """
+    z_threshold = sensitivity.z_score_threshold
     df = load_table(spark, sf_dir, ANOMALY_TABLE)
     stats_aggs = []
     for col in ANOMALY_COLS:
@@ -252,7 +260,7 @@ def quality_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (reference behavior: such columns are skipped, anomaly.rs:54)
         flag = F.when(
             F.col(f"{col}__std") > MIN_STD,
-            F.when(z > Z_THRESHOLD, F.lit(1)).otherwise(F.lit(0)),
+            F.when(z > z_threshold, F.lit(1)).otherwise(F.lit(0)),
         ).otherwise(F.lit(0))
         cnt_aggs += [
             F.sum(flag.cast("bigint")).alias(f"{col}__outliers"),
@@ -266,7 +274,7 @@ def quality_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit(col).alias("column_name"),
             F.col(f"{col}__outliers").alias("outlier_count"),
-            F.lit(Z_THRESHOLD).alias("z_score_threshold"),
+            F.lit(z_threshold).alias("z_score_threshold"),
             F.col(f"{col}__mean").alias("mean"),
             F.col(f"{col}__std").alias("std_dev"),
             F.col(f"{col}__n").alias("n_values"),
@@ -282,7 +290,10 @@ def quality_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _anomaly_sql() -> str:
+def _anomaly_sql(
+    sensitivity: AnomalySensitivity = AnomalySensitivity.MEDIUM,
+) -> str:
+    z_threshold = sensitivity.z_score_threshold
     stat_cols = []
     for col in ANOMALY_COLS:
         stat_cols.append(
@@ -303,9 +314,9 @@ def _anomaly_sql() -> str:
 SELECT * FROM (
   SELECT '{col}' AS column_name,
          CAST(SUM(CASE WHEN {col}__std > {MIN_STD}
-                       AND abs({col} - {col}__mean) / {col}__std > {Z_THRESHOLD}
+                       AND abs({col} - {col}__mean) / {col}__std > {z_threshold}
                   THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count,
-         {Z_THRESHOLD} AS z_score_threshold,
+         {z_threshold} AS z_score_threshold,
          first({col}__mean) AS mean,
          first({col}__std) AS std_dev,
          first({col}__n) AS n_values
@@ -532,12 +543,19 @@ def collect_quality_metrics(
     spark: SparkSession,
     sf_dir: str,
     tables: list[str] | None = None,
-    z_threshold: float = 3.0,
+    config: QualityConfig | None = None,
     rsd: float = 0.02,
+    z_threshold: float | None = None,
 ) -> list[dict]:
     """TableQualityMetrics-shaped dicts for the schema document
-    (quality/models.rs:273 TableQualityMetrics; analyzer.rs:171 equal-weight
-    score) — the engine behind the CLI's `--enable-quality`.
+    (quality/models.rs:273 TableQualityMetrics; analyzer.rs:104 weighted
+    score; analyzer.rs:98 threshold violations) — the engine behind the
+    CLI's `--enable-quality` / `--sensitivity` / `--*-min` flags.
+
+    ``config`` carries sensitivity, minimum thresholds, and score weights
+    (defaults = the reference's: Medium/2.5σ, mins 0.95/0.98/0.90, equal
+    weights). An explicit ``z_threshold`` overrides the sensitivity-derived
+    one (back-compat knob).
 
     Two plain aggregate jobs per table, both Expand-free:
     pass 1 sweeps counts + HLL distincts (per column AND over the full row
@@ -551,6 +569,23 @@ def collect_quality_metrics(
     from datetime import datetime, timezone
 
     from ..catalog import TABLES
+
+    if config is None:
+        config = QualityConfig()
+    config.validate()
+    if z_threshold is None:
+        z_threshold = config.z_score_threshold
+    if not config.enabled:
+        # analyzer.rs:70 — disabled analysis returns minimal metrics
+        return [
+            {
+                "table_name": t,
+                "schema_name": None,
+                "analyzed_rows": 0,
+                "analyzed_at": datetime.now(timezone.utc).isoformat(),
+            }
+            for t in (tables if tables is not None else list(TABLES))
+        ]
 
     numeric_types = {
         "int", "bigint", "double", "float", "decimal", "smallint", "tinyint",
@@ -586,7 +621,7 @@ def collect_quality_metrics(
         null_cols = []
         comp_scores = []
         dup_cols = []
-        uniq_scores = []
+        col_uniq_scores = []  # duplicate columns only (uniqueness.rs:61-64)
         for c in cols:
             nonnull = r[f"{c}__nonnull"]
             nulls = total - nonnull
@@ -603,8 +638,8 @@ def collect_quality_metrics(
             # HLL reads within 3·rsd of exact-unique are noise, not dups
             if nonnull - uniq < 3 * rsd * nonnull:
                 uniq = nonnull
-            uniq_scores.append((uniq / nonnull) if nonnull else 1.0)
             if nonnull and uniq < nonnull:
+                col_uniq_scores.append(uniq / nonnull)
                 dup_cols.append(
                     {
                         "column_name": c,
@@ -616,7 +651,7 @@ def collect_quality_metrics(
 
         outliers = []
         checks = []
-        for c in num_cols:
+        for c in num_cols if config.anomaly_detection.enabled else []:
             mean, std = r[f"{c}__mean"], r[f"{c}__std"]
             if mean is None or std is None or std == 0:
                 continue
@@ -652,7 +687,15 @@ def collect_quality_metrics(
             row_distinct = total
         row_uniq = (row_distinct / total) if total else 1.0
         consistency = 1.0  # parquet columns are strongly typed
-        score = (comp + consistency + row_uniq) / 3.0
+        # uniqueness.rs:61-76 — min(row uniqueness, avg uniqueness over
+        # columns WITH duplicates; 1.0 when no column has any)
+        avg_col_uniq = (
+            sum(col_uniq_scores) / len(col_uniq_scores)
+            if col_uniq_scores
+            else 1.0
+        )
+        uniq_score = min(row_uniq, avg_col_uniq)
+        score = config.quality_score(comp, consistency, uniq_score)
         out.append(
             {
                 "table_name": tname,
@@ -668,7 +711,7 @@ def collect_quality_metrics(
                     "format_violations": [],
                 },
                 "uniqueness": {
-                    "score": round(row_uniq, 6),
+                    "score": round(uniq_score, 6),
                     "duplicate_columns": dup_cols,
                     "duplicate_row_count": total - row_distinct,
                 },
@@ -677,7 +720,9 @@ def collect_quality_metrics(
                     "outliers": outliers,
                 },
                 "quality_score": round(score, 6),
-                "threshold_violations": [],
+                "threshold_violations": config.threshold_violations(
+                    comp, consistency, uniq_score
+                ),
                 "analyzed_at": datetime.now(timezone.utc).isoformat(),
             }
         )
