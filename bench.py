@@ -32,13 +32,18 @@ HEADLINE = [
     "quality_completeness",
     "quality_anomaly_zscore",
     "survey_column_profile",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "text_stats",
     "stream_sessionization",
+    "stream_dedup_events",
     "asof_join_events_orders",
 ]
+
+STEADY_PASSES = 2  # steady = per-query MIN over this many post-warm passes
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -97,18 +102,31 @@ def main() -> None:
     spark = get_session("dbsurveyor-spark-bench")
     qs = registry.queries()
     _warmup(spark, sf_dir)
-    # Two passes: "queries" (first run — comparable to earlier rounds) and
-    # "queries_steady" (second run — plan-compile costs amortized; the
-    # number that projects to a long-lived cluster session).
+    # Pass 1 → "queries" (first run — comparable to earlier rounds).
+    # Passes 2..1+STEADY_PASSES → "queries_steady" is the per-query MIN
+    # across them: plan-compile costs amortized, and a single GC pause or
+    # driver hiccup in one pass (observed in round-3's recorded run: one
+    # 22 s outlier on a query that steadily times ~2 s) can't contaminate
+    # the number that projects to a long-lived cluster session.
+    from dbsurveyor_spark.operators.similarity import trained_centroid_rows
+
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
-    for out in (timings, steady):
+    passes = [timings] + [dict() for _ in range(STEADY_PASSES)]
+    for i, out in enumerate(passes):
+        if i > 0:
+            # Start each timed pass from a quiet JVM: no stale cached
+            # blocks to evict mid-query, old-gen garbage collected now
+            # instead of during someone's timing window.
+            spark.catalog.clearCache()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         # One-time model state (the IVF coarse quantizer) is timed as its
         # own line item, like any ANN benchmark's build/search split: the
-        # first pass pays the training, the steady pass shows ~0 because
-        # the index is session-memoized (similarity.trained_centroid_rows).
-        from dbsurveyor_spark.operators.similarity import trained_centroid_rows
-
+        # first pass pays the training, later passes show ~0 because the
+        # index is session-memoized (similarity.trained_centroid_rows).
         t0 = time.perf_counter()
         trained_centroid_rows(spark, sf_dir)
         out["ivf_index_build"] = round(time.perf_counter() - t0, 3)
@@ -118,6 +136,8 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[key] = round(time.perf_counter() - t0, 3)
+    for key in passes[1]:
+        steady[key] = min(p[key] for p in passes[1:])
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

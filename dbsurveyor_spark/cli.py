@@ -59,16 +59,27 @@ def _sqlite_path(url: str) -> str:
     (single-slash absolute, path verbatim), `sqlite:rel/path.db` (opaque
     relative). A non-empty netloc (`sqlite://host/path`) has no local-file
     meaning and is rejected rather than silently folded into a local path.
-    """
-    from urllib.parse import urlsplit
 
-    parts = urlsplit(url)
-    if parts.netloc:
-        raise ValueError(
-            f"sqlite URL has a host component ({parts.netloc!r}); "
-            "use sqlite:///absolute/path.db or sqlite:relative/path.db"
-        )
-    return parts.path
+    The scheme/netloc split is done manually instead of via urlsplit:
+    filenames legally contain literal `?` and `#`, which urlsplit would
+    shear off as query/fragment (sqlite:/tmp/a?b.db must open
+    `/tmp/a?b.db`, not `/tmp/a`). Percent-escapes are decoded, matching
+    sqlite's own URI-filename handling (invalid escapes pass through).
+    """
+    from urllib.parse import unquote
+
+    rest = url.split(":", 1)[1]
+    if rest.startswith("//"):
+        after = rest[2:]
+        slash = after.find("/")
+        netloc = after if slash < 0 else after[:slash]
+        if netloc:
+            raise ValueError(
+                f"sqlite URL has a host component ({netloc!r}); "
+                "use sqlite:///absolute/path.db or sqlite:relative/path.db"
+            )
+        rest = "" if slash < 0 else after[slash:]
+    return unquote(rest)
 
 
 # ------------------------------------------------------------------ collect

@@ -543,6 +543,7 @@ def collect_quality_metrics(
     spark: SparkSession,
     sf_dir: str,
     tables: list[str] | None = None,
+    *,
     config: QualityConfig | None = None,
     rsd: float = 0.02,
     z_threshold: float | None = None,
@@ -576,12 +577,31 @@ def collect_quality_metrics(
     if z_threshold is None:
         z_threshold = config.z_score_threshold
     if not config.enabled:
-        # analyzer.rs:70 — disabled analysis returns minimal metrics
+        # analyzer.rs:68-76 — disabled analysis returns
+        # TableQualityMetrics::new(...): analyzed_rows = the ACTUAL row
+        # count (rows.len()), default-valued component metrics
+        # (models.rs:121,167,231 Default impls: score 1.0, empty lists),
+        # anomalies: None, quality_score 1.0, no violations. The document
+        # shape must be identical whether analysis ran or was skipped.
         return [
             {
                 "table_name": t,
                 "schema_name": None,
-                "analyzed_rows": 0,
+                "analyzed_rows": load_table(spark, sf_dir, t).count(),
+                "completeness": {"score": 1.0, "null_columns": []},
+                "consistency": {
+                    "score": 1.0,
+                    "type_inconsistencies": [],
+                    "format_violations": [],
+                },
+                "uniqueness": {
+                    "score": 1.0,
+                    "duplicate_columns": [],
+                    "duplicate_row_count": 0,
+                },
+                "anomalies": None,
+                "quality_score": 1.0,
+                "threshold_violations": [],
                 "analyzed_at": datetime.now(timezone.utc).isoformat(),
             }
             for t in (tables if tables is not None else list(TABLES))
@@ -638,14 +658,21 @@ def collect_quality_metrics(
             # HLL reads within 3·rsd of exact-unique are noise, not dups
             if nonnull - uniq < 3 * rsd * nonnull:
                 uniq = nonnull
-            if nonnull and uniq < nonnull:
-                col_uniq_scores.append(uniq / nonnull)
+            # uniqueness.rs:33-44 stringifies NULL as a value
+            # ("null:__NULL__"), so repeated nulls are duplicates and the
+            # denominator is TOTAL rows (ColumnDuplicates::new divides
+            # unique_count by total, models.rs:204-209). distinct-with-null
+            # = nonnull distincts + one shared bucket for all nulls.
+            distinct_vals = min(uniq + (1 if nulls else 0), total)
+            dup_count = total - distinct_vals
+            if total and dup_count > 0:
+                col_uniq_scores.append(distinct_vals / total)
                 dup_cols.append(
                     {
                         "column_name": c,
-                        "duplicate_count": nonnull - uniq,
-                        "unique_count": uniq,
-                        "uniqueness": round(uniq / nonnull, 6),
+                        "duplicate_count": dup_count,
+                        "unique_count": distinct_vals,
+                        "uniqueness": round(distinct_vals / total, 6),
                     }
                 )
 
@@ -715,10 +742,19 @@ def collect_quality_metrics(
                     "duplicate_columns": dup_cols,
                     "duplicate_row_count": total - row_distinct,
                 },
-                "anomalies": {
-                    "outlier_count": sum(a["outlier_count"] for a in outliers),
-                    "outliers": outliers,
-                },
+                # analyzer.rs:84-91 with_optional_anomalies: None when
+                # detection is disabled — a skipped check must not look
+                # like a clean one.
+                "anomalies": (
+                    {
+                        "outlier_count": sum(
+                            a["outlier_count"] for a in outliers
+                        ),
+                        "outliers": outliers,
+                    }
+                    if config.anomaly_detection.enabled
+                    else None
+                ),
                 "quality_score": round(score, 6),
                 "threshold_violations": config.threshold_violations(
                     comp, consistency, uniq_score

@@ -85,3 +85,123 @@ def test_shingles_short_doc_empty(spark):
     out = df.select(shingles(tokens(F.col("text"))).alias("sh")).collect()
     assert out[0].sh == []
     assert out[1].sh == ["a b c", "b c d"]
+
+
+# ----------------------------------------------------- document-level metrics
+# collect_quality_metrics must serialize the reference's TableQualityMetrics
+# shape exactly, including the disabled paths (analyzer.rs:68-76,84-91) and
+# uniqueness.rs's null-as-value / total-rows-denominator convention.
+
+
+class TestDocumentMetricsReferenceShape:
+    def _lake(self, spark, tmp_path, rows, schema):
+        lake = str(tmp_path / "lake")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{lake}/orders.parquet"
+        )
+        return lake
+
+    def test_uniqueness_nulls_are_duplicates_over_total_rows(
+        self, spark, tmp_path
+    ):
+        from dbsurveyor_spark.survey.quality import collect_quality_metrics
+
+        # 50 nulls + 50 distinct: uniqueness.rs stringifies NULL as a value,
+        # so distinct = 51 of 100 total → 0.51 (NOT 1.0 over non-nulls).
+        rows = [(i, None if i < 50 else f"v{i}") for i in range(100)]
+        lake = self._lake(
+            spark, tmp_path, rows, "o_orderkey bigint, o_comment string"
+        )
+        (m,) = collect_quality_metrics(spark, lake, ["orders"])
+        (dup,) = [
+            d
+            for d in m["uniqueness"]["duplicate_columns"]
+            if d["column_name"] == "o_comment"
+        ]
+        assert dup["duplicate_count"] == 49
+        assert dup["unique_count"] == 51
+        assert abs(dup["uniqueness"] - 0.51) < 1e-9
+        # overall = min(row_uniq 1.0, avg col uniq 0.51)
+        assert abs(m["uniqueness"]["score"] - 0.51) < 1e-9
+
+    def test_disabled_analysis_serializes_default_metrics(
+        self, spark, tmp_path
+    ):
+        from dbsurveyor_spark.survey.quality import collect_quality_metrics
+        from dbsurveyor_spark.survey.qualityconfig import QualityConfig
+
+        rows = [(i, f"v{i}") for i in range(7)]
+        lake = self._lake(
+            spark, tmp_path, rows, "o_orderkey bigint, o_comment string"
+        )
+        (m,) = collect_quality_metrics(
+            spark, lake, ["orders"], config=QualityConfig(enabled=False)
+        )
+        # analyzer.rs:70: actual row count, default component blocks
+        assert m["analyzed_rows"] == 7
+        assert m["completeness"] == {"score": 1.0, "null_columns": []}
+        assert m["consistency"]["score"] == 1.0
+        assert m["uniqueness"] == {
+            "score": 1.0,
+            "duplicate_columns": [],
+            "duplicate_row_count": 0,
+        }
+        assert m["anomalies"] is None
+        assert m["quality_score"] == 1.0
+        assert m["threshold_violations"] == []
+
+    def test_disabled_anomaly_detection_is_none_not_zero(
+        self, spark, tmp_path
+    ):
+        from dbsurveyor_spark.survey.quality import collect_quality_metrics
+        from dbsurveyor_spark.survey.qualityconfig import (
+            AnomalyConfig,
+            QualityConfig,
+        )
+
+        rows = [(i, float(i)) for i in range(10)]
+        lake = self._lake(
+            spark, tmp_path, rows, "o_orderkey bigint, o_totalprice double"
+        )
+        cfg = QualityConfig(anomaly_detection=AnomalyConfig(enabled=False))
+        (m,) = collect_quality_metrics(spark, lake, ["orders"], config=cfg)
+        # analyzer.rs:84-91 with_optional_anomalies(None): a skipped check
+        # must be distinguishable from a clean run
+        assert m["anomalies"] is None
+        (m2,) = collect_quality_metrics(spark, lake, ["orders"])
+        assert m2["anomalies"] == {"outlier_count": 0, "outliers": []}
+
+    def test_config_is_keyword_only(self, spark):
+        import pytest as _pytest
+
+        from dbsurveyor_spark.survey.quality import collect_quality_metrics
+        from dbsurveyor_spark.survey.qualityconfig import QualityConfig
+
+        with _pytest.raises(TypeError):
+            collect_quality_metrics(
+                spark, "/nonexistent", ["orders"], QualityConfig()
+            )
+
+
+class TestSqlitePathParsing:
+    def test_literal_query_and_fragment_chars_survive(self):
+        from dbsurveyor_spark.cli import _sqlite_path
+
+        assert _sqlite_path("sqlite:/tmp/a?b.db") == "/tmp/a?b.db"
+        assert _sqlite_path("sqlite:///tmp/a#c.db") == "/tmp/a#c.db"
+        assert _sqlite_path("sqlite:rel/odd?name#x.db") == "rel/odd?name#x.db"
+
+    def test_percent_escapes_decode(self):
+        from dbsurveyor_spark.cli import _sqlite_path
+
+        assert _sqlite_path("sqlite:/tmp/a%20b.db") == "/tmp/a b.db"
+        # invalid escapes pass through untouched
+        assert _sqlite_path("sqlite:/tmp/100%_done.db") == "/tmp/100%_done.db"
+
+    def test_host_component_rejected(self):
+        import pytest as _pytest
+
+        from dbsurveyor_spark.cli import _sqlite_path
+
+        with _pytest.raises(ValueError):
+            _sqlite_path("sqlite://host/path.db")
