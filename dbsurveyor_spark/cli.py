@@ -27,7 +27,6 @@ touch the document, matching the reference's redact-by-default posture.
 from __future__ import annotations
 
 import argparse
-import gzip
 import json
 import os
 import sys
@@ -213,8 +212,14 @@ def cmd_collect(args: argparse.Namespace) -> int:
             return 2
         write_schema_json(doc, out, passphrase=args.passphrase)
     elif args.compress:
-        if not out.endswith(".gz"):
-            out += ".gz"
+        # output.rs:118 effective_output_path: append the format extension
+        # (.zst for zstd frames) unless the path already carries it; gzip
+        # fallback keeps .gz so the extension never lies about the bytes.
+        from .survey.export import zstd_available
+
+        ext = ".zst" if zstd_available() else ".gz"
+        if not out.endswith(ext):
+            out += ext
         write_schema_json(doc, out, compress=True)
     else:
         write_schema_json(doc, out)
@@ -279,9 +284,9 @@ def _load_doc(args: argparse.Namespace) -> dict[str, Any]:
 
         with open(args.input, "rb") as fh:
             return json.loads(decrypt_bytes(fh.read(), args.passphrase))
-    if args.input.endswith(".gz"):
-        with gzip.open(args.input, "rt") as fh:
-            return json.load(fh)
+    # load_schema_json sniffs zstd/gzip frame magic, so .zst/.gz/.json all
+    # load through the one path (extension-agnostic, like schema.rs:179's
+    # payload sniff).
     return load_schema_json(args.input)
 
 
@@ -403,7 +408,11 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="skip the outlier-detection pass",
     )
-    c.add_argument("--compress", action="store_true", help="gzip the JSON")
+    c.add_argument(
+        "--compress",
+        action="store_true",
+        help="zstd-frame the JSON (.zst; gzip fallback if no zstd binding)",
+    )
     c.add_argument("--encrypt", action="store_true")
     c.add_argument("--passphrase", default=None)
     c.add_argument(

@@ -447,6 +447,50 @@ def to_mermaid_erd(doc: dict[str, Any]) -> str:
 # ------------------------------------------------------------------- file IO
 
 
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # Zstandard frame magic (RFC 8878)
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def zstd_available() -> bool:
+    """True when some zstd implementation is importable."""
+    return _zstd_impl() is not None
+
+
+def _zstd_impl():
+    """(compress, decompress) byte functions from whichever zstd binding is
+    present: the `zstandard` package if installed, else pyarrow's bundled
+    codec via Compressed{Output,Input}Stream (standard zstd frames — the
+    reference's postprocessor detects them by the same frame magic,
+    dbsurveyor/src/schema.rs:12). Returns None when neither imports."""
+    try:
+        import zstandard as zstd
+
+        return (
+            lambda data: zstd.ZstdCompressor(level=3).compress(data),
+            lambda data: zstd.ZstdDecompressor().decompressobj().decompress(data),
+        )
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+
+        def _compress(data: bytes) -> bytes:
+            sink = pa.BufferOutputStream()
+            with pa.CompressedOutputStream(sink, "zstd") as out:
+                out.write(data)
+            return sink.getvalue().to_pybytes()
+
+        def _decompress(data: bytes) -> bytes:
+            with pa.CompressedInputStream(
+                pa.BufferReader(data), "zstd"
+            ) as inp:
+                return inp.read()
+
+        return _compress, _decompress
+    except ImportError:  # pragma: no cover - pyarrow is baked in here
+        return None
+
+
 def write_schema_json(
     doc: dict[str, Any],
     path: str,
@@ -455,8 +499,11 @@ def write_schema_json(
 ) -> None:
     """Write the `.dbsurveyor.json`-shaped document — optionally encrypted
     (the `.enc` analog; refuses plaintext fallback if crypto is missing) or
-    gzip-compressed. Every envelope writes tmp + os.replace, so a crash
-    never leaves a truncated document at the destination."""
+    compressed. Compression is whole-file Zstandard framing when a zstd
+    binding is importable (`dbsurveyor-collect/src/output.rs:232` frames
+    with `zstd::Encoder` level 3; `.json.zst` outputs), gzip otherwise.
+    Every envelope writes tmp + os.replace, so a crash never leaves a
+    truncated document at the destination."""
     if passphrase is not None:
         from ..security import write_encrypted_json
 
@@ -464,10 +511,16 @@ def write_schema_json(
         return
     tmp = path + ".tmp"
     if compress:
-        import gzip
+        payload = json.dumps(doc, indent=2, default=str).encode()
+        impl = _zstd_impl()
+        if impl is not None:
+            blob = impl[0](payload)
+        else:  # pragma: no cover - pyarrow is baked in here
+            import gzip
 
-        with gzip.open(tmp, "wt") as fh:
-            json.dump(doc, fh, indent=2, default=str)
+            blob = gzip.compress(payload)
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
     else:
         with open(tmp, "w") as fh:
             json.dump(doc, fh, indent=2, default=str)
@@ -475,8 +528,24 @@ def write_schema_json(
 
 
 def load_schema_json(path: str) -> dict[str, Any]:
-    with open(path) as fh:
-        return json.load(fh)
+    """Load a schema document, transparently decompressing zstd or gzip
+    envelopes — detected by FRAME MAGIC, not extension, the same sniff the
+    reference's postprocessor applies to payloads (schema.rs:12,179)."""
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+        data = head + fh.read()
+    if head.startswith(ZSTD_MAGIC):
+        impl = _zstd_impl()
+        if impl is None:  # pragma: no cover - pyarrow is baked in here
+            raise RuntimeError(
+                f"{path} is zstd-compressed but no zstd binding is importable"
+            )
+        data = impl[1](data)
+    elif head.startswith(GZIP_MAGIC):
+        import gzip
+
+        data = gzip.decompress(data)
+    return json.loads(data)
 
 
 def validate_schema_doc(doc: dict[str, Any]) -> list[str]:

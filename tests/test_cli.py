@@ -38,10 +38,16 @@ class TestCollect:
         }
 
     def test_compress_roundtrip(self, spark, tmp_path):
+        from dbsurveyor_spark.survey.export import ZSTD_MAGIC, zstd_available
+
         out = tmp_path / "schema.json"
         assert run(["collect", SF, "-o", str(out), "--compress"]) == 0
-        gz = str(out) + ".gz"
-        assert run(["validate", gz]) == 0
+        # reference appends .zst (output.rs:118); gzip fallback appends .gz
+        ext = ".zst" if zstd_available() else ".gz"
+        path = str(out) + ext
+        if ext == ".zst":
+            assert open(path, "rb").read(4) == ZSTD_MAGIC
+        assert run(["validate", path]) == 0
 
     def test_encrypt_roundtrip(self, spark, tmp_path):
         pytest.importorskip("cryptography")

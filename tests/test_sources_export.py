@@ -234,6 +234,25 @@ class TestExport:
         assert loaded["tables"][0]["name"] == doc["tables"][0]["name"]
         assert export.validate_schema_doc(loaded) == []
 
+    def test_zstd_compressed_roundtrip(self, doc, tmp_path):
+        # --compress framing parity: whole-file zstd frame (output.rs:232),
+        # detected on load by frame magic rather than extension
+        assert export.zstd_available()  # pyarrow bundles the codec here
+        path = str(tmp_path / "schema.dbsurveyor.json.zst")
+        export.write_schema_json(doc, path, compress=True)
+        assert open(path, "rb").read(4) == export.ZSTD_MAGIC
+        loaded = export.load_schema_json(path)
+        assert export.validate_schema_doc(loaded) == []
+
+    def test_gzip_fallback_roundtrip(self, doc, tmp_path, monkeypatch):
+        # no zstd binding → gzip envelope, still magic-sniffed on load
+        monkeypatch.setattr(export, "_zstd_impl", lambda: None)
+        path = str(tmp_path / "schema.dbsurveyor.json.gz")
+        export.write_schema_json(doc, path, compress=True)
+        assert open(path, "rb").read(2) == export.GZIP_MAGIC
+        loaded = export.load_schema_json(path)
+        assert export.validate_schema_doc(loaded) == []
+
     def test_markdown(self, doc):
         md = export.to_markdown(doc)
         assert md.startswith("# Database Schema: sf0001")
