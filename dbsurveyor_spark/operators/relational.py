@@ -348,6 +348,111 @@ FROM orders
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → LEFT SEMI join.
+
+    The semi join is the missing relational shape between inner join and
+    anti join: orders qualify when ANY lineitem shipped after the order
+    date (adapted predicate — the synthetic lineitem has no
+    commit/receipt dates). Catalyst plans one shuffle on the order key
+    with the probe side pruned to two columns; the date filter pushes to
+    the orders scan. Semi-join output carries only the left side, so no
+    duplicate-elimination pass is needed afterwards (the trap in the
+    naive JOIN+DISTINCT rewrite, which shuffles the joined width)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+Q17_BRAND = "Brand#1"
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery
+    (l_quantity < 0.2 · avg quantity of the same part), re-expressed
+    WITHOUT a self-join: the brand filter broadcasts (bounded part subset),
+    then the per-part average is a window aggregate over the already-
+    filtered rows — one shuffle on l_partkey total, versus the textbook
+    rewrite's aggregate + re-join (two shuffles and a second lineitem
+    pass). Valid because the correlation key (l_partkey) determines the
+    brand, so averaging inside the filtered set equals the subquery's
+    full-table per-part average. Decimal accumulation keeps the 0.2·avg
+    comparison bit-identical across engines/partitionings."""
+    part_keys = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_q = (
+        F.sum(F.col("l_quantity").cast(DECIMAL_T)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        li.join(part_keys, li.l_partkey == F.col("p_partkey"))
+        .withColumn("avg_q", avg_q)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_q"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(DECIMAL_T)).cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+with_avg AS (
+  SELECT l_quantity, l_extendedprice,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER (
+           PARTITION BY l_partkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_q
+  FROM branded
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS line_count
+FROM with_avg
+WHERE l_quantity < 0.2 * avg_q
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -358,6 +463,8 @@ QUERIES = {
     "rollup_sales": rollup_sales,
     "cube_sales": cube_sales,
     "set_ops_customers": set_ops_customers,
+    "q4_order_priority": q4_order_priority,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
 }
 
 ORACLES = {
@@ -370,4 +477,6 @@ ORACLES = {
     "rollup_sales": ROLLUP_SQL,
     "cube_sales": CUBE_SQL,
     "set_ops_customers": SET_OPS_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
 }

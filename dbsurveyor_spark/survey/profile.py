@@ -333,12 +333,63 @@ def survey_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile_approx(spark, sf_dir, PROFILE_TABLE)
 
 
+# Quantile profile: the numeric-distribution half of column profiling
+# (the reference's statistics collection stops at min/max; percentiles are
+# the standard extension every profiler ships).
+QUANTILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+QUANTILE_PROBS = (0.25, 0.5, 0.75)
+
+
+def survey_numeric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 per numeric lineitem column, one aggregate job.
+
+    `percentile` (exact, linear interpolation) matches DuckDB's
+    quantile_cont formula; results round to 6 decimals on both engines to
+    absorb any last-ulp interpolation difference. Exact percentile state
+    is a per-column value→count map — fine for bounded-cardinality
+    measures; `approx_percentile` (fixed-size t-digest-style sketch) is
+    the unbounded-cardinality 100 TB path, same call shape.
+    """
+    df = load_table(spark, sf_dir, PROFILE_TABLE)
+    probs = F.array(*[F.lit(p) for p in QUANTILE_PROBS])
+    one = df.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), probs).alias(f"{c}__q")
+            for c in QUANTILE_COLS
+        ]
+    )
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.round(F.col(f"{c}__q")[0], 6).alias("p25"),
+            F.round(F.col(f"{c}__q")[1], 6).alias("p50"),
+            F.round(F.col(f"{c}__q")[2], 6).alias("p75"),
+        )
+        for c in QUANTILE_COLS
+    ]
+    return one.select(F.inline(F.array(*entries)))
+
+
+def _quantiles_sql() -> str:
+    probs = ", ".join(str(p) for p in QUANTILE_PROBS)
+    parts = [
+        f"""
+SELECT '{c}' AS column_name,
+       round(q[1], 6) AS p25, round(q[2], 6) AS p50, round(q[3], 6) AS p75
+FROM (SELECT quantile_cont(CAST({c} AS DOUBLE), [{probs}]) AS q
+      FROM {PROFILE_TABLE}) t"""
+        for c in QUANTILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "survey_schema_overview": survey_schema_overview,
     "survey_column_profile": survey_column_profile,
     "survey_profile_approx": survey_profile_approx,
     "survey_pk_inference": survey_pk_inference,
     "survey_fk_inference": survey_fk_inference,
+    "survey_numeric_quantiles": survey_numeric_quantiles,
 }
 
 ORACLES = {
@@ -346,4 +397,5 @@ ORACLES = {
     "survey_column_profile": _profile_sql(),
     "survey_pk_inference": _pk_sql(),
     "survey_fk_inference": _fk_sql(),
+    "survey_numeric_quantiles": _quantiles_sql(),
 }

@@ -77,6 +77,30 @@ class TestJoinStrategy:
     def test_ann_centroid_join_is_broadcast(self, spark):
         assert_broadcast_join(similarity.ann_ivf_topk(spark, SF), at_least=1)
 
+    def test_q4_plans_a_semi_join_with_pruned_probe(self, spark):
+        # EXISTS must become a semi join (left side only in the output, no
+        # dedup pass), probing a 2-column lineitem scan
+        df = relational.q4_order_priority(spark, SF)
+        plan = formatted_plan(df)
+        assert "LeftSemi" in plan
+        assert_pushed_filters(df, "o_orderdate")
+        assert_read_schema_only(
+            df, "lineitem.parquet", {"l_orderkey", "l_shipdate"}
+        )
+
+    def test_q17_single_lineitem_pass_no_self_join(self, spark):
+        # the correlated-avg rewrite must be window-based: ONE lineitem
+        # scan (no aggregate+re-join second pass), brand subset broadcast
+        df = relational.q17_small_quantity_revenue(spark, SF)
+        plan = formatted_plan(df)
+        assert plan.count("lineitem.parquet") == 1
+        assert_broadcast_join(df, at_least=1)
+        assert_read_schema_only(
+            df,
+            "lineitem.parquet",
+            {"l_partkey", "l_quantity", "l_extendedprice"},
+        )
+
 
 class TestJvmOnlyHotPaths:
     def test_core_queries_have_no_python_eval(self, spark):
