@@ -10,3 +10,9 @@ source).
 from .files import read_csv, read_json, read_parquet  # noqa: F401
 from .jdbc import JdbcSource  # noqa: F401
 from .sqlite import SqliteSource  # noqa: F401
+from .typemap import (  # noqa: F401
+    map_mysql_type,
+    map_postgres_type,
+    map_referential_action,
+    unified_to_spark_ddl,
+)

@@ -59,6 +59,19 @@ class JdbcSource:
     def __repr__(self) -> str:  # never echo credentials
         return f"JdbcSource({self.safe_url!r})"
 
+    def custom_schema(self, columns: list[tuple[str, object]]) -> str:
+        """`customSchema` option string from (name, UnifiedDataType) pairs
+        collected off information_schema (sources/typemap.py). Pinning the
+        Spark-side schema makes partitioned reads deterministic across
+        driver versions — JDBC type inference varies by driver, and a
+        schema drift between executors' connections corrupts a 1000-slice
+        parallel read."""
+        from .typemap import unified_to_spark_ddl
+
+        return ", ".join(
+            f"{name} {unified_to_spark_ddl(u)}" for name, u in columns
+        )
+
     def reader_options(
         self,
         table: str,
@@ -67,13 +80,15 @@ class JdbcSource:
         upper_bound: int | None = None,
         num_partitions: int | None = None,
         pushdown_predicate: str | None = None,
+        columns: list[tuple[str, object]] | None = None,
     ) -> dict[str, str]:
         """Build the JDBC reader option map.
 
         With a partition column, Spark issues `numPartitions` parallel range
         queries — required for any table that shouldn't be read through one
         connection. `pushdown_predicate` becomes a dbtable subquery so the
-        remote engine filters before shipping rows.
+        remote engine filters before shipping rows. `columns` (unified-type
+        pairs) pins an explicit customSchema.
         """
         dbtable = table
         if pushdown_predicate:
@@ -85,6 +100,8 @@ class JdbcSource:
             "pushDownPredicate": "true",
             "pushDownLimit": "true",
         }
+        if columns:
+            opts["customSchema"] = self.custom_schema(columns)
         if self._creds.username:
             opts["user"] = self._creds.username
         if self._creds.has_password():

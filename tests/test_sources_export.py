@@ -211,6 +211,20 @@ class TestJdbcOptionContract:
         opts = JdbcSource("postgres://h:5432/d").reader_options("t")
         assert "user" not in opts and "password" not in opts
 
+    def test_custom_schema_from_unified_types(self):
+        from dbsurveyor_spark.sources import map_postgres_type as pg
+
+        src = JdbcSource("postgres://u@h/d")
+        cols = [
+            ("id", pg("bigint", "int8")),
+            ("price", pg("numeric", "numeric", None, 10, 2)),
+            ("created", pg("timestamptz", "timestamptz")),
+        ]
+        opts = src.reader_options("t", columns=cols)
+        assert opts["customSchema"] == (
+            "id BIGINT, price DOUBLE, created TIMESTAMP"
+        )
+
 
 class TestFileSources:
     def test_csv_with_schema_and_corrupt_records(self, spark, tmp_path):
@@ -362,3 +376,136 @@ class TestExport:
         export.write_compressed_parquet(df, path, "zstd")
         back = spark.read.parquet(path)
         assert back.count() == 100
+
+
+class TestTypeMapping:
+    """Unified-type mapping parity with the reference's adapters
+    (postgres/type_mapping.rs, mysql/type_mapping.rs — incl. their own
+    #[cfg(test)] cases) plus the Spark customSchema leg."""
+
+    def test_postgres_core_types(self):
+        from dbsurveyor_spark.sources import map_postgres_type as pg
+
+        assert pg("character varying", "varchar", 255) == {
+            "String": {"max_length": 255}
+        }
+        assert pg("text", "text") == {"String": {"max_length": None}}
+        assert pg("smallint", "int2") == {
+            "Integer": {"bits": 16, "signed": True}
+        }
+        assert pg("integer", "int4") == {
+            "Integer": {"bits": 32, "signed": True}
+        }
+        assert pg("bigint", "int8") == {
+            "Integer": {"bits": 64, "signed": True}
+        }
+        assert pg("real", "float4") == {"Float": {"precision": 24}}
+        assert pg("double precision", "float8") == {
+            "Float": {"precision": 53}
+        }
+        assert pg("boolean", "bool") == "Boolean"
+        assert pg("timestamp with time zone", "timestamptz") == {
+            "DateTime": {"with_timezone": True}
+        }
+        assert pg("date", "date") == "Date"
+        assert pg("bytea", "bytea") == {"Binary": {"max_length": None}}
+        assert pg("jsonb", "jsonb") == "Json"
+        assert pg("uuid", "uuid") == "Uuid"
+
+    def test_postgres_numeric_scale_zero_is_integer(self):
+        from dbsurveyor_spark.sources import map_postgres_type as pg
+
+        # type_mapping.rs:63-85: scale 0 → precision-sized integer
+        assert pg("numeric", "numeric", None, 4, 0) == {
+            "Integer": {"bits": 16, "signed": True}
+        }
+        assert pg("numeric", "numeric", None, 9, 0) == {
+            "Integer": {"bits": 32, "signed": True}
+        }
+        assert pg("numeric", "numeric", None, 18, 0) == {
+            "Integer": {"bits": 64, "signed": True}
+        }
+        assert pg("numeric", "numeric", None, 10, 2) == {
+            "Float": {"precision": 10}
+        }
+
+    def test_postgres_arrays_and_user_defined(self):
+        from dbsurveyor_spark.sources import map_postgres_type as pg
+
+        assert pg("array", "_int4", array_element_type="integer") == {
+            "Array": {
+                "element_type": {"Integer": {"bits": 32, "signed": True}}
+            }
+        }
+        assert pg("array", "_custom") == {
+            "Custom": {"type_name": "_custom[]"}
+        }
+        assert pg("user-defined", "uuid") == "Uuid"
+        assert pg("user-defined", "mood") == {"Custom": {"type_name": "mood"}}
+        assert pg("inet", "inet") == {"Custom": {"type_name": "inet"}}
+        # unknown with informative udt keeps both names
+        assert pg("weird", "wt") == {"Custom": {"type_name": "weird(wt)"}}
+
+    def test_mysql_core_types(self):
+        from dbsurveyor_spark.sources import map_mysql_type as my
+
+        # mysql/type_mapping.rs's own test matrix
+        assert my("VARCHAR", 100) == {"String": {"max_length": 100}}
+        assert my("INT UNSIGNED") == {
+            "Integer": {"bits": 32, "signed": False}
+        }
+        assert my("tinyint", 1) == "Boolean"  # TINYINT(1) convention
+        assert my("tinyint") == {"Integer": {"bits": 8, "signed": True}}
+        assert my("mediumint") == {"Integer": {"bits": 24, "signed": True}}
+        assert my("text") == {"String": {"max_length": 65535}}
+        assert my("longtext") == {"String": {"max_length": None}}
+        assert my("timestamp") == {"DateTime": {"with_timezone": True}}
+        assert my("datetime") == {"DateTime": {"with_timezone": False}}
+        assert my("year") == {"Integer": {"bits": 16, "signed": False}}
+        assert my("bit", 1) == "Boolean"
+        assert my("bit", 12) == {"Binary": {"max_length": 2}}
+        assert my("enum") == {"Custom": {"type_name": "enum"}}
+        assert my("decimal", None, 9, 0) == {
+            "Integer": {"bits": 32, "signed": True}
+        }
+
+    def test_referential_actions(self):
+        from dbsurveyor_spark.sources import map_referential_action as ra
+
+        assert ra("cascade") == "Cascade"
+        assert ra("SET NULL") == "SetNull"
+        assert ra("no action") == "NoAction"
+        assert ra("bogus") is None
+
+    def test_unified_to_spark_ddl_roundtrip(self, spark):
+        from pyspark.sql.types import StructType
+
+        from dbsurveyor_spark.sources import (
+            map_mysql_type as my,
+            map_postgres_type as pg,
+            unified_to_spark_ddl as ddl,
+        )
+
+        cases = {
+            "a": (pg("bigint", "int8"), "BIGINT"),
+            "b": (pg("numeric", "numeric", None, 10, 2), "DOUBLE"),
+            "c": (pg("real", "float4"), "FLOAT"),
+            "d": (my("int unsigned"), "BIGINT"),
+            "e": (my("bigint unsigned"), "DECIMAL(20,0)"),
+            "f": (pg("timestamp", "timestamp"), "TIMESTAMP_NTZ"),
+            "g": (pg("timestamptz", "timestamptz"), "TIMESTAMP"),
+            "h": (
+                pg("array", "_int4", array_element_type="integer"),
+                "ARRAY<INT>",
+            ),
+            "i": (pg("uuid", "uuid"), "STRING"),
+            "j": (pg("bytea", "bytea"), "BINARY"),
+        }
+        for name, (unified, want) in cases.items():
+            assert ddl(unified) == want, name
+        # every emitted DDL string must parse as a Spark schema
+        schema_str = ", ".join(
+            f"{n} {ddl(u)}" for n, (u, _) in cases.items()
+        )
+        parsed = StructType.fromDDL(schema_str)
+        assert len(parsed.fields) == len(cases)
