@@ -16,9 +16,12 @@ exposes the same verbs over the Spark-lake engine:
   python -m dbsurveyor_spark.cli sql <schema.json> [-o OUT]
   python -m dbsurveyor_spark.cli validate <schema.json>
 
-Sources: a parquet-lake directory (the engine's native input), or
-`sqlite:///path.db` (sources/sqlite.py). JDBC URLs are accepted by `test`
-for URL/credential validation (a live server is needed to go further).
+Sources: a parquet-lake directory (the engine's native input),
+`sqlite:///path.db` (sources/sqlite.py), or `docs:/dir` — a document lake
+of `<collection>.jsonl` files surveyed via distributed variant-based
+schema inference (sources/documents.py, the MongoDB-adapter analog). JDBC
+URLs are accepted by `test` for URL/credential validation (a live server
+is needed to go further).
 Sampling fills the document's `samples` with reference-shaped TableSample
 entries (models.rs:399) — redacted per security.py's mode BEFORE the rows
 touch the document, matching the reference's redact-by-default posture.
@@ -37,6 +40,7 @@ SOURCE_TYPES = (
     ("parquet-lake", "directory of <table>.parquet files (native)"),
     ("sqlite", "sqlite:///path.db — PRAGMA-based schema + Spark-read rows"),
     ("jdbc", "jdbc:postgresql://… / jdbc:mysql://… via spark.read.jdbc"),
+    ("docs", "docs:/dir of <collection>.jsonl — schemaless document lake"),
 )
 
 
@@ -201,6 +205,32 @@ def cmd_collect(args: argparse.Namespace) -> int:
             print(f"bad sqlite url: {exc}", file=sys.stderr)
             return 2
         doc = SqliteSource(path).survey(name=args.name)
+    elif args.source.startswith("docs:"):
+        from .sources.documents import DocumentLakeSource
+
+        if args.enable_quality:
+            print(
+                "warning: --enable-quality applies to lake-dir collect "
+                "only; ignored for document-lake sources",
+                file=sys.stderr,
+            )
+        try:
+            src = DocumentLakeSource(args.source[len("docs:"):])
+        except ValueError as exc:
+            print(f"bad docs source: {exc}", file=sys.stderr)
+            return 2
+        spark = _get_spark()
+        doc = src.survey(spark, name=args.name)
+        if args.sample:
+            from .security import redact_rows
+
+            doc["samples"] = []
+            for t in doc["tables"]:
+                s = src.sample_collection(spark, t["name"], args.sample)
+                s["rows"] = redact_rows(
+                    [json.loads(r) for r in s["rows"]], mode=args.redact_mode
+                )
+                doc["samples"].append(s)
     else:
         print(f"unsupported collect source: {args.source}", file=sys.stderr)
         return 2
@@ -263,6 +293,16 @@ def cmd_test(args: argparse.Namespace) -> int:
             return 1
         print(f"OK jdbc url parsed: jdbc:{sanitize_connection_url(src[len('jdbc:'):])}")
         return 0
+    if src.startswith("docs:"):
+        from .sources.documents import DocumentLakeSource
+
+        try:
+            names = list(DocumentLakeSource(src[len("docs:"):]).collection_files())
+        except ValueError as exc:
+            print(f"FAIL docs: {exc}", file=sys.stderr)
+            return 1
+        print(f"OK document lake: {len(names)} collections")
+        return 0 if names else 1
     print(f"unsupported source: {src}", file=sys.stderr)
     return 2
 

@@ -7,6 +7,7 @@ readers plus the survey queries (which run on ANY DataFrame regardless of
 source).
 """
 
+from .documents import DocumentLakeSource  # noqa: F401
 from .files import read_csv, read_json, read_parquet  # noqa: F401
 from .jdbc import JdbcSource  # noqa: F401
 from .sqlite import SqliteSource  # noqa: F401

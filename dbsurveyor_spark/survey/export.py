@@ -296,7 +296,11 @@ def _dir_size(sf_dir: str) -> int:
 _INT_BITS = {"BIGINT": 64, "INTEGER": 32, "SMALLINT": 16, "TINYINT": 8}
 
 
-def _unified_type(sql_type: str) -> Any:
+def _unified_type(sql_type: Any) -> Any:
+    if not isinstance(sql_type, str):
+        # already a UnifiedDataType tagged value (document-lake columns
+        # come out of sources/documents.py pre-encoded) — pass through
+        return sql_type
     t = sql_type.upper()
     if t.endswith("[]"):
         return {"Array": {"element_type": _unified_type(t[:-2])}}
@@ -346,6 +350,17 @@ def to_reference_document(doc: dict[str, Any]) -> dict[str, Any]:
 # ------------------------------------------------------------------ renderers
 
 
+def _type_display(dt: Any) -> str:
+    """Human-readable type for renderers: SQL strings pass through;
+    UnifiedDataType tagged values (document-lake columns have no SQL
+    string form) render via the Spark DDL mapping."""
+    if isinstance(dt, str):
+        return dt
+    from ..sources.typemap import unified_to_spark_ddl
+
+    return unified_to_spark_ddl(dt)
+
+
 def to_markdown(doc: dict[str, Any]) -> str:
     """Markdown docs (output.rs:88 shape: header, summary, tables section)."""
     lines = [
@@ -370,7 +385,7 @@ def to_markdown(doc: dict[str, Any]) -> str:
         for c in t["columns"]:
             key = "PK" if c["is_primary_key"] else ""
             lines.append(
-                f"| {c['ordinal_position']} | {c['name']} | {c['data_type']} "
+                f"| {c['ordinal_position']} | {c['name']} | {_type_display(c['data_type'])} "
                 f"| {'YES' if c['is_nullable'] else 'NO'} | {key} |"
             )
         for fk in t["foreign_keys"]:
@@ -395,7 +410,7 @@ def to_sql_ddl(doc: dict[str, Any]) -> str:
     }
     for t in doc["tables"]:
         cols = [
-            f"    {c['name']} {c['data_type']}"
+            f"    {c['name']} {_type_display(c['data_type'])}"
             + ("" if c["is_nullable"] else " NOT NULL")
             for c in t["columns"]
         ]
@@ -432,7 +447,8 @@ def to_mermaid_erd(doc: dict[str, Any]) -> str:
         lines.append(f"    {t['name']} {{")
         for c in t["columns"]:
             key = " PK" if c["is_primary_key"] else ""
-            typ = c["data_type"].replace("(", "_").replace(")", "").replace(",", "_")
+            typ = _type_display(c["data_type"])
+            typ = typ.replace("(", "_").replace(")", "").replace(",", "_")
             typ = typ.replace("[]", "_array")
             lines.append(f"        {typ} {c['name']}{key}")
         lines.append("    }")
