@@ -1,0 +1,254 @@
+"""Training-data pipeline governance: decontamination, split leakage,
+corpus-mix reporting.
+
+These extend the reference's data-quality charter (quality/analyzer.rs
+scores *table* health) to the checks an LLM training pipeline runs on a
+*corpus* before training: is the training set contaminated with benchmark
+text, do held-out splits leak duplicated content, and what is the actual
+language/source mixture being trained on. All three are
+shuffle-disciplined single-pass plans that hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.text import shingles_sql, tokens, tokens_sql
+from ..survey.sampling import (
+    SPLIT_TRAIN_PCT,
+    SPLIT_VAL_PCT,
+    _SPLIT_BUCKET,
+)
+from .dedup import _CORPUS_SQL, _corpus
+
+# Benchmark membership: deterministic hash-5% of documents stands in for a
+# held-out eval suite (a real pipeline joins its actual benchmark corpus).
+BENCH_PCT = 5
+# A corpus doc is contaminated when it covers ≥ this fraction of some
+# benchmark doc's distinct n-grams (n-gram–overlap decontamination as in
+# public LLM training reports; 3-gram here to match the corpus scale —
+# production uses 8-13-gram windows the same way).
+CONTAMINATION_MIN_FRAC = 0.5
+
+
+def _bench_flag(doc_id: Column) -> Column:
+    return portable_hash64(F.concat(F.lit("bench_"), doc_id.cast("string"))) % 100 < (
+        F.lit(BENCH_PCT)
+    )
+
+
+_BENCH_FLAG_SQL = (
+    portable_hash64_sql("'bench_' || CAST(doc_id AS VARCHAR)") + f" % 100 < {BENCH_PCT}"
+)
+
+
+def _doc_shingle_rows(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) over plain documents — the codegen
+    posexplode → lead → concat_ws construction (see dedup._shingle_rows;
+    same shape, un-cloned corpus)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead1, lead2 = F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("t"), lead1, lead2).alias("shingle"),
+            lead2.alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents that cover ≥ 50% of a
+    benchmark document's distinct 3-grams.
+
+    Plan: one shingle pass over the corpus (window shuffle on doc_id),
+    split into benchmark/corpus sides by the deterministic hash flag, then
+    an equi-join on the shingle STRING with the benchmark side broadcast —
+    a real benchmark suite is a few 100k documents (~100 MB of shingle
+    hashes), negligible next to a 100 TB corpus, so the corpus is never
+    shuffled for the join; matches flow into a (corpus_doc, bench_doc)
+    partial-aggregated count. Overlap fraction is measured against the
+    benchmark doc's shingle count (containment, not Jaccard — a 1 GB
+    training doc that swallowed a whole benchmark item must score 1.0, not
+    be diluted by its own length).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _doc_shingle_rows(docs)
+    bench = sh.filter(_bench_flag(F.col("doc_id")))
+    corpus = sh.filter(~_bench_flag(F.col("doc_id")))
+    bench_sizes = bench.groupBy("doc_id").agg(F.count(F.lit(1)).alias("bench_shingles"))
+    pairs = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(bench.alias("b")),
+            F.col("c.shingle") == F.col("b.shingle"),
+        )
+        .groupBy(
+            F.col("c.doc_id").alias("corpus_doc_id"),
+            F.col("b.doc_id").alias("bench_doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(bench_sizes).withColumnRenamed("doc_id", "bench_doc_id"),
+            "bench_doc_id",
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("overlap") / F.col("bench_shingles"), 6),
+        )
+        .filter(F.col("contamination") >= CONTAMINATION_MIN_FRAC)
+        .select(
+            "corpus_doc_id", "bench_doc_id", "overlap", "bench_shingles",
+            "contamination",
+        )
+    )
+
+
+DECONTAMINATION_SQL = f"""
+WITH ds AS (
+  SELECT doc_id, {shingles_sql(tokens_sql("text"))} AS sh FROM documents
+),
+dex AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM ds)
+),
+b AS (SELECT * FROM dex WHERE {_BENCH_FLAG_SQL}),
+c AS (SELECT * FROM dex WHERE NOT ({_BENCH_FLAG_SQL})),
+bsizes AS (SELECT doc_id, COUNT(*) AS bench_shingles FROM b GROUP BY doc_id),
+pairs AS (
+  SELECT c.doc_id AS corpus_doc_id, b.doc_id AS bench_doc_id,
+         COUNT(*) AS overlap
+  FROM c JOIN b USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT p.corpus_doc_id, p.bench_doc_id, p.overlap, s.bench_shingles,
+       ROUND(p.overlap * 1.0 / s.bench_shingles, 6) AS contamination
+FROM pairs p JOIN bsizes s ON s.doc_id = p.bench_doc_id
+WHERE p.overlap * 1.0 / s.bench_shingles >= {CONTAMINATION_MIN_FRAC}
+"""
+
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out-split integrity: identical content appearing in more than
+    one of train/val/test.
+
+    The hash split (sample_hash_split) is keyed on doc_id, so two COPIES
+    of one document can land in different splits — exactly the leak that
+    silently inflates eval numbers. Runs on the dedup suite's cloned
+    corpus (dedup.py _corpus). Plan: content-hash groupBy (ONE shuffle,
+    map-side combinable), keep groups spanning > 1 split. `n_splits` is
+    derived from the collected split set rather than `count_distinct` —
+    a distinct aggregate would expand into Spark's two-shuffle
+    distinct-agg plan for no extra information. Output one row per leaked
+    content: how many copies, which splits, the survivor id.
+    """
+    corpus = _corpus(spark, sf_dir)
+    bucket = portable_hash64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        corpus.select(
+            F.md5(F.col("text")).alias("content_hash"),
+            "doc_id",
+            split.alias("split"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_set("split")).alias("_split_set"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+        .select(
+            "content_hash",
+            "n_copies",
+            F.size("_split_set").cast("bigint").alias("n_splits"),
+            F.concat_ws(",", "_split_set").alias("splits"),
+            "survivor_id",
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+assigned AS (
+  SELECT md5(text) AS content_hash, doc_id,
+         CASE WHEN {_SPLIT_BUCKET} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {_SPLIT_BUCKET} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus
+)
+SELECT content_hash, COUNT(*) AS n_copies,
+       COUNT(DISTINCT split) AS n_splits,
+       array_to_string(list_sort(list_distinct(list(split))), ',') AS splits,
+       MIN(doc_id) AS survivor_id
+FROM assigned
+GROUP BY content_hash
+HAVING COUNT(DISTINCT split) > 1
+"""
+
+
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report: per (lang, source) document/token/char volumes
+    and each cell's share of total tokens — the table a data-mixture plan
+    (Pile/ROOTS-style weighting) is written against.
+
+    One aggregation over a two-column projection; the share denominator is
+    an unpartitioned window over the AGGREGATED frame (|langs|×|sources|
+    rows — metadata-sized, not a data shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source", "text")
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+    )
+
+
+MIX_REPORT_SQL = f"""
+WITH agg AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len({tokens_sql("text")})) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens, n_chars,
+       ROUND(n_tokens * 1.0 / SUM(n_tokens) OVER (), 6) AS token_share
+FROM agg
+"""
+
+
+QUERIES = {
+    "corpus_decontamination": corpus_decontamination,
+    "split_leakage_report": split_leakage_report,
+    "corpus_mix_report": corpus_mix_report,
+}
+
+ORACLES = {
+    "corpus_decontamination": DECONTAMINATION_SQL,
+    "split_leakage_report": SPLIT_LEAKAGE_SQL,
+    "corpus_mix_report": MIX_REPORT_SQL,
+}

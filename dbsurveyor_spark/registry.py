@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import harden_session
 from .multimodal import codec as multimodal_codec
-from .operators import asof, dedup, relational, similarity, textstats
+from .operators import asof, dedup, pipeline, relational, similarity, textstats
 from .streaming import events as streaming_events
 from .survey import jsonschema, profile, quality, sampling
 
@@ -24,6 +24,7 @@ _MODULES = [
     quality,
     textstats,
     dedup,
+    pipeline,
     similarity,
     asof,
     streaming_events,

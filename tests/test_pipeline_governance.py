@@ -1,0 +1,85 @@
+"""Pipeline-governance operators: semantics + physical-plan discipline.
+
+Value parity with the DuckDB oracles runs in test_oracle.py (these keys are
+in the registry); here we pin the semantics a leakage/contamination check
+must not drift on, and the plan shapes that make them 100 TB-safe.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbsurveyor_spark.operators import pipeline
+from dbsurveyor_spark.plans.asserts import (
+    assert_broadcast_join,
+    assert_no_python_eval,
+    formatted_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def decon(spark):
+    return pipeline.corpus_decontamination(spark, SF).toPandas()
+
+
+@pytest.fixture(scope="module")
+def leaks(spark):
+    return pipeline.split_leakage_report(spark, SF).toPandas()
+
+
+@pytest.fixture(scope="module")
+def mix(spark):
+    return pipeline.corpus_mix_report(spark, SF).toPandas()
+
+
+class TestSemantics:
+    def test_decontamination_containment_bounds(self, decon):
+        # containment fraction is w.r.t. the BENCHMARK doc: (0, 1] and
+        # >= the reporting threshold
+        assert (decon["contamination"] > 0).all()
+        assert (decon["contamination"] <= 1.0).all()
+        assert (decon["contamination"] >= pipeline.CONTAMINATION_MIN_FRAC).all()
+        assert (decon["overlap"] <= decon["bench_shingles"]).all()
+
+    def test_decontamination_sides_disjoint(self, decon):
+        # a document is either benchmark or corpus, never both
+        assert not set(decon["corpus_doc_id"]) & set(decon["bench_doc_id"])
+
+    def test_leakage_spans_multiple_splits(self, leaks):
+        assert (leaks["n_splits"] >= 2).all()
+        assert (leaks["n_copies"] >= leaks["n_splits"]).all()
+        for s in leaks["splits"]:
+            parts = s.split(",")
+            assert len(parts) == len(set(parts))
+            assert set(parts) <= {"train", "val", "test"}
+
+    def test_leakage_nonempty_on_cloned_corpus(self, leaks):
+        # the dedup corpus clones every 10th doc under a shifted id; with a
+        # 90/5/5 id-hash split some clone pairs MUST straddle splits
+        assert len(leaks) > 0
+
+    def test_mix_shares_sum_to_one(self, mix):
+        assert abs(mix["token_share"].sum() - 1.0) < 1e-3  # rounding per row
+        assert (mix["n_tokens"] >= mix["n_docs"]).all()  # docs are non-empty
+        assert mix["n_docs"].sum() == 500  # every document accounted for
+
+
+class TestPlans:
+    def test_decontamination_broadcasts_benchmark(self, spark):
+        # the corpus side must never shuffle for the join: benchmark
+        # shingles and benchmark sizes are both broadcast
+        df = pipeline.corpus_decontamination(spark, SF)
+        assert_broadcast_join(df, at_least=2)
+        assert_no_python_eval(df)
+
+    def test_leakage_single_aggregation_no_python(self, spark):
+        df = pipeline.split_leakage_report(spark, SF)
+        assert_no_python_eval(df)
+        # content-hash groupBy is the only data-sized exchange
+        plan = formatted_plan(df)
+        assert plan.count("Exchange") <= 2
+
+    def test_mix_report_no_python(self, spark):
+        assert_no_python_eval(pipeline.corpus_mix_report(spark, SF))
