@@ -1,0 +1,786 @@
+"""Extended relational coverage: the remaining TPC-H query shapes
+(SURVEY.md §2.D), adapted to the driver tables' columns.
+
+The synthetic schema has no ``partsupp`` table and no commit/receipt
+dates, so each query keeps its *relational shape* (the thing the engine
+must plan well) while substituting available columns:
+
+- Q2  -> per-group argmax via pre-aggregated broadcast join (not a
+         25-partition window) — correlated scalar-subquery shape.
+- Q7  -> bidirectional nation-pair revenue (multi-join + year rollup).
+- Q8  -> market share via conditional aggregation (sum-if / sum).
+- Q9  -> profit per nation/year, retailprice standing in for supplycost.
+- Q10 -> returned-item revenue ranking (join + agg + top-N).
+- Q12 -> shipping-delay buckets (date arithmetic + CASE aggregation).
+- Q13 -> outer-join count distribution (customers with zero orders kept).
+- Q14 -> promo revenue share over one month.
+- Q15 -> top supplier by quarter revenue (agg + scalar-max semi join).
+- Q16 -> supplier variety per part attribute (count-distinct + NOT-IN).
+- Q18 -> large-volume orders (group-by-HAVING derived semi join).
+- Q19 -> disjunctive predicate revenue (OR-of-ANDs pushed to one join).
+- Q21 -> waiting-supplier EXISTS/NOT-EXISTS, one-shuffle rewrite.
+- Q22 -> idle high-balance customers (scalar subquery + anti join).
+
+Scale notes (100 TB): every query here touches lineitem at most once
+(Q21's textbook form scans it three times; the rewrite below scans once).
+Bounded-cardinality intermediates (per-nation maxima, the global average,
+the benchmark quarter's top revenue) are broadcast, never windowed over a
+handful of partitions. Dates/filters all push into the parquet scan.
+
+Reference parity: the reference engine exposes generic SQL over collected
+samples (dbsurveyor/src/main.rs `sql` verb; postprocessing in
+dbsurveyor-core); these queries pin down the optimizer surface a user of
+that verb exercises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.aggregates import DECIMAL_T, dsum, dsum_sql
+
+REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def q2_top_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-aggregate subquery — per nation,
+    the supplier(s) with the maximum account balance.
+
+    Scalable plan: aggregate per-nation maxima first (|nations| rows,
+    broadcast), then equality-join back. A window-max over
+    partitionBy(nation) would cap parallelism at 25 partitions no matter
+    the cluster size; the agg+broadcast form keeps the supplier scan fully
+    parallel and adds zero shuffles on the big side."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    maxima = F.broadcast(
+        supp.groupBy(F.col("s_nationkey").alias("mx_nationkey")).agg(
+            F.max("s_acctbal").alias("max_bal")
+        )
+    )
+    return (
+        supp.join(
+            maxima,
+            (supp.s_nationkey == F.col("mx_nationkey"))
+            & (supp.s_acctbal == F.col("max_bal")),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+
+
+Q2_SQL = """
+SELECT s_suppkey, s_name, n_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (
+  SELECT MAX(s2.s_acctbal) FROM supplier s2
+  WHERE s2.s_nationkey = supplier.s_nationkey
+)
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair shipping volume by year.
+
+    lineitem joins orders (shuffle on orderkey), customer (shuffle on
+    custkey), supplier (AQE decides broadcast vs shuffle by actual size),
+    and nation twice (always broadcast — bounded dim). The nation-pair
+    disjunction is applied after both nation joins; Catalyst pushes each
+    side's IN-list into the respective broadcast hash join's probe."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("sn_key"))
+        .join(n2, cust.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql("volume", "revenue")}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         {REVENUE_SQL} AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share via conditional aggregation —
+    sum-if(nation)/sum(all) per year, as one aggregate pass (no second
+    join or self-union). Both sums accumulate in exact decimal so the
+    share is bit-identical across engines and partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cnation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("sn_key")
+    )
+    snation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cnation, cust.c_nationkey == cnation.n_nationkey)
+        .join(region, cnation.n_regionkey == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(snation, F.col("sn_key") == F.col("sn_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(target.cast(DECIMAL_T)).cast("double")
+                / F.sum(volume.cast(DECIMAL_T)).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CAST(target AS DECIMAL(30,6))) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         CASE WHEN n2.n_name = 'NATION_3'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS target
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year. The synthetic
+    schema has no partsupp, so p_retailprice stands in for ps_supplycost
+    (same expression shape: revenue minus cost·quantity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit, "sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {dsum_sql(
+           "l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity",
+           "sum_profit",
+       )}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+
+    Join order matters at scale: filter lineitem to returnflag='R' and
+    orders to the quarter BEFORE joining (both predicates push to the
+    scans), aggregate to per-customer revenue, and only then join the
+    customer attributes — the wide columns never ride through the big
+    shuffle. Top-20 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            "c_acctbal",
+            F.col("n_name").alias("nation"),
+            "c_mktsegment",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name,
+       {dsum_sql(REVENUE_SQL, "revenue")},
+       c_acctbal, n_name AS nation, c_mktsegment
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-conditional counts per category. The
+    synthetic schema has no shipmode/commitdate, so the category is the
+    ship-delay bucket (days between order and ship date) and the counted
+    classes are urgent/high vs other order priorities — same
+    join+CASE-aggregation plan as the original."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "0-30")
+        .when(delay <= 60, "31-60")
+        .when(delay <= 90, "61-90")
+        .otherwise("90+")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("delay_bucket", bucket)
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT delay_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30'
+              WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN '31-60'
+              WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '61-90'
+              ELSE '90+' END AS delay_bucket
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+) t
+GROUP BY delay_bucket
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join count distribution. Customers with no
+    qualifying orders must appear with count 0 — the LEFT OUTER join +
+    count(non-null key) is the shape under test. Two inherent shuffles
+    (join on custkey, regroup on the count); the second groups a
+    bounded-cardinality key (order counts), so it collapses map-side."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — join + CASE
+    numerator over a shared denominator in a single aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast(DECIMAL_T)).cast("double")
+                / F.sum(volume.cast(DECIMAL_T)).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount)
+                 ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarter revenue.
+
+    The per-supplier revenue aggregate plays the CREATE VIEW role; the
+    scalar MAX over it is one row, broadcast back as an equality filter —
+    no single-partition window, no second lineitem scan. Revenue is
+    decimal-exact, so the double equality is safe cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("max_revenue")))
+    return (
+        rev.join(mx, rev.total_revenue == F.col("max_revenue"))
+        .join(supp, rev.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_sql(REVENUE_SQL, "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with a
+    NOT-IN exclusion subquery. lineitem stands in for partsupp as the
+    part↔supplier relation. The excluded-supplier set (name ending in
+    '7') is an anti join; count(distinct) shuffles once on the grouping
+    key with partial distinct-aggregation map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    excluded = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").endswith("7"))
+        .select(F.col("s_suppkey").alias("x_suppkey"))
+    )
+    return (
+        li.join(excluded, li.l_suppkey == F.col("x_suppkey"), "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (group-by-HAVING subquery), joined back to customer detail, top 100.
+
+    The HAVING aggregate is computed once on lineitem and reused as both
+    the qualifying-key set and the output quantity — no second scan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast(DECIMAL_T)).cast("double").alias("total_qty")
+    ).filter(F.col("total_qty") > 150.0)
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 150.0
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate revenue. All three disjuncts
+    share the partkey equi-join, so Catalyst plans ONE join with the
+    disjunction as a residual filter — the trap (a UNION of three joins,
+    three lineitem scans) never materializes. Common sub-predicates
+    (quantity bounds) also push down to the lineitem scan as ranges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    d1 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 15))
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity").between(10, 25))
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#4")
+        & (F.col("p_size").between(20, 50))
+        & (F.col("l_quantity").between(20, 35))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(d1 | d2 | d3)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT {dsum_sql(REVENUE_SQL, "revenue")},
+       COUNT(*) AS line_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+LATE_DAYS = 60
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers whose late lines blocked multi-supplier
+    orders — EXISTS(other supplier on the order) AND NOT EXISTS(other
+    LATE supplier on the order). "Late" is adapted to shipdate more than
+    LATE_DAYS after the order date (no receipt/commit dates in the
+    synthetic schema).
+
+    One-shuffle rewrite: the textbook form scans lineitem three times
+    (l1, the EXISTS probe, the NOT-EXISTS probe). Here lineitem is
+    aggregated ONCE per (orderkey, suppkey) — late-line count per pair —
+    then per-order window counts decide both existence predicates:
+    qualifying pairs are late pairs in orders with >1 distinct supplier
+    and exactly 1 late supplier. numwait sums the pair's late-line count,
+    preserving the textbook row-level count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.date_add(
+        F.col("o_orderdate").cast("date"), LATE_DAYS
+    ).cast("timestamp")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+        )
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum(F.when(F.col("late_lines") > 0, 1).otherwise(0)).alias(
+            "n_late_supps"
+        ),
+        F.max(F.when(F.col("late_lines") > 0, F.col("l_suppkey"))).alias(
+            "late_suppkey"
+        ),
+        F.max(F.when(F.col("late_lines") > 0, F.col("late_lines"))).alias(
+            "late_count"
+        ),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+    )
+    return (
+        qualifying.groupBy("late_suppkey")
+        .agg(F.sum("late_count").alias("numwait"))
+        .join(supp, F.col("late_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+Q21_SQL = f"""
+SELECT s_name, CAST(SUM(cnt) AS BIGINT) AS numwait
+FROM (
+  SELECT l1.l_suppkey, COUNT(*) AS cnt
+  FROM lineitem l1
+  JOIN orders ON l1.l_orderkey = o_orderkey
+  WHERE l1.l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+    AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+    )
+  GROUP BY l1.l_suppkey
+) waits
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with no RECENT orders —
+    global scalar-average subquery + anti join, grouped by market segment
+    (the synthetic schema has no phone country codes; "idle since 2000"
+    replaces "never ordered", which is empty in this data).
+
+    The scalar average is a 1-row broadcast; the no-recent-orders
+    predicate is a left-anti join against the date-pruned orders keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = F.broadcast(
+        cust.filter(F.col("c_acctbal") > 0.0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast(DECIMAL_T)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cust.join(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       {dsum_sql("c_acctbal", "totacctbal")}
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "q2_top_acctbal_supplier": q2_top_acctbal_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q12_shipping_delay": q12_shipping_delay,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_effect": q14_promo_effect,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_idle_customers": q22_idle_customers,
+}
+
+ORACLES = {
+    "q2_top_acctbal_supplier": Q2_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q12_shipping_delay": Q12_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q14_promo_effect": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_supplier_variety": Q16_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q21_waiting_supplier": Q21_SQL,
+    "q22_idle_customers": Q22_SQL,
+}

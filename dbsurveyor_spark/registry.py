@@ -12,12 +12,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import harden_session
 from .multimodal import codec as multimodal_codec
-from .operators import asof, dedup, pipeline, relational, similarity, textstats
+from .operators import (
+    asof,
+    dedup,
+    pipeline,
+    relational,
+    similarity,
+    textstats,
+    tpch_extra,
+)
 from .streaming import events as streaming_events
 from .survey import jsonschema, profile, quality, sampling
 
 _MODULES = [
     relational,
+    tpch_extra,
     profile,
     jsonschema,
     sampling,
