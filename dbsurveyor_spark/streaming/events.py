@@ -356,14 +356,64 @@ def stream_dedup_job(
     return spark.table("stream_dedup")
 
 
+SLIDE_MIN = 15  # sliding step; window length stays WINDOW_SECONDS (1 h)
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 15 minutes — the overlapping-window
+    shape (each event belongs to exactly 4 windows). Spark's `window(ts,
+    size, slide)` expands rows window-side BEFORE the aggregate, so the
+    shuffle carries (window, type) partial counts, not raw events ×4; the
+    same expression runs unchanged under Structured Streaming with a
+    watermark. Windows are epoch-aligned (start ≡ 0 mod slide), which the
+    oracle reproduces with time_bucket − k·slide."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(
+        "ts", f"{WINDOW_SECONDS} seconds", f"{SLIDE_MIN * 60} seconds"
+    )
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast(DECIMAL_T)).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+SLIDING_SQL = f"""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '{SLIDE_MIN} minutes', ts)
+           - k.k * INTERVAL '{SLIDE_MIN} minutes' AS window_start,
+         event_type, value, ts
+  FROM events
+  CROSS JOIN (SELECT unnest(range({WINDOW_SECONDS // (SLIDE_MIN * 60)})) AS k) k
+)
+SELECT window_start, event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+FROM expanded
+WHERE ts >= window_start
+  AND ts < window_start + INTERVAL '{WINDOW_SECONDS} seconds'
+GROUP BY window_start, event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_sliding_counts": stream_sliding_counts,
     "stream_sessionization": stream_sessionization,
     "stream_dedup_events": stream_dedup_events,
 }
 
 ORACLES = {
     "stream_tumbling_counts": TUMBLING_SQL,
+    "stream_sliding_counts": SLIDING_SQL,
     "stream_sessionization": SESSION_SQL,
     "stream_dedup_events": DEDUP_EVENTS_SQL,
 }
