@@ -678,9 +678,18 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
     ``edges``: undirected (src, dst) pairs, src != dst (either orientation,
     duplicates fine). Returns (node, label) for every node INCIDENT to an
     edge, label = min node id of its component. Each round is two
-    groupBy-join passes over a metadata-slim two-long-column frame; the
-    superseded edge frame is unpersisted as soon as its successor
-    materializes, so storage holds at most two frames at once.
+    groupBy-join passes over a metadata-slim two-long-column frame.
+
+    Every round ends in an EAGER ``localCheckpoint``: iterative plans are
+    the one place Catalyst lineage is poison — each round references the
+    prior frame ~10×, so an uncheckpointed loop builds an exponentially
+    sized logical tree whose analysis/cache-canonicalization dominates
+    (observed: a 12-round chain run pinned the driver for >30 min before
+    this truncation; with it, milliseconds). The checkpoint bounds the
+    plan at one round's depth; superseded round blocks are freed by the
+    ContextCleaner as each Python reference drops. On a multi-executor
+    cluster, swap ``localCheckpoint`` for reliable ``checkpoint()`` (HDFS/
+    object store) so executor loss can't kill a 100 TB run mid-loop.
 
     Both star operations preserve connectivity and only ever re-point a
     node at a smaller id, so the fixpoint (a star per component, centered
@@ -698,7 +707,7 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
         .filter(a != b)
         .distinct()
     )
-    cur = cur.cache()
+    cur = cur.localCheckpoint(eager=True)
     n_cur = cur.count()
     for _ in range(max_rounds):
         # -- large-star: u links every strictly-larger neighbor to
@@ -725,17 +734,15 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        nxt = nxt.cache()
+        nxt = nxt.localCheckpoint(eager=True)
         n_nxt = nxt.count()
         converged = n_nxt == n_cur and nxt.exceptAll(cur).isEmpty()
-        cur.unpersist()
         cur, n_cur = nxt, n_nxt
         if converged:
             break
-    # fixpoint: a star per component — (a=node, b=component min).
-    # Track the surviving frame so the NEXT query's release_caches frees it
-    # (everything superseded was unpersisted inside the loop already).
-    _tracked_cache(cur)
+    # fixpoint: a star per component — (a=node, b=component min). The
+    # surviving frame is already materialized (localCheckpoint); its blocks
+    # are released by the ContextCleaner when the result goes out of scope.
     return cur.select(F.col("a").alias("node"), F.col("b").alias("label"))
 
 
