@@ -105,17 +105,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     harden_session(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong=true it arrives
-        # as raw int64 nanos. Integer-divide to micros (DuckDB's truncation
-        # too) — double division would lose precision at 1e18 magnitudes.
-        # Dtype-conditional so the code also works on a session/reader that
-        # already yields a native timestamp (e.g. a future Spark that reads
-        # NANOS directly, or re-written micros parquet).
+        # Normalize `ts` to TimestampType (LTZ) whatever the parquet
+        # encoding delivers. Data generations have varied: TIMESTAMP(NANOS)
+        # (rejected by the vectorized reader unless nanosAsLong=true, then
+        # arriving as raw int64 nanos) and micros TIMESTAMP_NTZ (current).
+        # NTZ would break event-time watermarks (EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE) and make query behavior encoding-dependent. The
+        # session timezone is pinned UTC by harden_session above, so the
+        # NTZ→LTZ cast preserves wall-clock values exactly; the nanos
+        # branch integer-divides (DuckDB's truncation too — double
+        # division would lose precision at 1e18 magnitudes).
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -148,7 +148,7 @@ def _event_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> Data
     """File-source stream over the events table (symlink-dir trick: the file
     streaming source requires a directory; the test tables are single
     read-only files)."""
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     from ..catalog import harden_session
 
@@ -160,8 +160,12 @@ def _event_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> Data
         link.symlink_to(table_path(sf_dir, "events"))
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = spark.readStream.schema(raw_schema).parquet(str(src_dir))
+    # Same ts normalization as catalog.load_table: watermarks REQUIRE
+    # TimestampType (LTZ) — TIMESTAMP_NTZ event time is rejected outright.
     if isinstance(raw_schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -83,16 +83,27 @@ def test_harden_session_reasserts_unset_confs(spark):
 
 
 def test_harden_respects_explicit_shuffle_partitions(spark):
-    """harden_session only replaces the 200 default, never a chosen value."""
+    """Sentinel semantics: the stock 200 is replaced AT MOST ONCE per
+    session (first harden on a bare driver session); after that, any
+    caller-chosen value — including an explicit 200 — is never clobbered."""
+    sentinel = "spark.dbsurveyor.shufflePartitionsAdjusted"
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    before_sentinel = spark.conf.get(sentinel, "false")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "17")
-        harden_session(spark)
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
+        # Simulate the bare-session first call: sentinel unset, stock 200.
+        spark.conf.unset(sentinel)
         spark.conf.set("spark.sql.shuffle.partitions", "200")
         harden_session(spark)
         assert spark.conf.get("spark.sql.shuffle.partitions") == os.environ.get(
             "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
         )
+        # After the one adjustment, explicit choices stick — even 200.
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        harden_session(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        harden_session(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.set(sentinel, before_sentinel)
