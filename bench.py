@@ -70,9 +70,37 @@ def _warmup(spark, sf_dir: str) -> None:
 
     spark.range(1000).selectExpr("sum(id)").collect()
     (
-        spark.range(1000)
+        # repartition to CPU count so the FULL Python worker pool spawns
+        # here, not inside the first timed vector query.
+        spark.range(2048)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
         .select(F.array(F.rand(7), F.rand(8)).alias("v"))
         .select(cosine_rounded_arrow(F.col("v"), F.col("v")).alias("c"))
+        .agg({"c": "sum"})
+        .collect()
+    )
+    # Shingle/dedup-SHAPED throwaway on synthetic data (different inputs):
+    # posexplode → lead windows → concat_ws → collect_set → array_intersect
+    # are the operator shapes the dedup queries codegen; Janino+JIT compile
+    # them here so the first timed dedup pass isn't ~2/3 compiler time.
+    from pyspark.sql.window import Window as _W
+
+    syn = spark.range(2000).select(
+        (F.col("id") % 100).alias("g"),
+        F.posexplode(F.split(F.lit("a b c d e f g h"), " ")).alias("pos", "t"),
+    )
+    w_ = _W.partitionBy("g").orderBy("pos")
+    tri = syn.select(
+        "g",
+        F.concat_ws(" ", "t", F.lead("t", 1).over(w_), F.lead("t", 2).over(w_)).alias(
+            "s"
+        ),
+    ).dropDuplicates(["g", "s"])
+    sets = tri.groupBy("g").agg(F.collect_set("s").alias("ss"))
+    (
+        sets.alias("x")
+        .join(sets.alias("y"), F.col("x.g") < F.col("y.g"))
+        .select(F.size(F.array_intersect(F.col("x.ss"), F.col("y.ss"))).alias("c"))
         .agg({"c": "sum"})
         .collect()
     )

@@ -250,13 +250,28 @@ def _jaccard_candidates(exploded: DataFrame) -> DataFrame:
         - F.expr(f"({JACCARD_NUM} * n_sh + {JACCARD_DEN} - 1) div {JACCARD_DEN}")
         + 1
     )
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "shingle")
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        "doc_id", "shingle", "n_sh"
+    )
+    # PPJoin length filter (exact): J(A,B) ≥ τ forces τ·|A| ≤ |B| and
+    # τ·|B| ≤ |A| — a size-ratio residual on the bucket join that prunes
+    # the bulk of prefix collisions BEFORE the expensive set verify
+    # (measured at sf0.1: 135k → far fewer candidate pairs, and the verify
+    # stage dominates this query's CPU).
     return (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("b.n_sh") * JACCARD_DEN
+                >= F.col("a.n_sh") * JACCARD_NUM
+            )
+            & (
+                F.col("a.n_sh") * JACCARD_DEN
+                >= F.col("b.n_sh") * JACCARD_NUM
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
