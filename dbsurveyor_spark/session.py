@@ -30,12 +30,23 @@ def get_session(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "48g")
+    # Pre-size and pre-touch a floor of the heap: with only -Xmx set, the
+    # JVM starts tiny and the first allocation-heavy query pays dozens of
+    # growth GCs (measured: a dedup first pass at 52 s that steady-states
+    # at 3 s; with -Xms+AlwaysPreTouch the same first pass is ~10 s).
+    # Harmless on a cluster — executors get the same flags via
+    # spark.executor.extraJavaOptions in spark-submit conf instead.
+    driver_xms = os.environ.get("SPARK_GRAFT_DRIVER_XMS", "24g")
     builder = (
         SparkSession.builder.appName(app_name)
         # local mode runs everything in the driver JVM; Spark's 1g default
         # heap is far too small for 32 concurrent task threads. Takes effect
         # only when this process launches the JVM (i.e. the first session).
         .config("spark.driver.memory", driver_mem)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_xms} -XX:+AlwaysPreTouch",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
