@@ -11,6 +11,7 @@ must plan well) while substituting available columns:
 - Q8  -> market share via conditional aggregation (sum-if / sum).
 - Q9  -> profit per nation/year, retailprice standing in for supplycost.
 - Q10 -> returned-item revenue ranking (join + agg + top-N).
+- Q11 -> group-agg vs scalar-of-same-agg HAVING (one-scan + cached agg).
 - Q12 -> shipping-delay buckets (date arithmetic + CASE aggregation).
 - Q13 -> outer-join count distribution (customers with zero orders kept).
 - Q14 -> promo revenue share over one month.
@@ -18,6 +19,8 @@ must plan well) while substituting available columns:
 - Q16 -> supplier variety per part attribute (count-distinct + NOT-IN).
 - Q18 -> large-volume orders (group-by-HAVING derived semi join).
 - Q19 -> disjunctive predicate revenue (OR-of-ANDs pushed to one join).
+- Q20 -> nested semi join with correlated-agg threshold (one-scan
+         conditional-agg rewrite of the two-scan textbook form).
 - Q21 -> waiting-supplier EXISTS/NOT-EXISTS, one-shuffle rewrite.
 - Q22 -> idle high-balance customers (scalar subquery + anti join).
 
@@ -618,6 +621,150 @@ WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
 LATE_DAYS = 60
 
 
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-aggregate + HAVING against a scalar subquery
+    over the SAME aggregation — parts whose revenue (from a supplier
+    subset) exceeds 1.2x the average per-part revenue. (The synthetic
+    schema has no partsupp, so lineitem revenue stands in for stock
+    value; the 1.2x-of-average threshold is scale-invariant where
+    TPC-H's fixed fraction would zero out as |parts| grows.)
+
+    Scalable plan: the per-part aggregate is computed ONCE and cached
+    (bounded: |parts| rows); the global average is derived from that
+    cached frame (second tiny agg) and broadcast back as a 1-row cross
+    join. The textbook form scans lineitem twice — once for the groups,
+    once inside the scalar subquery; this plan scans it once.
+    Reference parity: dbsurveyor/src/main.rs `sql` verb surface."""
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 13)
+        .select("s_suppkey")
+    )
+    per_part = tracked_cache(
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast(DECIMAL_T)
+            ).alias("val")
+        )
+    )
+    avg_val = F.broadcast(
+        per_part.agg(
+            (F.sum("val").cast("double") / F.count(F.lit(1))).alias(
+                "avg_val"
+            )
+        )
+    )
+    return (
+        per_part.join(avg_val)
+        .filter(F.col("val").cast("double") > 1.2 * F.col("avg_val"))
+        .select(
+            "l_partkey", F.col("val").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS val
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey < 13
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM v
+WHERE CAST(val AS DOUBLE) > 1.2 * (
+  SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*) FROM v
+)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi join whose inner query has a
+    correlated-aggregate threshold — suppliers (in a nation subset) who
+    shipped some widget part mostly during 1997 (pair's 1997 quantity
+    > 0.75x the pair's all-time quantity). Adapted from availqty-vs-
+    half-year-demand to a same-table year-share correlation (no
+    partsupp in the synthetic schema).
+
+    Scalable plan: the textbook form scans lineitem twice (the grouped
+    probe plus the correlated per-pair total). Both aggregates share the
+    (suppkey, partkey) grouping, so a single conditional aggregation
+    computes them in ONE pass; the widget part filter is a broadcast
+    join pushed below the agg, and supplier qualification is a
+    left-semi join (no row duplication, no distinct)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    in97 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    qualifying = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(in97, F.col("l_quantity")).otherwise(0.0).cast(
+                    DECIMAL_T
+                )
+            ).alias("q97"),
+            F.sum(F.col("l_quantity").cast(DECIMAL_T)).alias("qtotal"),
+        )
+        .filter(
+            F.col("q97").cast("double")
+            > 0.75 * F.col("qtotal").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        supp.filter(F.col("s_nationkey") < 13)
+        .join(qualifying, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, s_acctbal, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_nationkey < 13
+  AND s_suppkey IN (
+    SELECT l1.l_suppkey
+    FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+      AND l1.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l1.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l1.l_suppkey, l1.l_partkey
+    HAVING CAST(SUM(CAST(l1.l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 0.75 * (
+      SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+      FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey AND l2.l_suppkey = l1.l_suppkey
+    )
+  )
+ORDER BY s_name
+"""
+
+
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers whose late lines blocked multi-supplier
     orders — EXISTS(other supplier on the order) AND NOT EXISTS(other
@@ -757,6 +904,7 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q10_returned_items": q10_returned_items,
+    "q11_important_parts": q11_important_parts,
     "q12_shipping_delay": q12_shipping_delay,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_effect": q14_promo_effect,
@@ -764,6 +912,7 @@ QUERIES = {
     "q16_supplier_variety": q16_supplier_variety,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_excess_shippers": q20_excess_shippers,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q22_idle_customers": q22_idle_customers,
 }
@@ -774,6 +923,7 @@ ORACLES = {
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,
     "q10_returned_items": Q10_SQL,
+    "q11_important_parts": Q11_SQL,
     "q12_shipping_delay": Q12_SQL,
     "q13_customer_distribution": Q13_SQL,
     "q14_promo_effect": Q14_SQL,
@@ -781,6 +931,7 @@ ORACLES = {
     "q16_supplier_variety": Q16_SQL,
     "q18_large_volume_customers": Q18_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
+    "q20_excess_shippers": Q20_SQL,
     "q21_waiting_supplier": Q21_SQL,
     "q22_idle_customers": Q22_SQL,
 }

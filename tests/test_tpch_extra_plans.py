@@ -55,6 +55,23 @@ class TestSingleScanClaims:
         plan = formatted_plan(m.q18_large_volume_customers(spark, SF_SMALL))
         assert _scan_count(plan, "lineitem") == 1, plan
 
+    def test_q11_scalar_derives_from_cached_agg_not_rescan(self, spark):
+        """The per-part aggregate feeds both the HAVING rows and the
+        scalar average; it must be served from the cached frame (one
+        lineitem pass), never windowed over a single partition."""
+        plan = formatted_plan(m.q11_important_parts(spark, SF_SMALL))
+        assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+        assert "Window" not in plan, plan
+
+    def test_q20_single_conditional_agg_scan(self, spark):
+        """The correlated-agg threshold must fold into ONE conditional
+        aggregation pass — the textbook form scans lineitem twice."""
+        df = m.q20_excess_shippers(spark, SF_SMALL)
+        plan = formatted_plan(df)
+        assert _scan_count(plan, "lineitem") == 1, plan
+        assert "LeftSemi" in plan, plan
+        assert_broadcast_join(df, at_least=2)
+
 
 class TestJoinStrategyClaims:
     def test_q2_argmax_uses_broadcast_not_window(self, spark):
