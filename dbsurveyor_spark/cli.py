@@ -88,16 +88,24 @@ def _sqlite_path(url: str) -> str:
 # ------------------------------------------------------------------ collect
 
 
-def _sample_tables(spark, sf_dir: str, limit: int, mode: str) -> list[dict]:
+def _sample_tables(
+    spark, sf_dir: str, limit: int, mode: str, throttle_ms: int | None = None
+) -> list[dict]:
     """Reference-shaped TableSample list (models.rs:399): deterministic
     head-by-first-column rows, redacted before entering the document."""
+    import time
+
     from pyspark.sql import functions as F
 
     from .catalog import TABLES, load_table
     from .security import redact_rows
 
     out = []
-    for tname in TABLES:
+    for i, tname in enumerate(TABLES):
+        if throttle_ms and i:
+            # reference --throttle (collect.rs:72): fixed delay between
+            # per-table operations for low-footprint collection
+            time.sleep(throttle_ms / 1000.0)
         df = load_table(spark, sf_dir, tname)
         order_col = df.columns[0]
         rows = [
@@ -131,6 +139,40 @@ def cmd_collect(args: argparse.Namespace) -> int:
         print("--encrypt and --compress are mutually exclusive", file=sys.stderr)
         return 2
     spark = _get_spark()
+    databases_filtered = 0
+    if args.all_databases:
+        # server-root enumeration (reference --all-databases: collect every
+        # accessible database; enumeration.rs system-db filter + collect.rs
+        # --exclude-databases / --include-system-databases)
+        from .survey.export import enumerate_lake_databases
+
+        exclude = {
+            e.strip()
+            for chunk in args.exclude_databases
+            for e in chunk.split(",")
+            if e.strip()
+        }
+        try:
+            discovered = enumerate_lake_databases(
+                args.source, include_system=True, exclude=()
+            )
+        except ValueError as exc:
+            print(f"bad server root: {exc}", file=sys.stderr)
+            return 2
+        kept = {
+            k: v
+            for k, v in discovered.items()
+            if k not in exclude
+            and (args.include_system_databases or not k.startswith((".", "_")))
+        }
+        databases_filtered = len(discovered) - len(kept)
+        if not kept:
+            print(
+                f"no surveyable databases under {args.source}", file=sys.stderr
+            )
+            return 1
+        args = argparse.Namespace(**vars(args))
+        args.database = list(kept.values())
     if args.database:
         if args.sample or args.enable_quality:
             print(
@@ -152,7 +194,11 @@ def cmd_collect(args: argparse.Namespace) -> int:
                 i += 1
             datasets[key] = d
         doc: dict[str, Any] = collect_multi_database_schema(
-            spark, datasets, infer_keys=not args.no_infer_keys
+            spark,
+            datasets,
+            infer_keys=not args.no_infer_keys,
+            throttle_ms=args.throttle,
+            databases_filtered=databases_filtered,
         )
     elif _is_lake_dir(args.source):
         doc = collect_database_schema(
@@ -163,7 +209,11 @@ def cmd_collect(args: argparse.Namespace) -> int:
         )
         if args.sample:
             doc["samples"] = _sample_tables(
-                spark, args.source, args.sample, args.redact_mode
+                spark,
+                args.source,
+                args.sample,
+                args.redact_mode,
+                throttle_ms=args.throttle,
             )
         if args.enable_quality:
             from .survey.quality import collect_quality_metrics
@@ -461,6 +511,32 @@ def build_parser() -> argparse.ArgumentParser:
         default=[],
         metavar="DIR",
         help="repeatable: survey several lake dirs into one server document",
+    )
+    c.add_argument(
+        "--all-databases",
+        action="store_true",
+        help="treat SOURCE as a server root and survey every lake "
+        "subdirectory found in it",
+    )
+    c.add_argument(
+        "--include-system-databases",
+        action="store_true",
+        help="with --all-databases, include dot/underscore-prefixed dirs "
+        "(checkpoints, scratch — the lake's template0/template1)",
+    )
+    c.add_argument(
+        "--exclude-databases",
+        action="append",
+        default=[],
+        metavar="NAMES",
+        help="comma-separated database names to skip with --all-databases",
+    )
+    c.add_argument(
+        "--throttle",
+        type=int,
+        default=None,
+        metavar="MS",
+        help="delay in milliseconds between per-database operations",
     )
     c.set_defaults(fn=cmd_collect)
 

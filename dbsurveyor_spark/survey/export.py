@@ -211,11 +211,51 @@ def collect_database_schema(
     }
 
 
+def enumerate_lake_databases(
+    root: str,
+    include_system: bool = False,
+    exclude: tuple[str, ...] | list[str] = (),
+) -> dict[str, str]:
+    """Discover surveyable lake databases under a server root — the lake
+    analog of the reference's server-wide database enumeration
+    (`adapters/postgres/enumeration.rs:76 ListDatabasesOptions`, with
+    `SYSTEM_DATABASES` filtered unless `include_system`).
+
+    A "database" is an immediate subdirectory holding at least one
+    ``*.parquet`` or ``*.jsonl`` entry. System databases are the lake's
+    equivalent of ``template0``/``template1``: directories whose name
+    starts with ``.`` or ``_`` (checkpoint dirs, scratch space). Names in
+    ``exclude`` are dropped, mirroring ``--exclude-databases``.
+    Driver-side directory listing only — no Spark job.
+    """
+    excluded = {e.strip() for e in exclude if e.strip()}
+    found: dict[str, str] = {}
+    if not os.path.isdir(root):
+        raise ValueError(f"not a directory: {root}")
+    for name in sorted(os.listdir(root)):
+        path = os.path.join(root, name)
+        if not os.path.isdir(path):
+            continue
+        if name in excluded:
+            continue
+        if not include_system and name.startswith((".", "_")):
+            continue
+        try:
+            entries = os.listdir(path)
+        except OSError:
+            continue
+        if any(e.endswith((".parquet", ".jsonl")) for e in entries):
+            found[name] = path
+    return found
+
+
 def collect_multi_database_schema(
     spark: SparkSession,
     datasets: dict[str, str],
     continue_on_error: bool = True,
     infer_keys: bool = True,
+    throttle_ms: int | None = None,
+    databases_filtered: int = 0,
 ) -> dict[str, Any]:
     """Survey MANY datasets (sf_dirs) in one run — the lake analog of the
     reference's server-wide multi-database collection
@@ -232,7 +272,12 @@ def collect_multi_database_schema(
     t0 = time.monotonic()
     results: list[dict[str, Any]] = []
     failures: list[dict[str, Any]] = []
-    for db_name, sf_dir in datasets.items():
+    for i, (db_name, sf_dir) in enumerate(datasets.items()):
+        if throttle_ms and i:
+            # reference `--throttle`: fixed delay between per-database
+            # operations (collect.rs:72 with_throttle_ms) for low-footprint
+            # collection against shared infrastructure
+            time.sleep(throttle_ms / 1000.0)
         d0 = time.monotonic()
         try:
             doc = collect_database_schema(
@@ -262,8 +307,8 @@ def collect_multi_database_schema(
         "collection_metadata": {
             "started_at": started.isoformat(),
             "total_duration_ms": int((time.monotonic() - t0) * 1000),
-            "databases_discovered": len(datasets),
-            "databases_filtered": 0,
+            "databases_discovered": len(datasets) + databases_filtered,
+            "databases_filtered": databases_filtered,
             "databases_collected": len(results),
             "databases_failed": len(failures),
             "databases_skipped": 0,

@@ -77,6 +77,63 @@ class TestCollect:
         ]
         assert doc["collection_metadata"]["databases_failed"] == 0
 
+    @pytest.fixture()
+    def server_root(self, tmp_path):
+        """A lake 'server': two real databases, one system dir, one to
+        exclude — symlinks keep the fixture IO-free."""
+        import os
+
+        root = tmp_path / "server"
+        root.mkdir()
+        for name in ("alpha", "beta", "skipme"):
+            os.symlink(SF, root / name)
+        sysdir = root / "_checkpoints"
+        sysdir.mkdir()
+        (sysdir / "state.parquet").write_bytes(b"")
+        (root / "notes.txt").write_text("not a database")
+        return root
+
+    def test_all_databases_enumeration(self, spark, tmp_path, server_root):
+        out = tmp_path / "server.json"
+        assert (
+            run(
+                ["collect", str(server_root), "--all-databases",
+                 "--exclude-databases", "skipme,ghost", "-o", str(out)]
+            )
+            == 0
+        )
+        doc = json.load(open(out))
+        assert [d["database_name"] for d in doc["databases"]] == [
+            "alpha",
+            "beta",
+        ]
+        meta = doc["collection_metadata"]
+        # skipme (excluded) + _checkpoints (system) were discovered+filtered
+        assert meta["databases_discovered"] == 4
+        assert meta["databases_filtered"] == 2
+        assert meta["databases_collected"] == 2
+
+    def test_all_databases_include_system(self, server_root):
+        from dbsurveyor_spark.survey.export import enumerate_lake_databases
+
+        found = enumerate_lake_databases(str(server_root))
+        assert sorted(found) == ["alpha", "beta", "skipme"]
+        with_sys = enumerate_lake_databases(
+            str(server_root), include_system=True
+        )
+        assert "_checkpoints" in with_sys
+        excl = enumerate_lake_databases(str(server_root), exclude=["beta"])
+        assert sorted(excl) == ["alpha", "skipme"]
+
+    def test_all_databases_empty_root_fails(self, tmp_path):
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        assert (
+            run(["collect", str(empty), "--all-databases",
+                 "-o", str(tmp_path / "x.json")])
+            == 1
+        )
+
 
 class TestSources:
     def test_lake_and_jdbc_probe(self, capsys):
