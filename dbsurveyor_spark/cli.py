@@ -445,7 +445,7 @@ def cmd_analyze(args: argparse.Namespace) -> int:
 def cmd_sql(args: argparse.Namespace) -> int:
     from .survey.export import to_sql_ddl
 
-    _emit(to_sql_ddl(_load_doc(args)), args.output)
+    _emit(to_sql_ddl(_load_doc(args), dialect=args.dialect), args.output)
     return 0
 
 
@@ -564,6 +564,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("sql", help="reconstruct DDL from a schema document")
     s.add_argument("input")
+    s.add_argument(
+        "--dialect",
+        choices=("postgresql", "mysql", "sqlite", "sqlserver", "generic"),
+        default="postgresql",
+        help="target SQL dialect (reference declares this flag but ignores "
+        "it; here the type mapping is real)",
+    )
     s.add_argument("-o", "--output", default=None)
     s.add_argument("--passphrase", default=None)
     s.set_defaults(fn=cmd_sql)

@@ -442,11 +442,73 @@ def to_markdown(doc: dict[str, Any]) -> str:
     return "\n".join(lines)
 
 
-def to_sql_ddl(doc: dict[str, Any]) -> str:
-    """ANSI CREATE TABLE reconstruction (output.rs:202 generate_sql)."""
+# Per-dialect rewrites over the ANSI type strings _type_display emits.
+# The reference's `sql --dialect` flag is declared but ignored
+# (dbsurveyor/src/main.rs:209 SqlDialect, output.rs:208 "--dialect is not
+# yet implemented"); here it is implemented. Types absent from a map pass
+# through unchanged (BIGINT/INTEGER/SMALLINT/DATE are portable).
+SQL_DIALECTS = ("generic", "postgresql", "mysql", "sqlite", "sqlserver")
+
+_DIALECT_TYPES: dict[str, dict[str, str]] = {
+    "generic": {},
+    "postgresql": {
+        "DOUBLE": "DOUBLE PRECISION",
+        "TINYINT": "SMALLINT",  # no 1-byte int in postgres
+        "BLOB": "BYTEA",
+        "VARCHAR": "TEXT",  # unbounded text idiom
+    },
+    "mysql": {
+        "REAL": "FLOAT",
+        "BOOLEAN": "TINYINT(1)",
+        "TIMESTAMP": "DATETIME(6)",  # TIMESTAMP has epoch-range limits
+        "VARCHAR": "TEXT",  # VARCHAR requires a length in mysql
+        "BLOB": "LONGBLOB",
+    },
+    "sqlite": {
+        # sqlite stores by type AFFINITY; emit the canonical affinity names
+        "BIGINT": "INTEGER",
+        "SMALLINT": "INTEGER",
+        "TINYINT": "INTEGER",
+        "DOUBLE": "REAL",
+        "BOOLEAN": "INTEGER",
+        "VARCHAR": "TEXT",
+        "DATE": "TEXT",
+        "TIMESTAMP": "TEXT",
+    },
+    "sqlserver": {
+        "DOUBLE": "FLOAT",
+        "BOOLEAN": "BIT",
+        "TIMESTAMP": "DATETIME2",  # TIMESTAMP means rowversion in T-SQL
+        "VARCHAR": "NVARCHAR(MAX)",
+        "BLOB": "VARBINARY(MAX)",
+    },
+}
+
+# Engines without a native array type get a serialized-document column.
+_DIALECT_ARRAY = {"mysql": "JSON", "sqlite": "TEXT", "sqlserver": "NVARCHAR(MAX)"}
+
+
+def _dialect_type(ansi: str, dialect: str) -> str:
+    if ansi.endswith("[]"):
+        if dialect in _DIALECT_ARRAY:
+            return _DIALECT_ARRAY[dialect]
+        return _dialect_type(ansi[:-2], dialect) + "[]"
+    if ansi.startswith("DECIMAL(") and dialect == "sqlite":
+        return "NUMERIC"
+    return _DIALECT_TYPES[dialect].get(ansi, ansi)
+
+
+def to_sql_ddl(doc: dict[str, Any], dialect: str = "generic") -> str:
+    """CREATE TABLE reconstruction (output.rs:202 generate_sql), with the
+    dialect type mapping the reference declares but leaves unimplemented."""
+    if dialect not in _DIALECT_TYPES:
+        raise ValueError(
+            f"unknown dialect {dialect!r}; expected one of {SQL_DIALECTS}"
+        )
     out = [
         f"-- Database Schema: {doc['database_info']['name']}",
         f"-- Generated by {doc['collection_metadata']['collector_version']}",
+        f"-- Dialect: {dialect}",
         "",
     ]
     pk_cols_by_table = {
@@ -455,7 +517,7 @@ def to_sql_ddl(doc: dict[str, Any]) -> str:
     }
     for t in doc["tables"]:
         cols = [
-            f"    {c['name']} {_type_display(c['data_type'])}"
+            f"    {c['name']} {_dialect_type(_type_display(c['data_type']), dialect)}"
             + ("" if c["is_nullable"] else " NOT NULL")
             for c in t["columns"]
         ]

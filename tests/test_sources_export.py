@@ -356,6 +356,32 @@ class TestExport:
             "WHERE table_catalog='ddlcheck'"
         ).fetchone()[0] == 10
 
+    def test_ddl_dialects(self, doc):
+        """The reference declares `sql --dialect` but ignores it
+        (output.rs:208); ours maps types for real. The sqlite dialect is
+        verified by actually executing the DDL in an in-memory sqlite."""
+        import sqlite3
+
+        pg = export.to_sql_ddl(doc, dialect="postgresql")
+        assert "DOUBLE PRECISION" in pg and " DOUBLE\n" not in pg
+        assert "REAL[]" in pg  # embeddings.embedding keeps its native array
+        my = export.to_sql_ddl(doc, dialect="mysql")
+        assert "DATETIME(6)" in my and "TIMESTAMP" not in my.split("--", 1)[1]
+        assert "JSON" in my  # embeddings.vec array column
+        ms = export.to_sql_ddl(doc, dialect="sqlserver")
+        assert "DATETIME2" in ms and "NVARCHAR(MAX)" in ms
+        lite = export.to_sql_ddl(doc, dialect="sqlite")
+        con = sqlite3.connect(":memory:")
+        for stmt in lite.split(";"):
+            if "CREATE TABLE" in stmt:
+                con.execute(stmt)
+        n = con.execute(
+            "SELECT COUNT(*) FROM sqlite_master WHERE type='table'"
+        ).fetchone()[0]
+        assert n == 10
+        with pytest.raises(ValueError):
+            export.to_sql_ddl(doc, dialect="oracle")
+
     def test_mermaid(self, doc):
         mmd = export.to_mermaid_erd(doc)
         assert mmd.startswith("erDiagram")
