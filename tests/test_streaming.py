@@ -3,6 +3,7 @@ session_window sessionization; applyInPandasWithState custom operator."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -23,6 +24,7 @@ from .conftest import SF_ORACLE
 
 @pytest.fixture
 def ckpt():
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
     d = tempfile.mkdtemp(prefix="ckpt_", dir="/root/repo/.tmp")
     yield d
     shutil.rmtree(d, ignore_errors=True)
