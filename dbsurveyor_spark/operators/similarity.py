@@ -255,6 +255,82 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering report over the trained IVF cells: per cell, vector
+    count, distinct labels, the dominant label and its purity — the table a
+    topic/domain-mix plan reads (k-means cells stand in for topics exactly
+    as in embedding-based corpus curation; the `label` column plays the
+    ground-truth side of a cluster-purity evaluation).
+
+    Plan: reuses the session-memoized coarse quantizer (no training cost
+    when ANN/dedup already ran), ONE streaming assignment pass over the
+    corpus (`rank_cells`, rn=1), a slim co-partitioned join to re-attach
+    the label, then (cell, label) partial-agg counts folded to per-cell
+    stats — every level map-side combinable; the dominant label is an
+    argmax over the aggregated (|cells|×|labels|, metadata-scale) frame.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    assigned = (
+        rank_cells(emb.select("vec_id", "embedding"), cent_rows, 1)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    counts = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cell_id", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("cell_id").orderBy(F.desc("c"), F.asc("label"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .groupBy("cell_id")
+        .agg(
+            F.sum("c").alias("n_vectors"),
+            F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+            F.max(F.when(F.col("rn") == 1, F.col("label"))).alias("top_label"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_label_n"),
+            F.round(
+                F.max(F.when(F.col("rn") == 1, F.col("c"))) / F.sum("c"), 9
+            ).alias("purity"),
+        )
+    )
+
+
+def _cluster_report_sql(dim: int = 64) -> str:
+    """Replays quantizer training + assignment (same CTEs as the IVF oracle)
+    then the per-cell label aggregate."""
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
+    return f"""
+WITH {train_ctes},
+final AS (
+  SELECT e.vec_id, e.label, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {cent} c
+),
+counts AS (
+  SELECT cell_id, label, COUNT(*) AS c
+  FROM final WHERE rn = 1 GROUP BY cell_id, label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cell_id ORDER BY c DESC, label ASC) AS rn
+  FROM counts
+)
+SELECT cell_id, CAST(SUM(c) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_labels,
+       MAX(CASE WHEN rn = 1 THEN label END) AS top_label,
+       CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top_label_n,
+       ROUND(MAX(CASE WHEN rn = 1 THEN c END) * 1.0 / SUM(c), 9) AS purity
+FROM ranked GROUP BY cell_id
+"""
+
+
 IVF_SQL_DIM = 64  # test-table embedding dim; Spark introspects, SQL is static
 
 
@@ -347,9 +423,11 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "embed_cluster_report": embed_cluster_report,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": _bruteforce_sql(),
     "ann_ivf_topk": _ivf_sql(),
+    "embed_cluster_report": _cluster_report_sql(),
 }

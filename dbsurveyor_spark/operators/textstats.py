@@ -195,12 +195,112 @@ WHERE quality_score >= {QUALITY_MIN} AND n_tokens >= {TOKENS_MIN}
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1:
+    top n-gram fraction / duplicate n-gram fraction — the standard
+    repetition filters an LLM corpus pipeline applies before training):
+
+    - ``top_bigram_share``: occurrences of the document's most frequent
+      2-gram over all its 2-gram occurrences;
+    - ``dup_trigram_frac``: fraction of 3-gram occurrences that are repeats
+      (1 − distinct/total).
+
+    Plan: one posexplode → lead-window pass builds both gram columns
+    codegen-side (same construction as dedup shingles — no interpreted array
+    lambdas), the frame is cached once, and each metric is a (doc_id, gram)
+    partial-aggregated count folded to a per-doc aggregate — map-side
+    combinable both levels, no O(|doc|²) per-row work, so a 100k-token
+    document costs the same per token as a 100-token one.
+    """
+    from pyspark.sql.window import Window
+
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead1, lead2 = F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+    grams = tracked_cache(
+        toks.select(
+            "doc_id",
+            F.when(lead1.isNotNull(), F.concat_ws(" ", F.col("t"), lead1)).alias(
+                "bigram"
+            ),
+            F.when(
+                lead2.isNotNull(), F.concat_ws(" ", F.col("t"), lead1, lead2)
+            ).alias("trigram"),
+        )
+    )
+    bi = (
+        grams.filter(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 9).alias("top_bigram_share"),
+        )
+    )
+    tri = (
+        grams.filter(F.col("trigram").isNotNull())
+        .groupBy("doc_id", "trigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_trigrams"),
+            F.round(1 - F.count(F.lit(1)) / F.sum("c"), 9).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+    return bi.join(tri, "doc_id").select(
+        "doc_id", "n_trigrams", "top_bigram_share", "dup_trigram_frac"
+    )
+
+
+def _repetition_sql() -> str:
+    toks = tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t, CAST(pos AS BIGINT) AS pos
+  FROM (SELECT doc_id, unnest({toks}) AS t,
+               generate_subscripts({toks}, 1) AS pos
+        FROM documents)
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN lead(t, 1) OVER w IS NOT NULL
+              THEN t || ' ' || lead(t, 1) OVER w END AS bigram,
+         CASE WHEN lead(t, 2) OVER w IS NOT NULL
+              THEN t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w
+         END AS trigram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bi AS (
+  SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 9) AS top_bigram_share
+  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM grams
+        WHERE bigram IS NOT NULL GROUP BY doc_id, bigram)
+  GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+         ROUND(1 - COUNT(*) * 1.0 / SUM(c), 9) AS dup_trigram_frac
+  FROM (SELECT doc_id, trigram, COUNT(*) AS c FROM grams
+        WHERE trigram IS NOT NULL GROUP BY doc_id, trigram)
+  GROUP BY doc_id
+)
+SELECT bi.doc_id, tri.n_trigrams, bi.top_bigram_share, tri.dup_trigram_frac
+FROM bi JOIN tri ON bi.doc_id = tri.doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_token_histogram": text_token_histogram,
     "text_quality_filter": text_quality_filter,
+    "text_repetition": text_repetition,
 }
 
 ORACLES = {
@@ -209,4 +309,5 @@ ORACLES = {
     "text_fingerprint": FINGERPRINT_SQL,
     "text_token_histogram": _histogram_sql(),
     "text_quality_filter": _quality_filter_sql(),
+    "text_repetition": _repetition_sql(),
 }

@@ -181,6 +181,27 @@ class TestRound2OperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_text_repetition_stays_jvm_and_joinless_grams(self, spark):
+        # the gram build + both count levels are pure JVM (no Python eval);
+        # no per-doc O(n²) nested-loop shapes
+        from dbsurveyor_spark.operators import textstats
+
+        df = textstats.text_repetition(spark, SF)
+        assert_no_python_eval(df)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # both metric branches must read the cached gram frame, not re-run
+        # the explode+window pass per branch
+        assert plan.count("InMemoryTableScan") >= 2, plan
+
+    def test_embed_cluster_report_no_cross_join(self, spark):
+        # assignment is the streaming mapInPandas pass (the one sanctioned
+        # Python use) — never a corpus×k cross join
+        plan = formatted_plan(similarity.embed_cluster_report(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_ann_ivf_caches_cell_assignment(self, spark):
         # both plan branches (assigned + probes) must read the cached
         # assignment, not re-run the corpus mapInPandas pass per branch
