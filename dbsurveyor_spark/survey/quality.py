@@ -536,6 +536,93 @@ FROM parts
 """
 
 
+# ------------------------------------------- referential integrity (RI)
+
+# FK edges checked for ROW-level orphan rates (complementary to
+# survey_fk_inference's distinct-key containment: a single bad key repeated
+# a million times is one containment miss but a million broken rows).
+# The synthetic lake is referentially perfect, so — exactly like the
+# completeness/uniqueness dirtied view above — child keys are deterministically
+# corrupted (key % 37 == 0 → key + 10_000_000) inside the query in BOTH
+# engines, keeping the check non-vacuous.
+RI_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+_RI_MOD = 37
+_RI_SHIFT = 10_000_000
+
+
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level referential integrity per FK edge: total child rows, orphan
+    rows (dirtied child key absent from parent), orphan rate, integrity
+    score — the quality counterpart of models.rs ForeignKey.
+
+    Plan per edge: child projects ONLY the FK column (scan-pruned), parent
+    keys are distinct-reduced then anti-joined — dims broadcast under AQE,
+    and the count is a map-side-combinable single-row aggregate. NULL child
+    keys don't participate (SQL FK semantics) — none exist post-dirtying,
+    but the filter keeps semantics explicit.
+    """
+    frames = []
+    for ct, cc, pt, pc in RI_EDGES:
+        dirty_key = F.when(
+            F.col(cc) % _RI_MOD == 0, F.col(cc) + _RI_SHIFT
+        ).otherwise(F.col(cc))
+        child = (
+            load_table(spark, sf_dir, ct)
+            .select(dirty_key.alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+        parent = (
+            load_table(spark, sf_dir, pt).select(F.col(pc).alias("k")).distinct()
+        )
+        orphans = child.join(parent, "k", "left_anti")
+        stats = child.agg(F.count(F.lit(1)).alias("child_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("orphan_rows"))
+        )
+        frames.append(
+            stats.select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_column"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_column"),
+                "child_rows",
+                "orphan_rows",
+                F.round(
+                    F.col("orphan_rows").cast("double") / F.col("child_rows"), 9
+                ).alias("orphan_rate"),
+                F.round(
+                    1.0 - F.col("orphan_rows").cast("double") / F.col("child_rows"),
+                    9,
+                ).alias("integrity_score"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _referential_integrity_sql() -> str:
+    parts = []
+    for ct, cc, pt, pc in RI_EDGES:
+        dirty = (
+            f"CASE WHEN {cc} % {_RI_MOD} = 0 THEN {cc} + {_RI_SHIFT} "
+            f"ELSE {cc} END"
+        )
+        parts.append(f"""
+SELECT '{ct}' AS child_table, '{cc}' AS child_column,
+       '{pt}' AS parent_table, '{pc}' AS parent_column,
+       COUNT(*) AS child_rows,
+       CAST(SUM(CASE WHEN k NOT IN (SELECT {pc} FROM {pt} WHERE {pc} IS NOT NULL)
+                THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+       ROUND(SUM(CASE WHEN k NOT IN (SELECT {pc} FROM {pt} WHERE {pc} IS NOT NULL)
+                 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9) AS orphan_rate,
+       ROUND(1.0 - SUM(CASE WHEN k NOT IN (SELECT {pc} FROM {pt} WHERE {pc} IS NOT NULL)
+                     THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9) AS integrity_score
+FROM (SELECT {dirty} AS k FROM {ct} WHERE {cc} IS NOT NULL) c""")
+    return "\nUNION ALL\n".join(parts)
+
+
 # ------------------------------------------------ document-level collection
 
 
@@ -771,9 +858,11 @@ QUERIES = {
     "quality_anomaly_zscore": quality_anomaly_zscore,
     "quality_format_consistency": quality_format_consistency,
     "quality_score_table": quality_score_table,
+    "quality_referential_integrity": quality_referential_integrity,
 }
 
 ORACLES = {
+    "quality_referential_integrity": _referential_integrity_sql(),
     "quality_completeness": _completeness_sql(),
     "quality_uniqueness": _uniqueness_sql(),
     "quality_anomaly_zscore": _anomaly_sql(),
