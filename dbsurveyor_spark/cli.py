@@ -449,6 +449,23 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Schema drift between two survey documents (old, new)."""
+    from .survey.drift import diff_schema_documents, drift_to_markdown
+    from .survey.export import load_schema_json
+
+    old = load_schema_json(args.old)
+    new = load_schema_json(args.new)
+    report = diff_schema_documents(
+        old, new, rowcount_drift_min_rel=args.row_drift_min
+    )
+    if args.format == "json":
+        _emit(json.dumps(report, indent=2, default=str), args.output)
+    else:
+        _emit(drift_to_markdown(report), args.output)
+    return 2 if (report["has_changes"] and args.fail_on_change) else 0
+
+
 def cmd_validate(args: argparse.Namespace) -> int:
     from .survey.export import validate_schema_doc
 
@@ -579,6 +596,24 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("input")
     v.add_argument("--passphrase", default=None)
     v.set_defaults(fn=cmd_validate)
+
+    d = sub.add_parser("diff", help="schema drift between two documents")
+    d.add_argument("old")
+    d.add_argument("new")
+    d.add_argument("--format", choices=("markdown", "json"), default="markdown")
+    d.add_argument("--output", default=None)
+    d.add_argument(
+        "--row-drift-min",
+        type=float,
+        default=0.1,
+        help="report row-count drift beyond this relative change",
+    )
+    d.add_argument(
+        "--fail-on-change",
+        action="store_true",
+        help="exit 2 when drift is detected (CI gate)",
+    )
+    d.set_defaults(fn=cmd_diff)
     return p
 
 
