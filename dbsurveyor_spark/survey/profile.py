@@ -383,6 +383,117 @@ FROM (SELECT quantile_cont(CAST({c} AS DOUBLE), [{probs}]) AS q
     return "\nUNION ALL\n".join(parts)
 
 
+HIST_BUCKETS = 16
+HIST_COLS = QUANTILE_COLS
+
+
+def survey_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (HIST_BUCKETS buckets) per numeric lineitem
+    column — the value-distribution profile a schema document's reader
+    wants next to min/max/quantiles.
+
+    Two passes, both single aggregates: (1) per-column min/max in one
+    1-row job; (2) one scan unpivoted codegen-side (`inline`, no
+    interpreted lambdas) to (column, value), broadcast-joined to the
+    bounds frame, bucketed with closed-form arithmetic, then a
+    (column, bucket) count — map-side combinable, agg state bounded by
+    |cols|×|buckets|. The max value closes into the last bucket (standard
+    equi-width convention); a constant column degenerates to bucket 0.
+    """
+    df = load_table(spark, sf_dir, PROFILE_TABLE)
+    bounds = df.agg(
+        *[
+            f(F.col(c).cast("double")).alias(f"{c}__{n}")
+            for c in HIST_COLS
+            for n, f in (("mn", F.min), ("mx", F.max))
+        ]
+    )
+    bounds_rows = bounds.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__mn").alias("mn"),
+                        F.col(f"{c}__mx").alias("mx"),
+                    )
+                    for c in HIST_COLS
+                ]
+            )
+        )
+    )
+    values = df.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in HIST_COLS
+                ]
+            )
+        )
+    )
+    n = F.lit(HIST_BUCKETS)
+    width = (F.col("mx") - F.col("mn")) / n
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            n - 1,
+            F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * n),
+        )
+    )
+    return (
+        values.join(F.broadcast(bounds_rows), "column_name")
+        .select("column_name", bucket.cast("bigint").alias("bucket"), "mn", "mx")
+        .groupBy("column_name", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.round(F.min(F.col("mn") + F.col("bucket") * width), 6).alias(
+                "bucket_lo"
+            ),
+            F.round(F.min(F.col("mn") + (F.col("bucket") + 1) * width), 6).alias(
+                "bucket_hi"
+            ),
+        )
+        .select(
+            "column_name", "bucket", "bucket_lo", "bucket_hi", "row_count"
+        )
+    )
+
+
+def _histogram_sql() -> str:
+    n = HIST_BUCKETS
+    stats = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, MIN(CAST({c} AS DOUBLE)) AS mn, "
+        f"MAX(CAST({c} AS DOUBLE)) AS mx FROM {PROFILE_TABLE}"
+        for c in HIST_COLS
+    )
+    vals = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS DOUBLE) AS v "
+        f"FROM {PROFILE_TABLE}"
+        for c in HIST_COLS
+    )
+    return f"""
+WITH bounds AS ({stats}),
+vals AS ({vals}),
+bucketed AS (
+  SELECT v.column_name,
+         CAST(CASE WHEN b.mx = b.mn THEN 0
+              ELSE LEAST({n} - 1, FLOOR((v.v - b.mn) / (b.mx - b.mn) * {n}))
+         END AS BIGINT) AS bucket,
+         b.mn, b.mx
+  FROM vals v JOIN bounds b USING (column_name)
+)
+SELECT column_name, bucket,
+       ROUND(MIN(mn + bucket * ((mx - mn) / {n})), 6) AS bucket_lo,
+       ROUND(MIN(mn + (bucket + 1) * ((mx - mn) / {n})), 6) AS bucket_hi,
+       COUNT(*) AS row_count
+FROM bucketed
+GROUP BY column_name, bucket
+"""
+
+
 QUERIES = {
     "survey_schema_overview": survey_schema_overview,
     "survey_column_profile": survey_column_profile,
@@ -390,9 +501,11 @@ QUERIES = {
     "survey_pk_inference": survey_pk_inference,
     "survey_fk_inference": survey_fk_inference,
     "survey_numeric_quantiles": survey_numeric_quantiles,
+    "survey_numeric_histogram": survey_numeric_histogram,
 }
 
 ORACLES = {
+    "survey_numeric_histogram": _histogram_sql(),
     "survey_schema_overview": _overview_sql(),
     "survey_column_profile": _profile_sql(),
     "survey_pk_inference": _pk_sql(),
