@@ -38,6 +38,10 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "text_stats",
+    "text_repetition",
+    "corpus_decontamination",
+    "embed_cluster_report",
+    "survey_numeric_histogram",
     "stream_sessionization",
     "stream_dedup_events",
     "asof_join_events_orders",

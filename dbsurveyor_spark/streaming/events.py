@@ -408,8 +408,53 @@ GROUP BY window_start, event_type
 """
 
 
+TRENDING_K = 3
+
+
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard shape: per 1-h tumbling window, the top-K event
+    types by count with their rank.
+
+    The rank window runs over the AGGREGATED frame — |windows|×|types|
+    rows, metadata-scale — never over raw events; the heavy lifting is the
+    same map-side-combinable windowed count as stream_tumbling_counts. In
+    a live pipeline this is the foreachBatch ranking step on top of the
+    streaming aggregate (rank itself isn't an incremental operator)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", f"{WINDOW_SECONDS} seconds")
+    counts = (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_count")
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("event_count"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TRENDING_K)
+    )
+
+
+TRENDING_SQL = f"""
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '{WINDOW_SECONDS} seconds', ts) AS window_start,
+         event_type, COUNT(*) AS event_count
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, event_count, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY window_start ORDER BY event_count DESC, event_type ASC
+  ) AS rank FROM counts
+) t WHERE rank <= {TRENDING_K}
+"""
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_topk_trending": stream_topk_trending,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_sessionization": stream_sessionization,
     "stream_dedup_events": stream_dedup_events,
@@ -417,6 +462,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_tumbling_counts": TUMBLING_SQL,
+    "stream_topk_trending": TRENDING_SQL,
     "stream_sliding_counts": SLIDING_SQL,
     "stream_sessionization": SESSION_SQL,
     "stream_dedup_events": DEDUP_EVENTS_SQL,
