@@ -241,13 +241,123 @@ FROM agg
 """
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: the composed decision pipeline an LLM data team
+    runs before training, as ONE declarative plan —
+
+    1. score: token count + composite quality per document (text_stats
+       formula, same scan);
+    2. quality gate: quality_score ≥ 0.8 and ≥ 20 tokens;
+    3. benchmark exclusion: held-out eval docs never train;
+    4. decontamination: drop corpus docs covering ≥ 50% of a benchmark
+       doc's distinct 3-grams (reuses corpus_decontamination — broadcast
+       benchmark side, corpus never shuffles for the join);
+    5. exact dedup: one survivor (min doc_id) per normalized fingerprint;
+    6. split assignment: deterministic hash 90/5/5.
+
+    Stage order is the cheap-filter-first order: map-side gates (2,3)
+    run inside the scan before any shuffle; the fingerprint groupBy sees
+    only gate-surviving docs; the decontamination anti-join is against a
+    broadcast list of contaminated ids (pairs output is benchmark-sized,
+    bounded). Output: curated corpus with provenance (split, stats).
+    """
+    from ..functions.text import stopword_count
+    from .textstats import PUNCT_RE, QUALITY_MIN, TOKENS_MIN
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    chars_d = F.nullif(n_chars, F.lit(0))
+    tokens_d = F.nullif(n_tokens, F.lit(0))
+    no_punct = F.regexp_replace(F.col("text"), PUNCT_RE, "")
+    punct_ratio = (n_chars - F.length(no_punct)).cast("double") / chars_d
+    sw_ratio = stopword_count(toks).cast("double") / tokens_d
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * (1.0 - sw_ratio)
+    )
+    fingerprint = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " "))))
+    scored = docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(quality, 9).alias("quality_score"),
+        fingerprint.alias("fingerprint"),
+    )
+    gated = scored.filter(
+        (F.col("quality_score") >= QUALITY_MIN)
+        & (F.col("n_tokens") >= TOKENS_MIN)
+        & ~_bench_flag(F.col("doc_id"))
+    )
+    contaminated = (
+        corpus_decontamination(spark, sf_dir)
+        .select(F.col("corpus_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = gated.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    survivors = clean.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    bucket = portable_hash64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        clean.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", split.alias("split"), "n_tokens", "quality_score")
+    )
+
+
+def _curation_sql() -> str:
+    from .textstats import QUALITY_MIN, TOKENS_MIN, _stats_sql
+
+    return f"""
+WITH stats AS ({_stats_sql()}),
+fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+  FROM documents
+),
+gated AS (
+  SELECT s.doc_id, s.n_tokens, s.quality_score, f.fingerprint
+  FROM stats s JOIN fp f USING (doc_id)
+  WHERE s.quality_score >= {QUALITY_MIN} AND s.n_tokens >= {TOKENS_MIN}
+    AND NOT ({_BENCH_FLAG_SQL.replace("doc_id", "s.doc_id")})
+),
+contaminated AS (
+  SELECT DISTINCT corpus_doc_id AS doc_id FROM ({DECONTAMINATION_SQL}) d
+),
+clean AS (
+  SELECT g.* FROM gated g
+  WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+survivors AS (
+  SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY fingerprint
+)
+SELECT c.doc_id,
+       CASE WHEN {_SPLIT_BUCKET.replace("doc_id", "c.doc_id")} < {SPLIT_TRAIN_PCT}
+              THEN 'train'
+            WHEN {_SPLIT_BUCKET.replace("doc_id", "c.doc_id")}
+                 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       c.n_tokens, c.quality_score
+FROM clean c
+WHERE c.doc_id IN (SELECT doc_id FROM survivors)
+"""
+
+
 QUERIES = {
     "corpus_decontamination": corpus_decontamination,
     "split_leakage_report": split_leakage_report,
     "corpus_mix_report": corpus_mix_report,
+    "corpus_curation": corpus_curation,
 }
 
 ORACLES = {
+    "corpus_curation": _curation_sql(),
     "corpus_decontamination": DECONTAMINATION_SQL,
     "split_leakage_report": SPLIT_LEAKAGE_SQL,
     "corpus_mix_report": MIX_REPORT_SQL,
