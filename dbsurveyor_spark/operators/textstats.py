@@ -294,6 +294,88 @@ FROM bi JOIN tri ON bi.doc_id = tri.doc_id
 """
 
 
+# BPE-ish pre-tokenizer: GPT-2-style piece regex reduced to the ASCII
+# classes the corpus contains (letter runs, digit runs, punctuation runs,
+# each absorbing one leading space; whitespace runs). Pure-ASCII classes
+# keep Java-regex and RE2 semantics identical.
+BPE_PIECE_RE = " ?[a-z]+| ?[A-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+
+
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish piece regex vs whitespace tokens —
+    the sizing pass an LLM pipeline runs to budget training tokens (a
+    whitespace count under-estimates what a subword tokenizer produces).
+    Map-side projection, no shuffle; `chars_per_piece` is the compression
+    proxy."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PIECE_RE), 0)
+    n_pieces = F.size(pieces)
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        n_pieces.cast("bigint").alias("bpe_pieces"),
+        F.round(
+            F.length("text").cast("double") / F.nullif(n_pieces, F.lit(0)), 9
+        ).alias("chars_per_piece"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len({tokens_sql("text")}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PIECE_RE}')) AS BIGINT)
+         AS bpe_pieces,
+       ROUND(CAST(length(text) AS DOUBLE) /
+             NULLIF(len(regexp_extract_all(text, '{BPE_PIECE_RE}')), 0), 9)
+         AS chars_per_piece
+FROM documents
+"""
+
+# Rabin–Karp-style rolling hash: base-31 polynomial over per-token md5
+# hashes, mod 2^31−1. Intermediates stay < 2^36 (31·(2^31−1) + 2^28), so
+# the fold is exact in int64 on both engines.
+_ROLL_MOD = 2_147_483_647  # 2^31 − 1
+_ROLL_BASE = 31
+
+
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint via a polynomial rolling hash
+    over token hashes (Rabin–Karp construction) — unlike the md5
+    fingerprint, two documents with the same bag of tokens in different
+    order hash differently, and the rolling form is the building block of
+    content-defined chunking.
+
+    The fold is a sequential per-document reduce (`F.aggregate`); per-row
+    work is O(tokens) with no shuffle. DuckDB's `list_reduce` seeds from
+    the first element, which equals a zero-seeded fold, so both engines
+    produce identical values; empty token lists pin to 0 explicitly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    rolled = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * _ROLL_BASE + tok_hash(t)) % _ROLL_MOD,
+    )
+    fp = F.when(F.size(toks) == 0, F.lit(0).cast("bigint")).otherwise(rolled)
+    return docs.select("doc_id", fp.alias("rolling_fp"))
+
+
+ROLLING_FP_SQL = f"""
+SELECT doc_id,
+  CASE WHEN len(toks) = 0 THEN 0
+       ELSE list_reduce(
+              list_transform(toks,
+                t -> CAST(('0x' || substring(md5(t), 1, 7)) AS BIGINT)),
+              (acc, h) -> (acc * {_ROLL_BASE} + h) % {_ROLL_MOD})
+  END AS rolling_fp
+FROM (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents) t
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -301,6 +383,8 @@ QUERIES = {
     "text_token_histogram": text_token_histogram,
     "text_quality_filter": text_quality_filter,
     "text_repetition": text_repetition,
+    "text_token_count_bpe": text_token_count_bpe,
+    "text_rolling_fingerprint": text_rolling_fingerprint,
 }
 
 ORACLES = {
@@ -310,4 +394,6 @@ ORACLES = {
     "text_token_histogram": _histogram_sql(),
     "text_quality_filter": _quality_filter_sql(),
     "text_repetition": _repetition_sql(),
+    "text_token_count_bpe": TOKEN_COUNT_BPE_SQL,
+    "text_rolling_fingerprint": ROLLING_FP_SQL,
 }
