@@ -120,3 +120,61 @@ class TestCosineTriParity:
             ha = struct.pack("<d", hof[i])
             assert ha == struct.pack("<d", arrow[i]), f"hof≠arrow at {i}"
             assert ha == struct.pack("<d", duck[i]), f"hof≠duckdb at {i}"
+
+
+class TestRollingFingerprintParity:
+    def test_rolling_fold_matches_duckdb_and_python_on_random_docs(self, spark):
+        """Three-way parity for the Rabin-Karp fold: Spark F.aggregate,
+        DuckDB list_reduce (first-element seeding), and a plain-Python
+        reference with explicit zero seed — on random token lists incl.
+        empty and single-token docs, and a long doc proving no overflow."""
+        from dbsurveyor_spark.operators.textstats import _ROLL_BASE, _ROLL_MOD
+
+        rng = random.Random(20260814)
+        vocab = [f"tok{n}" for n in range(50)]
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+            for _ in range(60)
+        ]
+        docs += ["", "solo", " ".join(rng.choice(vocab) for _ in range(5000))]
+        rows = [(i, d) for i, d in enumerate(docs)]
+
+        import hashlib
+
+        def py_fp(text: str) -> int:
+            acc = 0
+            for t in [t for t in text.split(" ") if t]:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+                acc = (acc * _ROLL_BASE + h) % _ROLL_MOD
+            return acc
+
+        want = {i: py_fp(d) for i, d in rows}
+
+        sdf = spark.createDataFrame(rows, "doc_id long, text string")
+        sdf.createOrReplaceTempView("documents")
+        from dbsurveyor_spark.operators.textstats import ROLLING_FP_SQL
+
+        from pyspark.sql import functions as F  # noqa: F811
+        from dbsurveyor_spark.functions.text import tokens
+
+        toks = tokens(F.col("text"))
+        tok_hash = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 7), 16, 10
+        ).cast("bigint")
+        rolled = F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: (acc * _ROLL_BASE + tok_hash(t)) % _ROLL_MOD,
+        )
+        fp = F.when(F.size(toks) == 0, F.lit(0).cast("bigint")).otherwise(rolled)
+        got_spark = {
+            r["doc_id"]: r["fp"]
+            for r in sdf.select("doc_id", fp.alias("fp")).collect()
+        }
+        assert got_spark == want
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        got_duck = {r[0]: r[1] for r in con.execute(ROLLING_FP_SQL).fetchall()}
+        assert got_duck == want

@@ -195,6 +195,17 @@ class TestRound2OperatorPlans:
         # the explode+window pass per branch
         assert plan.count("InMemoryTableScan") >= 2, plan
 
+    def test_corpus_curation_stays_jvm_with_broadcast_anti_join(self, spark):
+        from dbsurveyor_spark.operators import pipeline
+
+        df = pipeline.corpus_curation(spark, SF)
+        assert_no_python_eval(df)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        # the decontamination exclusion list is bounded (benchmark-sized):
+        # must plan as a broadcast LEFT ANTI, never a shuffled anti join
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
     def test_embed_cluster_report_no_cross_join(self, spark):
         # assignment is the streaming mapInPandas pass (the one sanctioned
         # Python use) — never a corpus×k cross join
