@@ -349,6 +349,45 @@ WHERE c.doc_id IN (SELECT doc_id FROM survivors)
 """
 
 
+def materialize_curated_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    with_text: bool = True,
+    codec: str = "zstd",
+) -> dict[str, int]:
+    """Sink side of the curation pipeline: write the curated corpus as a
+    split-partitioned zstd parquet lake (`out_dir/split=train/...`).
+
+    Scale choices: `partitionBy("split")` so a trainer's read of one split
+    is partition-PRUNED at the directory level (never scans val/test);
+    text re-attaches via one equi-join on doc_id (co-partitioned with the
+    curation output's own shuffle); rows are repartitioned by split so
+    each partition directory is written by tasks holding only that
+    split's data — no 3× small-file fan-out per task. Returns per-split
+    row counts read back from the written lake's footers (a write audit,
+    metadata-only).
+    """
+    curated = corpus_curation(spark, sf_dir)
+    if with_text:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        curated = curated.join(docs, "doc_id")
+    (
+        curated.repartition("split")
+        .write.mode("overwrite")
+        .option("compression", codec)
+        .partitionBy("split")
+        .parquet(out_dir)
+    )
+    written = spark.read.parquet(out_dir)
+    return {
+        r["split"]: r["n"]
+        for r in written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
 QUERIES = {
     "corpus_decontamination": corpus_decontamination,
     "split_leakage_report": split_leakage_report,

@@ -83,3 +83,49 @@ class TestPlans:
 
     def test_mix_report_no_python(self, spark):
         assert_no_python_eval(pipeline.corpus_mix_report(spark, SF))
+
+
+class TestCuratedCorpusSink:
+    def test_partitioned_write_and_pruned_readback(self, spark, tmp_path):
+        """materialize_curated_corpus writes a split-partitioned zstd lake;
+        a single-split read must plan directory-level partition pruning and
+        agree with the in-memory pipeline output."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from dbsurveyor_spark.operators.pipeline import (
+            corpus_curation,
+            materialize_curated_corpus,
+        )
+        from dbsurveyor_spark.plans.asserts import formatted_plan
+
+        from .conftest import SF_SMALL
+
+        out = str(tmp_path / "curated")
+        counts = materialize_curated_corpus(spark, SF_SMALL, out)
+        expected = {
+            r["split"]: r["n"]
+            for r in corpus_curation(spark, SF_SMALL)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert counts == expected and counts.get("train", 0) > 0
+        # split=... partition directories exist; files are zstd parquet
+        assert os.path.isdir(os.path.join(out, "split=train"))
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, "split=train"))
+            if f.endswith(".parquet")
+        ]
+        assert files and all(".zstd." in f for f in files)
+        # single-split read prunes at the partition level
+        train = spark.read.parquet(out).filter(F.col("split") == "train")
+        plan = formatted_plan(train)
+        assert "PartitionFilters" in plan and "split" in plan, plan
+        assert train.count() == expected["train"]
+        # text re-attached for training consumption
+        assert {"doc_id", "text", "lang", "source", "n_tokens"} <= set(
+            train.columns
+        )
