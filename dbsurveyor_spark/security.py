@@ -158,6 +158,57 @@ def sanitize_connection_url(connection_string: str) -> str:
     return info.to_safe_string()
 
 
+# ----------------------------------------- sensitive-column detection
+
+# Default column-name patterns (adapters/config/sampling.rs:110
+# SamplingConfig::default — password/email/ssn, case-insensitive).
+DEFAULT_SENSITIVE_PATTERNS: list[tuple[str, str]] = [
+    (r"(?i)(password|passwd|pwd)", "Password field detected"),
+    (r"(?i)(email|mail)", "Email field detected"),
+    (r"(?i)(ssn|social_security)", "Social Security Number field detected"),
+]
+
+
+def compile_sensitive_patterns(
+    patterns: list[tuple[str, str]],
+) -> list[tuple["re.Pattern[str]", str]]:
+    """(regex, description) pairs; invalid patterns are skipped rather than
+    raising (sampling.rs:95 compile_sensitive_patterns — also removes any
+    ReDoS risk from malformed user-supplied patterns)."""
+    import re
+
+    out = []
+    for pattern, description in patterns:
+        try:
+            out.append((re.compile(pattern), description))
+        except re.error:
+            continue
+    return out
+
+
+def detect_sensitive_columns(
+    tables: list[dict],
+    patterns: list[tuple[str, str]] | None = None,
+) -> list[str]:
+    """Warnings for schema-document tables whose column NAMES match a
+    sensitive pattern (the reference's warn_sensitive pass over collected
+    columns). Purely metadata — no data is read."""
+    compiled = compile_sensitive_patterns(
+        DEFAULT_SENSITIVE_PATTERNS if patterns is None else patterns
+    )
+    warnings = []
+    for t in tables:
+        for c in t.get("columns", []):
+            name = c.get("name") or ""
+            for regex, description in compiled:
+                if regex.search(name):
+                    warnings.append(
+                        f"sensitive column {t.get('name')}.{name}: {description}"
+                    )
+                    break
+    return warnings
+
+
 # ----------------------------------------------------------------- redaction
 
 

@@ -218,6 +218,7 @@ class SqliteSource:
         import time
         from datetime import datetime, timezone
 
+        from ..security import detect_sensitive_columns
         from ..survey.export import COLLECTOR, FORMAT_VERSION
 
         t_start = time.monotonic()
@@ -245,7 +246,8 @@ class SqliteSource:
                 "collector_version": COLLECTOR,
                 "collected_at": datetime.now(timezone.utc).isoformat(),
                 "collection_duration_ms": int((time.monotonic() - t_start) * 1000),
-                "warnings": [],
+                # warn_sensitive pass (adapters/config/sampling.rs:44)
+                "warnings": detect_sensitive_columns(tables),
             },
         }
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..catalog import TABLES, load_table
+from ..security import detect_sensitive_columns
 from . import profile
 
 FORMAT_VERSION = "1.0"
@@ -70,6 +71,7 @@ def collect_database_schema(
     sf_dir: str,
     name: str = "testdata",
     infer_keys: bool = True,
+    warn_sensitive: bool = True,
 ) -> dict[str, Any]:
     """Build the portable schema document for every catalog table.
 
@@ -206,7 +208,11 @@ def collect_database_schema(
             "collector_version": COLLECTOR,
             "collected_at": datetime.now(timezone.utc).isoformat(),
             "collection_duration_ms": int((time.monotonic() - t_start) * 1000),
-            "warnings": [],
+            # warn_sensitive pass over collected column names
+            # (adapters/config/sampling.rs:44 SamplingConfig.warn_sensitive)
+            "warnings": (
+                detect_sensitive_columns(tables) if warn_sensitive else []
+            ),
         },
     }
 

@@ -203,3 +203,68 @@ class TestAesGcmKnownAnswers:
     def test_envelope_magic_checked(self):
         with pytest.raises(ValueError):
             sec.decrypt_bytes(b"NOTMAGIC" + bytes(40), "pw")
+
+
+class TestSensitiveColumnDetection:
+    def test_default_patterns_match_reference_trio(self):
+        from dbsurveyor_spark.security import detect_sensitive_columns
+
+        tables = [
+            {
+                "name": "users",
+                "columns": [
+                    {"name": "id"},
+                    {"name": "PASSWORD_hash"},
+                    {"name": "Email"},
+                    {"name": "social_security_no"},
+                    {"name": "bio"},
+                ],
+            },
+            {"name": "clean", "columns": [{"name": "k"}, {"name": "v"}]},
+        ]
+        w = detect_sensitive_columns(tables)
+        assert w == [
+            "sensitive column users.PASSWORD_hash: Password field detected",
+            "sensitive column users.Email: Email field detected",
+            "sensitive column users.social_security_no: "
+            "Social Security Number field detected",
+        ]
+
+    def test_invalid_pattern_skipped_not_raised(self):
+        # sampling.rs:95 — malformed user patterns are skipped (no ReDoS)
+        from dbsurveyor_spark.security import detect_sensitive_columns
+
+        tables = [{"name": "t", "columns": [{"name": "api_key"}]}]
+        w = detect_sensitive_columns(
+            tables,
+            patterns=[("[invalid", "Bad"), (r"(?i)api_key", "API key detected")],
+        )
+        assert w == ["sensitive column t.api_key: API key detected"]
+
+    def test_sqlite_survey_carries_warning(self, tmp_path):
+        import sqlite3
+
+        from dbsurveyor_spark.sources.sqlite import SqliteSource
+
+        path = tmp_path / "s.db"
+        con = sqlite3.connect(path)
+        con.execute("CREATE TABLE accounts (id INTEGER, passwd TEXT)")
+        con.commit()
+        con.close()
+        doc = SqliteSource(str(path)).survey()
+        assert doc["collection_metadata"]["warnings"] == [
+            "sensitive column accounts.passwd: Password field detected"
+        ]
+
+    def test_lake_survey_clean_and_opt_out(self, spark):
+        from dbsurveyor_spark.survey.export import collect_database_schema
+
+        doc = collect_database_schema(
+            spark, "/root/testdata/sf0.001", infer_keys=False
+        )
+        # the TPC-H-ish lake has no sensitive column names
+        assert doc["collection_metadata"]["warnings"] == []
+        doc2 = collect_database_schema(
+            spark, "/root/testdata/sf0.001", infer_keys=False, warn_sensitive=False
+        )
+        assert doc2["collection_metadata"]["warnings"] == []
