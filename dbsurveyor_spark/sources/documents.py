@@ -412,6 +412,7 @@ class DocumentLakeSource:
         import time
         from datetime import datetime, timezone
 
+        from ..security import detect_sensitive_columns
         from ..survey.export import COLLECTOR, FORMAT_VERSION
 
         t_start = time.monotonic()
@@ -458,6 +459,7 @@ class DocumentLakeSource:
                 "collector_version": COLLECTOR,
                 "collected_at": datetime.now(timezone.utc).isoformat(),
                 "collection_duration_ms": int((time.monotonic() - t_start) * 1000),
-                "warnings": [],
+                # warn_sensitive pass (adapters/config/sampling.rs:44)
+                "warnings": detect_sensitive_columns(tables),
             },
         }
