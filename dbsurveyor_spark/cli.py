@@ -466,6 +466,18 @@ def cmd_diff(args: argparse.Namespace) -> int:
     return 2 if (report["has_changes"] and args.fail_on_change) else 0
 
 
+def cmd_storage(args: argparse.Namespace) -> int:
+    """Parquet layout / scan-parallelism hazard report for a lake dir."""
+    from .survey.storage import storage_report, storage_to_markdown
+
+    reports = storage_report(args.lake_dir)
+    if args.format == "json":
+        _emit(json.dumps(reports, indent=2), args.output)
+    else:
+        _emit(storage_to_markdown(reports), args.output)
+    return 0
+
+
 def cmd_validate(args: argparse.Namespace) -> int:
     from .survey.export import validate_schema_doc
 
@@ -596,6 +608,14 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("input")
     v.add_argument("--passphrase", default=None)
     v.set_defaults(fn=cmd_validate)
+
+    st = sub.add_parser(
+        "storage", help="parquet layout & scan-parallelism hazard report"
+    )
+    st.add_argument("lake_dir")
+    st.add_argument("--format", choices=("markdown", "json"), default="markdown")
+    st.add_argument("--output", default=None)
+    st.set_defaults(fn=cmd_storage)
 
     d = sub.add_parser("diff", help="schema drift between two documents")
     d.add_argument("old")
