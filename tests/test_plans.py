@@ -195,6 +195,23 @@ class TestRound2OperatorPlans:
         # the explode+window pass per branch
         assert plan.count("InMemoryTableScan") >= 2, plan
 
+    def test_histogram_scan_prunes_to_measure_columns(self, spark):
+        from dbsurveyor_spark.survey import profile
+
+        df = profile.survey_numeric_histogram(spark, SF)
+        assert_read_schema_only(
+            df,
+            "lineitem.parquet",
+            {"l_quantity", "l_extendedprice", "l_discount", "l_tax"},
+        )
+
+    def test_trending_scan_prunes_to_ts_and_type(self, spark):
+        from dbsurveyor_spark.streaming import events as streaming_events
+
+        df = streaming_events.stream_topk_trending(spark, SF)
+        assert_no_python_eval(df)
+        assert_read_schema_only(df, "events.parquet", {"ts", "event_type"})
+
     def test_corpus_curation_stays_jvm_with_broadcast_anti_join(self, spark):
         from dbsurveyor_spark.operators import pipeline
 
