@@ -129,13 +129,67 @@ def diff_schema_documents(
                         else None,
                     }
                 )
+    report["quality_drift"] = diff_quality_metrics(
+        old.get("quality_metrics"), new.get("quality_metrics")
+    )
     report["has_changes"] = bool(
         report["tables_added"]
         or report["tables_removed"]
         or report["table_changes"]
         or report["row_drift"]
+        or report["quality_drift"]
     )
     return report
+
+
+QUALITY_DRIFT_MIN_ABS = 0.01  # report component-score moves beyond ±0.01
+_QUALITY_COMPONENTS = ("completeness", "consistency", "uniqueness")
+
+
+def diff_quality_metrics(
+    old: list[dict[str, Any]] | None,
+    new: list[dict[str, Any]] | None,
+    min_abs: float = QUALITY_DRIFT_MIN_ABS,
+) -> list[dict[str, Any]]:
+    """Quality regression/improvement per table between two documents
+    collected with --enable-quality (TableQualityMetrics lists). Reports
+    overall and per-component score deltas beyond ``min_abs``, plus
+    threshold violations that appeared or cleared. Empty when either side
+    lacks metrics (schema-only documents diff cleanly)."""
+    if not old or not new:
+        return []
+    om = {m["table_name"]: m for m in old}
+    nm = {m["table_name"]: m for m in new}
+    out = []
+    for t in sorted(set(om) & set(nm)):
+        o, n = om[t], nm[t]
+        entry: dict[str, Any] = {"table": t}
+        changed = False
+        delta = round(
+            (n.get("quality_score") or 0) - (o.get("quality_score") or 0), 6
+        )
+        if abs(delta) >= min_abs:
+            entry["quality_score_delta"] = delta
+            changed = True
+        for comp in _QUALITY_COMPONENTS:
+            od = (o.get(comp) or {}).get("score")
+            nd = (n.get(comp) or {}).get("score")
+            if od is not None and nd is not None and abs(nd - od) >= min_abs:
+                entry[f"{comp}_delta"] = round(nd - od, 6)
+                changed = True
+        # violations identified by metric name (ThresholdViolation shape,
+        # quality/models.rs:22 — metric/threshold/actual/severity)
+        ov = {v.get("metric") or str(v) for v in o.get("threshold_violations") or []}
+        nv = {v.get("metric") or str(v) for v in n.get("threshold_violations") or []}
+        if nv - ov:
+            entry["violations_appeared"] = sorted(nv - ov)
+            changed = True
+        if ov - nv:
+            entry["violations_cleared"] = sorted(ov - nv)
+            changed = True
+        if changed:
+            out.append(entry)
+    return out
 
 
 def drift_to_markdown(report: dict[str, Any]) -> str:
@@ -182,6 +236,18 @@ def drift_to_markdown(report: dict[str, Any]) -> str:
                 f"- FK removed: {fk['columns']} → {fk['referenced_table']}"
                 f"{fk['referenced_columns']}"
             )
+    if report.get("quality_drift"):
+        lines += ["", "## Quality drift"]
+        for qd in report["quality_drift"]:
+            parts = []
+            for k, v in qd.items():
+                if k == "table":
+                    continue
+                if k.endswith("_delta"):
+                    parts.append(f"{k[:-6]} {v:+.4f}")
+                else:
+                    parts.append(f"{k.replace('_', ' ')}: {', '.join(v)}")
+            lines.append(f"- {qd['table']}: " + "; ".join(parts))
     if report["row_drift"]:
         lines += ["", "## Row-count drift"]
         for rd in report["row_drift"]:

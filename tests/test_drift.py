@@ -130,3 +130,56 @@ class TestCliDiff:
         assert parsed["table_changes"][0]["columns_added"] == ["o_newcol"]
         # clean pair exits 0 even with the gate on
         assert main(["diff", str(po), str(po), "--fail-on-change"]) == 0
+
+
+class TestQualityDrift:
+    def _metrics(self, score=0.95, comp=0.9, violations=()):
+        return [
+            {
+                "table_name": "orders",
+                "quality_score": score,
+                "completeness": {"score": comp},
+                "consistency": {"score": 1.0},
+                "uniqueness": {"score": 1.0},
+                "threshold_violations": [
+                    {"metric": m, "threshold": 0.9, "actual": 0.5,
+                     "severity": "warning"}
+                    for m in violations
+                ],
+            }
+        ]
+
+    def test_no_metrics_no_drift(self):
+        from dbsurveyor_spark.survey.drift import diff_quality_metrics
+
+        assert diff_quality_metrics(None, self._metrics()) == []
+        assert diff_quality_metrics(self._metrics(), self._metrics()) == []
+
+    def test_score_and_violation_drift_detected(self):
+        from dbsurveyor_spark.survey.drift import diff_quality_metrics
+
+        old = self._metrics(score=0.95, comp=0.9)
+        new = self._metrics(score=0.80, comp=0.7, violations=("completeness",))
+        (d,) = diff_quality_metrics(old, new)
+        assert d["quality_score_delta"] == -0.15
+        assert d["completeness_delta"] == -0.2
+        assert d["violations_appeared"] == ["completeness"]
+        # and the reverse direction clears it
+        (r,) = diff_quality_metrics(new, old)
+        assert r["violations_cleared"] == ["completeness"]
+
+    def test_quality_drift_flows_into_document_diff(self):
+        from dbsurveyor_spark.survey.drift import (
+            diff_schema_documents,
+            drift_to_markdown,
+        )
+
+        old, new = _doc(), _doc()
+        old["quality_metrics"] = self._metrics(score=0.95)
+        new["quality_metrics"] = self._metrics(score=0.5)
+        r = diff_schema_documents(old, new)
+        assert r["has_changes"] and r["quality_drift"]
+        assert "Quality drift" in drift_to_markdown(r)
+        # sub-threshold moves are ignored
+        new["quality_metrics"] = self._metrics(score=0.951)
+        assert not diff_schema_documents(old, new)["has_changes"]
