@@ -87,3 +87,17 @@ def test_stream_dedup_emits_each_event_once(spark, ckpt):
     # spot-check payload equality on the re-delivered subset
     dup_ids = out.filter(F.col("event_id") % DUP_MOD == 0).count()
     assert dup_ids == events.filter(F.col("event_id") % DUP_MOD == 0).count()
+
+
+def test_trending_job_matches_batch(spark, ckpt):
+    """foreachBatch ranking over the streaming aggregate == batch trending."""
+    from dbsurveyor_spark.streaming.events import (
+        stream_topk_trending,
+        stream_trending_job,
+    )
+
+    streamed = stream_trending_job(spark, SF_ORACLE, ckpt)
+    batch = stream_topk_trending(spark, SF_ORACLE)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
