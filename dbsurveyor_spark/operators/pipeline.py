@@ -349,6 +349,49 @@ WHERE c.doc_id IN (SELECT doc_id FROM survivors)
 """
 
 
+def plan_corpus_mix(
+    available_tokens: dict[str, int],
+    target_shares: dict[str, float],
+) -> dict[str, dict]:
+    """Mixture planning: keep rates per group that realize ``target_shares``
+    from ``available_tokens`` WITHOUT upsampling (downsample-only, the
+    Pile/ROOTS-style weighting discipline) while retaining as much data as
+    possible.
+
+    Math: the binding group is the one with the highest target-to-available
+    ratio — its keep rate is pinned to 1.0 and every other group scales
+    down proportionally (r_g = c·w_g/T_g with c chosen so max r = 1).
+    Driver-side arithmetic over the metadata-scale corpus_mix_report
+    output; the resulting rates feed sample_weighted_mix-style
+    hash-Bernoulli filters (scan-local, deterministic, growth-stable).
+    Groups with targets but no available tokens raise — upsampling from
+    nothing is not plannable."""
+    groups = {g: s for g, s in target_shares.items() if s > 0}
+    missing = [g for g in groups if not available_tokens.get(g)]
+    if missing:
+        raise ValueError(f"no available tokens for target group(s): {missing}")
+    total_share = sum(groups.values())
+    ratios = {g: (s / total_share) / available_tokens[g] for g, s in groups.items()}
+    binding = max(ratios, key=lambda g: ratios[g])
+    c = 1.0 / ratios[binding]
+    plan = {}
+    for g, s in groups.items():
+        rate = min(1.0, c * ratios[g])
+        kept = available_tokens[g] * rate
+        plan[g] = {
+            "keep_rate": round(rate, 9),
+            "available_tokens": available_tokens[g],
+            "expected_tokens": int(kept),
+            "target_share": round(s / total_share, 9),
+        }
+    total_kept = sum(p["expected_tokens"] for p in plan.values())
+    for p in plan.values():
+        p["achieved_share"] = round(
+            p["expected_tokens"] / total_kept, 6
+        ) if total_kept else 0.0
+    return plan
+
+
 def materialize_curated_corpus(
     spark: SparkSession,
     sf_dir: str,

@@ -129,3 +129,49 @@ class TestCuratedCorpusSink:
         assert {"doc_id", "text", "lang", "source", "n_tokens"} <= set(
             train.columns
         )
+
+
+class TestMixPlanner:
+    def test_downsample_only_plan_hits_targets(self):
+        from dbsurveyor_spark.operators.pipeline import plan_corpus_mix
+
+        plan = plan_corpus_mix(
+            {"en": 1_000_000, "fr": 100_000, "de": 50_000},
+            {"en": 0.5, "fr": 0.3, "de": 0.2},
+        )
+        # de is the binding group (highest target/available): kept fully
+        assert plan["de"]["keep_rate"] == 1.0
+        # no upsampling anywhere
+        assert all(p["keep_rate"] <= 1.0 for p in plan.values())
+        # achieved shares match targets to rounding
+        for g in plan:
+            assert abs(plan[g]["achieved_share"] - plan[g]["target_share"]) < 1e-4
+        # en downsampled hard: 0.5/0.2 * 50k/1M = 0.125
+        assert abs(plan["en"]["keep_rate"] - 0.125) < 1e-9
+
+    def test_plan_from_real_mix_report(self, spark):
+        from dbsurveyor_spark.operators.pipeline import (
+            corpus_mix_report,
+            plan_corpus_mix,
+        )
+        from .conftest import SF_SMALL
+
+        rows = corpus_mix_report(spark, SF_SMALL).collect()
+        avail = {}
+        for r in rows:
+            avail[r["lang"]] = avail.get(r["lang"], 0) + r["n_tokens"]
+        plan = plan_corpus_mix(avail, {lang: 1.0 for lang in avail})
+        # uniform targets: the scarcest language binds at 1.0
+        scarcest = min(avail, key=lambda g: avail[g])
+        assert plan[scarcest]["keep_rate"] == 1.0
+        assert sum(p["achieved_share"] for p in plan.values()) == pytest.approx(
+            1.0, abs=1e-3
+        )
+
+    def test_unplannable_target_raises(self):
+        import pytest as _pytest
+
+        from dbsurveyor_spark.operators.pipeline import plan_corpus_mix
+
+        with _pytest.raises(ValueError, match="zz"):
+            plan_corpus_mix({"en": 100}, {"en": 0.5, "zz": 0.5})
