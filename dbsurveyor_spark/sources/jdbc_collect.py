@@ -1,0 +1,244 @@
+"""Live-relational collection: catalog sweep → schema document.
+
+Composes the pinned catalog SQL (`catalog_sql.py`) with the unified type
+mapper (`typemap.py`) into the reference's DatabaseSchema document —
+the Spark analog of `adapters/postgres/schema_collection.rs`'s collect
+loop. The sweep runs each catalog query through a `read_query` callable
+(a `JdbcSource.read_query` partial against a live database; a stub frame
+provider in tests), so the assembly logic is fully unit-tested even though
+no live server exists in this container.
+
+Every catalog result is metadata-scale; `.collect()` here is the same
+driver-side document assembly the export layer already does for lakes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from ..security import detect_sensitive_columns
+from .catalog_sql import catalog_queries
+from .typemap import map_mysql_type, map_postgres_type, unified_to_spark_ddl
+
+ReadQuery = Callable[[str], DataFrame]
+
+
+def _rows(df: DataFrame) -> list[dict[str, Any]]:
+    return [r.asDict() for r in df.collect()]
+
+
+def _map_column_type(engine: str, c: dict[str, Any]) -> Any:
+    if engine == "mysql":
+        return map_mysql_type(
+            c["engine_type"] or c["data_type"],
+            char_max_length=c.get("character_maximum_length"),
+            numeric_precision=c.get("numeric_precision"),
+            numeric_scale=c.get("numeric_scale"),
+        )
+    return map_postgres_type(
+        c["data_type"],
+        udt_name=c.get("engine_type") or "",
+        char_max_length=c.get("character_maximum_length"),
+        numeric_precision=c.get("numeric_precision"),
+        numeric_scale=c.get("numeric_scale"),
+    )
+
+
+def collect_jdbc_schema(
+    read_query: ReadQuery,
+    engine: str,
+    name: str = "jdbc",
+    warn_sensitive: bool = True,
+) -> dict[str, Any]:
+    """Run the full catalog sweep and assemble the schema document."""
+    import time
+    from datetime import datetime, timezone
+
+    from ..survey.export import COLLECTOR, FORMAT_VERSION
+
+    t_start = time.monotonic()
+    qs = catalog_queries(engine)
+    raw = {section: _rows(read_query(sql)) for section, sql in qs.items()}
+
+    pk_cols: dict[tuple, list] = {}
+    for r in raw["primary_keys"]:
+        pk_cols.setdefault((r["schema_name"], r["table_name"]), []).append(
+            r["column_name"]
+        )
+    fks: dict[tuple, dict[str, dict]] = {}
+    for r in raw["foreign_keys"]:
+        key = (r["schema_name"], r["table_name"])
+        fk = fks.setdefault(key, {}).setdefault(
+            r["constraint_name"],
+            {
+                "name": r["constraint_name"],
+                "columns": [],
+                "referenced_table": r["referenced_table_name"],
+                "referenced_columns": [],
+            },
+        )
+        fk["columns"].append(r["column_name"])
+        fk["referenced_columns"].append(r["referenced_column_name"])
+    indexes: dict[tuple, dict[str, dict]] = {}
+    for r in raw["indexes"]:
+        key = (r["schema_name"], r["table_name"])
+        ix = indexes.setdefault(key, {}).setdefault(
+            r["index_name"],
+            {
+                "name": r["index_name"],
+                "table_name": r["table_name"],
+                "schema": r["schema_name"],
+                "columns": [],
+                "is_unique": bool(r["is_unique"]),
+                "is_primary": bool(r["is_primary"]),
+                "index_type": r.get("index_type"),
+            },
+        )
+        ix["columns"].append(
+            {"name": r["column_name"], "sort_order": "Ascending"}
+        )
+    cols_by_table: dict[tuple, list[dict]] = {}
+    for c in raw["columns"]:
+        cols_by_table.setdefault(
+            (c["schema_name"], c["table_name"]), []
+        ).append(c)
+
+    tables = []
+    for t in raw["tables"]:
+        key = (t["schema_name"], t["table_name"])
+        pk = pk_cols.get(key, [])
+        columns = [
+            {
+                "name": c["column_name"],
+                "data_type": unified_to_spark_ddl(_map_column_type(engine, c)),
+                "unified_type": _map_column_type(engine, c),
+                "is_nullable": (
+                    str(c.get("is_nullable", "YES")).upper() == "YES"
+                    and c["column_name"] not in pk
+                ),
+                "is_primary_key": c["column_name"] in pk,
+                "is_auto_increment": False,
+                "default_value": c.get("column_default"),
+                "comment": None,
+                "ordinal_position": c["ordinal_position"],
+            }
+            for c in cols_by_table.get(key, [])
+        ]
+        tfks = list(fks.get(key, {}).values())
+        tixs = list(indexes.get(key, {}).values())
+        constraints = []
+        if pk:
+            constraints.append(
+                {
+                    "name": f"pk_{t['table_name']}",
+                    "table_name": t["table_name"],
+                    "schema": t["schema_name"],
+                    "constraint_type": "PrimaryKey",
+                    "columns": pk,
+                    "check_clause": None,
+                }
+            )
+        constraints += [
+            {
+                "name": fk["name"],
+                "table_name": t["table_name"],
+                "schema": t["schema_name"],
+                "constraint_type": "ForeignKey",
+                "columns": fk["columns"],
+                "check_clause": None,
+            }
+            for fk in tfks
+        ]
+        tables.append(
+            {
+                "name": t["table_name"],
+                "schema": t["schema_name"],
+                "columns": columns,
+                "primary_key": (
+                    {"name": f"pk_{t['table_name']}", "columns": pk}
+                    if pk
+                    else None
+                ),
+                "foreign_keys": tfks,
+                "indexes": tixs,
+                "constraints": constraints,
+                "comment": None,
+                "row_count": t.get("approx_rows"),
+            }
+        )
+
+    views = [
+        {
+            "name": v["view_name"],
+            "schema": v["schema_name"],
+            "definition": v.get("view_definition"),
+            "comment": None,
+        }
+        for v in raw["views"]
+    ]
+    procedures = [
+        {
+            "name": r["routine_name"],
+            "schema": r["schema_name"],
+            "language": r.get("language"),
+            "return_type": r.get("return_type"),
+            "definition": r.get("routine_definition"),
+        }
+        for r in raw["routines"]
+        if (r.get("routine_type") or "").upper() == "PROCEDURE"
+    ]
+    functions = [
+        {
+            "name": r["routine_name"],
+            "schema": r["schema_name"],
+            "language": r.get("language"),
+            "return_type": r.get("return_type"),
+            "definition": r.get("routine_definition"),
+        }
+        for r in raw["routines"]
+        if (r.get("routine_type") or "").upper() != "PROCEDURE"
+    ]
+    triggers = [
+        {
+            "name": r["trigger_name"],
+            "schema": r["schema_name"],
+            "table_name": r["table_name"],
+            "event": r["event"],
+            "timing": r["timing"],
+            "definition": r.get("action_statement"),
+        }
+        for r in raw["triggers"]
+    ]
+
+    return {
+        "format_version": FORMAT_VERSION,
+        "database_info": {
+            "name": name,
+            "version": None,
+            "size_bytes": None,
+            "encoding": None,
+            "is_system_database": False,
+            "access_level": "Full",
+            "collection_status": "Success",
+        },
+        "tables": tables,
+        "views": views,
+        "indexes": [ix for t in tables for ix in t["indexes"]],
+        "constraints": [c for t in tables for c in t["constraints"]],
+        "procedures": procedures,
+        "functions": functions,
+        "triggers": triggers,
+        "custom_types": [],
+        "samples": None,
+        "quality_metrics": None,
+        "collection_metadata": {
+            "collector_version": COLLECTOR,
+            "collected_at": datetime.now(timezone.utc).isoformat(),
+            "collection_duration_ms": int((time.monotonic() - t_start) * 1000),
+            "warnings": (
+                detect_sensitive_columns(tables) if warn_sensitive else []
+            ),
+        },
+    }

@@ -1,0 +1,141 @@
+"""JDBC collection assembly: catalog sweep rows → schema document.
+
+No live server exists, so a stub read_query serves canned catalog frames
+(exactly the columns the pinned catalog SQL projects); the assembly must
+produce a valid document with keys, indexes, views, routines, triggers,
+unified types, and sensitive-column warnings."""
+
+from __future__ import annotations
+
+from dbsurveyor_spark.sources.catalog_sql import catalog_queries
+from dbsurveyor_spark.sources.jdbc_collect import collect_jdbc_schema
+
+
+def _stub_reader(spark):
+    qs = catalog_queries("postgresql")
+    frames = {
+        qs["tables"]: spark.createDataFrame(
+            [("public", "users", None), ("public", "orders", None)],
+            "schema_name string, table_name string, approx_rows bigint",
+        ),
+        qs["columns"]: spark.createDataFrame(
+            [
+                ("public", "users", "id", 1, "bigint", "int8", "NO",
+                 None, None, 64, 0),
+                ("public", "users", "email", 2, "character varying",
+                 "varchar", "YES", None, 255, None, None),
+                ("public", "orders", "order_id", 1, "bigint", "int8",
+                 "NO", None, None, 64, 0),
+                ("public", "orders", "user_id", 2, "bigint", "int8",
+                 "YES", None, None, 64, 0),
+                ("public", "orders", "amount", 3, "numeric", "numeric",
+                 "YES", None, None, 12, 2),
+            ],
+            "schema_name string, table_name string, column_name string, "
+            "ordinal_position int, data_type string, engine_type string, "
+            "is_nullable string, column_default string, "
+            "character_maximum_length int, numeric_precision int, "
+            "numeric_scale int",
+        ),
+        qs["primary_keys"]: spark.createDataFrame(
+            [
+                ("public", "users", "users_pkey", "id", 1),
+                ("public", "orders", "orders_pkey", "order_id", 1),
+            ],
+            "schema_name string, table_name string, constraint_name string, "
+            "column_name string, ordinal_position int",
+        ),
+        qs["foreign_keys"]: spark.createDataFrame(
+            [
+                ("public", "orders", "orders_user_fk", "user_id", 1,
+                 "users", "id"),
+            ],
+            "schema_name string, table_name string, constraint_name string, "
+            "column_name string, ordinal_position int, "
+            "referenced_table_name string, referenced_column_name string",
+        ),
+        qs["indexes"]: spark.createDataFrame(
+            [
+                ("public", "users", "users_pkey", "id", 1, True, True,
+                 "btree"),
+                ("public", "orders", "orders_user_idx", "user_id", 1,
+                 False, False, "btree"),
+            ],
+            "schema_name string, table_name string, index_name string, "
+            "column_name string, seq_in_index int, is_unique boolean, "
+            "is_primary boolean, index_type string",
+        ),
+        qs["views"]: spark.createDataFrame(
+            [("public", "v_users", "SELECT id FROM users")],
+            "schema_name string, view_name string, view_definition string",
+        ),
+        qs["routines"]: spark.createDataFrame(
+            [
+                ("public", "fn_total", "FUNCTION", "sql", "numeric",
+                 "SELECT sum(amount) FROM orders"),
+                ("public", "prc_purge", "PROCEDURE", "plpgsql", None,
+                 "DELETE FROM orders"),
+            ],
+            "schema_name string, routine_name string, routine_type string, "
+            "language string, return_type string, routine_definition string",
+        ),
+        qs["triggers"]: spark.createDataFrame(
+            [
+                ("public", "trg_audit", "INSERT", "orders", "AFTER",
+                 "EXECUTE FUNCTION audit()"),
+            ],
+            "schema_name string, trigger_name string, event string, "
+            "table_name string, timing string, action_statement string",
+        ),
+    }
+    return lambda sql: frames[sql]
+
+
+class TestJdbcCollect:
+    def test_document_assembly_from_catalog_sweep(self, spark):
+        doc = collect_jdbc_schema(_stub_reader(spark), "postgresql", name="appdb")
+        tables = {t["name"]: t for t in doc["tables"]}
+        assert set(tables) == {"users", "orders"}
+        users = tables["users"]
+        # PK column: non-nullable, flagged, typed via the unified mapper
+        id_col = users["columns"][0]
+        assert id_col["name"] == "id" and id_col["is_primary_key"]
+        assert not id_col["is_nullable"]
+        assert id_col["data_type"] == "BIGINT"
+        assert id_col["unified_type"] == {"Integer": {"bits": 64, "signed": True}}
+        # numeric(12,2) → float-precision unified type
+        amount = tables["orders"]["columns"][2]
+        assert amount["unified_type"] == {"Float": {"precision": 12}}
+        # FK edge assembled with referenced side
+        (fk,) = tables["orders"]["foreign_keys"]
+        assert fk["columns"] == ["user_id"] and fk["referenced_table"] == "users"
+        assert fk["referenced_columns"] == ["id"]
+        # indexes grouped per table, multi-row → ordered column lists
+        assert [ix["name"] for ix in tables["orders"]["indexes"]] == [
+            "orders_user_idx"
+        ]
+        # views / routines / triggers land in their sections
+        assert [v["name"] for v in doc["views"]] == ["v_users"]
+        assert [p["name"] for p in doc["procedures"]] == ["prc_purge"]
+        assert [f["name"] for f in doc["functions"]] == ["fn_total"]
+        assert [tr["name"] for tr in doc["triggers"]] == ["trg_audit"]
+        # top-level registries flattened
+        assert len(doc["indexes"]) == 2
+        assert {c["constraint_type"] for c in doc["constraints"]} == {
+            "PrimaryKey",
+            "ForeignKey",
+        }
+        # sensitive-column pass runs over live-collected schemas too
+        assert doc["collection_metadata"]["warnings"] == [
+            "sensitive column users.email: Email field detected"
+        ]
+
+    def test_document_validates_and_diffs_cleanly(self, spark):
+        import copy
+
+        from dbsurveyor_spark.survey.drift import diff_schema_documents
+        from dbsurveyor_spark.survey.export import validate_schema_doc
+
+        doc = collect_jdbc_schema(_stub_reader(spark), "postgresql")
+        assert validate_schema_doc(doc) == []
+        assert not diff_schema_documents(doc, copy.deepcopy(doc))["has_changes"]
