@@ -281,6 +281,37 @@ def cmd_collect(args: argparse.Namespace) -> int:
                     [json.loads(r) for r in s["rows"]], mode=args.redact_mode
                 )
                 doc["samples"].append(s)
+    elif args.source.split("://", 1)[0] in (
+        "postgres", "postgresql", "mysql", "mariadb"
+    ):
+        # live relational collect: the pinned catalog sweep through a JDBC
+        # reader. Needs a driver jar + reachable server; in driverless
+        # environments this fails cleanly at the first catalog query.
+        from .sources.catalog_sql import ENGINES  # noqa: F401
+        from .sources.jdbc import JdbcSource
+        from .sources.jdbc_collect import collect_jdbc_schema
+
+        if args.sample or args.enable_quality:
+            print(
+                "warning: --sample/--enable-quality apply to lake-dir "
+                "collect only; ignored for jdbc sources",
+                file=sys.stderr,
+            )
+        src = JdbcSource(args.source)
+        engine = (
+            "mysql"
+            if args.source.split("://", 1)[0] in ("mysql", "mariadb")
+            else "postgresql"
+        )
+        try:
+            doc = collect_jdbc_schema(
+                lambda sql: src.read_query(spark, sql),
+                engine,
+                name=args.name or src.safe_url,
+            )
+        except Exception as exc:  # driver missing / unreachable server
+            print(f"jdbc collect failed: {exc}", file=sys.stderr)
+            return 1
     else:
         print(f"unsupported collect source: {args.source}", file=sys.stderr)
         return 2

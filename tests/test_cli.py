@@ -256,3 +256,25 @@ class TestReviewRegressions:
         orders = next(s for s in doc["samples"] if s["table_name"] == "orders")
         keys = [r["o_orderkey"] for r in orders["rows"]]
         assert keys == sorted(keys, reverse=True)  # newest-by-key first
+
+
+class TestJdbcCollectVerb:
+    def test_driverless_jdbc_collect_fails_cleanly(self, tmp_path, capsys):
+        """No JDBC driver jar in this container: the verb must route a
+        postgres:// source to the catalog sweep and fail with a message,
+        never a traceback."""
+        from dbsurveyor_spark.cli import main
+
+        rc = main(
+            [
+                "collect",
+                "postgres://u:p@localhost:5432/app",
+                "--output",
+                str(tmp_path / "out.json"),
+            ]
+        )
+        assert rc == 1
+        err = capsys.readouterr().err
+        assert "jdbc collect failed" in err
+        # credentials never leak into the failure output
+        assert "u:p" not in err.replace("jdbc collect failed", "")
