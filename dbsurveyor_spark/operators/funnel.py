@@ -1,0 +1,102 @@
+"""Event-funnel analysis over the events table.
+
+Classic product-analytics funnel: users who viewed, then clicked at or
+after their first view, then purchased at or after that click — the
+sequential-conversion query every event warehouse runs.
+
+Scale shape: the iterative stage semi-join. Each stage is one
+filter → (join on user_id) → groupBy(user_id) min-aggregate; every join
+and aggregate keys on user_id, so after the first exchange the stages
+reuse the same hash partitioning (and stage frames only ever shrink —
+stage N is a subset of stage N−1's users). The alternative single-pass
+form (collect_list per user + sequence-matching lambda) drags every
+user's full event history through one interpreted HOF — strictly worse
+at 100 TB. Three narrow shuffles on a bounded-cardinality key beat one
+wide one.
+
+The output is the funnel table itself (stage, users, conversion from
+stage 1) — metadata-sized, assembled from three 1-row aggregates.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    stage_first: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for stage in FUNNEL_STAGES:
+        cur = events.filter(F.col("event_type") == stage)
+        if prev is not None:
+            cur = cur.join(
+                prev.select("user_id", F.col("first_ts").alias("_prev_ts")),
+                "user_id",
+            ).filter(F.col("ts") >= F.col("_prev_ts"))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+        stage_first.append(cur)
+        prev = cur
+    base = stage_first[0].agg(
+        F.count(F.lit(1)).alias("_base_users")
+    )
+    rows = [
+        sf.agg(F.count(F.lit(1)).alias("users"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.lit(i + 1).cast("bigint").alias("stage"),
+            F.lit(stage).alias("event_type"),
+            F.col("users"),
+            F.round(F.col("users") / F.col("_base_users"), 6).alias(
+                "conversion"
+            ),
+        )
+        for i, (stage, sf) in enumerate(zip(FUNNEL_STAGES, stage_first))
+    ]
+    return reduce(DataFrame.unionByName, rows)
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS first_ts
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.first_ts
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS first_ts
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.first_ts
+  GROUP BY e.user_id
+),
+base AS (SELECT COUNT(*) AS b FROM s1)
+SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS users,
+       ROUND(COUNT(*) * 1.0 / b, 6) AS conversion
+FROM s1, base GROUP BY b
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT),
+       ROUND(COUNT(*) * 1.0 / b, 6)
+FROM s2, base GROUP BY b
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT),
+       ROUND(COUNT(*) * 1.0 / b, 6)
+FROM s3, base GROUP BY b
+"""
+
+
+QUERIES = {"funnel_conversion": funnel_conversion}
+ORACLES = {"funnel_conversion": FUNNEL_SQL}

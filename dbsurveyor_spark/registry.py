@@ -15,6 +15,7 @@ from .multimodal import codec as multimodal_codec
 from .operators import (
     asof,
     dedup,
+    funnel,
     pipeline,
     relational,
     similarity,
@@ -36,6 +37,7 @@ _MODULES = [
     pipeline,
     similarity,
     asof,
+    funnel,
     streaming_events,
     multimodal_codec,
 ]
