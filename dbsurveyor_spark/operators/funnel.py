@@ -98,5 +98,102 @@ FROM s3, base GROUP BY b
 """
 
 
-QUERIES = {"funnel_conversion": funnel_conversion}
-ORACLES = {"funnel_conversion": FUNNEL_SQL}
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by the week of their
+    first signup event; each later week of ANY activity marks them
+    retained at that week offset.
+
+    Scale shape: the cohort anchor is one signup-filtered aggregate on
+    user_id; activity joins it back on the same key (co-partitioned),
+    reduces to DISTINCT (cohort, offset, user) — one map-side-combinable
+    dedup shuffle — then counts collapse to the metadata-sized matrix.
+    Cohort sizes re-derive from the anchor frame and broadcast-join onto
+    the matrix for the retention rate. No count_distinct two-phase
+    expansion, no per-user history arrays.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    anchor = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    sizes = anchor.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        events.join(anchor, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .dropDuplicates(["user_id", "cohort_week", "week_offset"])
+    )
+    matrix = active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    return (
+        matrix.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            # ISO string: Spark DATE surfaces as python date objects while
+            # DuckDB DATE lands as datetime64 — string keeps the compare
+            # engine-neutral (same convention as other date-keyed outputs)
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+RETENTION_SQL = """
+WITH anchor AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM anchor GROUP BY cohort_week
+),
+active AS (
+  SELECT DISTINCT e.user_id, a.cohort_week,
+         CAST(datediff('day', CAST(a.cohort_week AS DATE),
+                       CAST(date_trunc('week', e.ts) AS DATE)) / 7
+              AS BIGINT) AS week_offset
+  FROM events e JOIN anchor a ON a.user_id = e.user_id
+  WHERE datediff('day', CAST(a.cohort_week AS DATE),
+                 CAST(date_trunc('week', e.ts) AS DATE)) >= 0
+),
+matrix AS (
+  SELECT cohort_week, week_offset, COUNT(*) AS active_users
+  FROM active GROUP BY cohort_week, week_offset
+)
+SELECT strftime(m.cohort_week, '%Y-%m-%d') AS cohort_week, m.week_offset,
+       CAST(m.active_users AS BIGINT) AS active_users,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       ROUND(m.active_users * 1.0 / s.cohort_size, 6) AS retention
+FROM matrix m JOIN sizes s ON s.cohort_week = m.cohort_week
+"""
+
+
+QUERIES = {
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
+}
+ORACLES = {
+    "funnel_conversion": FUNNEL_SQL,
+    "retention_cohorts": RETENTION_SQL,
+}
