@@ -189,11 +189,66 @@ FROM matrix m JOIN sizes s ON s.cohort_week = m.cohort_week
 """
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: counts of consecutive
+    (event → next event) steps per user, with each source event's
+    transition probability — the Markov-chain view of user behavior.
+
+    One lag/lead window per user (single shuffle on user_id — the same
+    key every events query partitions by), then a (from, to) count whose
+    aggregate state is |types|² — metadata-scale. The probability
+    denominator is a window over the aggregated matrix, not the data.
+    Ties in ts break on event_id so both engines order identically.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        F.col("event_type").alias("from_event"),
+        F.lead("event_type", 1).over(w).alias("to_event"),
+    ).filter(F.col("to_event").isNotNull())
+    matrix = steps.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    total = F.sum("transitions").over(Window.partitionBy("from_event"))
+    return matrix.select(
+        "from_event",
+        "to_event",
+        "transitions",
+        F.round(F.col("transitions") / total, 6).alias("probability"),
+    )
+
+
+TRANSITIONS_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_event,
+         lead(event_type, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_event
+  FROM events
+),
+matrix AS (
+  SELECT from_event, to_event, COUNT(*) AS transitions
+  FROM steps WHERE to_event IS NOT NULL
+  GROUP BY from_event, to_event
+)
+SELECT from_event, to_event, CAST(transitions AS BIGINT) AS transitions,
+       ROUND(transitions * 1.0 /
+             SUM(transitions) OVER (PARTITION BY from_event), 6)
+         AS probability
+FROM matrix
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
+    "event_transitions": event_transitions,
 }
 ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "retention_cohorts": RETENTION_SQL,
+    "event_transitions": TRANSITIONS_SQL,
 }
