@@ -45,6 +45,8 @@ HEADLINE = [
     "stream_sessionization",
     "stream_dedup_events",
     "asof_join_events_orders",
+    "funnel_conversion",
+    "event_transitions",
 ]
 
 STEADY_PASSES = 2  # steady = per-query MIN over this many post-warm passes

@@ -212,6 +212,22 @@ class TestRound2OperatorPlans:
         assert_no_python_eval(df)
         assert_read_schema_only(df, "events.parquet", {"ts", "event_type"})
 
+    def test_funnel_family_stays_jvm_no_cartesian(self, spark):
+        from dbsurveyor_spark.operators import funnel
+
+        for fn in (
+            funnel.funnel_conversion,
+            funnel.retention_cohorts,
+            funnel.event_transitions,
+        ):
+            df = fn(spark, SF)
+            assert_no_python_eval(df)
+            plan = formatted_plan(df)
+            assert "CartesianProduct" not in plan, fn.__name__
+        # cohort sizes are bounded (|weeks|) — must broadcast onto the matrix
+        plan = formatted_plan(funnel.retention_cohorts(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan
+
     def test_corpus_curation_stays_jvm_with_broadcast_anti_join(self, spark):
         from dbsurveyor_spark.operators import pipeline
 
