@@ -420,14 +420,65 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against brute-force ground truth — the
+    standard ANN quality metric (measure, don't guess: nprobe/cell-count
+    tuning reads this table). Per probe: |IVF top-k ∩ exact top-k| / k.
+
+    Plan: both searches share the cached cell-assignment pass and the
+    broadcast probe side; the comparison joins two k×|probes| result
+    frames — metadata-scale. Exact top-k truncates to IVF_K so the sets
+    are the same size.
+    """
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = ann_bruteforce_topk(spark, sf_dir).filter(
+        F.col("rank") <= IVF_K
+    ).select("query_id", "neighbor_id")
+    matches = (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    probes = bf.select("query_id").distinct()
+    return (
+        probes.join(matches, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(IVF_K)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _recall_sql() -> str:
+    return f"""
+WITH ivf AS (SELECT query_id, neighbor_id FROM ({_ivf_sql()}) t),
+bf AS (SELECT query_id, neighbor_id FROM ({_bruteforce_sql()}) t
+       WHERE rank <= {IVF_K}),
+matches AS (
+  SELECT bf.query_id, COUNT(*) AS hits
+  FROM bf JOIN ivf USING (query_id, neighbor_id)
+  GROUP BY bf.query_id
+)
+SELECT p.query_id, CAST(COALESCE(m.hits, 0) AS BIGINT) AS hits,
+       ROUND(COALESCE(m.hits, 0) / {float(IVF_K)}, 6) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM bf) p
+LEFT JOIN matches m ON m.query_id = p.query_id
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embed_cluster_report": embed_cluster_report,
+    "ann_recall_report": ann_recall_report,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": _bruteforce_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "embed_cluster_report": _cluster_report_sql(),
+    "ann_recall_report": _recall_sql(),
 }
