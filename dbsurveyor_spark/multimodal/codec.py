@@ -185,9 +185,51 @@ def extract_features(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     return media.mapInPandas(_feats, schema)
 
 
+# DoubleType keeps the oracle compare bit-exact; the array-valued
+# extract_features library call keeps FloatType, the realistic
+# embedding dtype.
+from pyspark.sql.types import DoubleType as _DoubleType  # noqa: E402
+
+FEATURE_ROW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dim", LongType()),
+        StructField("value", _DoubleType()),
+    ]
+)
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction as a registry query: the extract_features byte
+    math exploded to (doc_id, dim, value) DOUBLE rows so the oracle can
+    replay it bit-exactly ((Σ payload[i::dim]) % 1000 / 1000 is exact in
+    both engines' doubles; the array<float> form stays the library seam).
+    Batch-amortized mapInPandas, fan-out inside the Arrow batch."""
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, dims_, vals = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                for i in range(EMBED_DIM):
+                    ids.append(doc_id)
+                    dims_.append(i)
+                    vals.append((sum(payload[i::EMBED_DIM]) % 1000) / 1000.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dim": pd.Series(dims_, dtype="int64"),
+                    "value": pd.Series(vals, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(_feats, FEATURE_ROW_SCHEMA)
+
+
 QUERIES = {
     "mm_decode_stats": mm_decode_stats,
     "mm_frame_sample": mm_frame_sample,
+    "mm_feature_extract": mm_feature_extract,
 }
 
 # The mapInPandas MECHANISM is not SQL-expressible, but the deterministic
@@ -218,7 +260,23 @@ frames AS (
 SELECT doc_id, frame_idx, frame_n_bytes FROM frames
 """
 
+# The synthetic corpus is pure ASCII, so utf-8 byte values equal code
+# points and ord(substr(...)) replays the python byte sum exactly;
+# list_sum over an empty slice coalesces to 0 like python's sum([]).
+_FEATURE_SQL = f"""
+WITH media AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+dims AS (SELECT unnest(range(0, {EMBED_DIM})) AS dim)
+SELECT m.doc_id, CAST(d.dim AS BIGINT) AS dim,
+       (COALESCE(list_sum(list_transform(
+            range(CAST(d.dim + 1 AS BIGINT), CAST(m.n + 1 AS BIGINT),
+                  {EMBED_DIM}),
+            p -> ord(substr(m.text, CAST(p AS INTEGER), 1)))), 0)
+        % 1000) / 1000.0 AS value
+FROM media m, dims d
+"""
+
 ORACLES: dict[str, str] = {
     "mm_decode_stats": _DECODE_SQL,
     "mm_frame_sample": _FRAME_SQL,
+    "mm_feature_extract": _FEATURE_SQL,
 }
