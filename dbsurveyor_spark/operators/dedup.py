@@ -34,7 +34,7 @@ reproduces signatures bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -46,6 +46,8 @@ from ..functions.hashing import (
     portable_hash32_sql,
     portable_hash48,
     portable_hash48_sql,
+    portable_hash64,
+    portable_hash64_sql,
 )
 from ..functions.text import shingles_sql, tokens, tokens_sql
 from ..functions.vectors import (
@@ -422,6 +424,110 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
+
+
+# Incremental ("delta") dedup: the share of the corpus standing in for a
+# newly ingested batch — deterministic hash flag, like the bench split.
+DELTA_PCT = 10
+
+
+def _delta_flag(doc_id: Column) -> Column:
+    return portable_hash64(
+        F.concat(F.lit("delta_"), doc_id.cast("string"))
+    ) % 100 < F.lit(DELTA_PCT)
+
+
+_DELTA_FLAG_SQL = (
+    portable_hash64_sql("'delta_' || CAST(doc_id AS VARCHAR)")
+    + f" % 100 < {DELTA_PCT}"
+)
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: near-dup pairs involving a NEW batch —
+    the operational mode at 100 TB, where yesterday's corpus is already
+    deduplicated and only (new × corpus) ∪ (new × new) pairs matter.
+
+    Plan: band signatures build exactly as in dedup_minhash_lsh (in
+    production the corpus side's signatures are precomputed and stored —
+    the signature pass over old docs here stands in for that store); the
+    NEW side's banded signatures are batch-sized and BROADCAST, so the
+    corpus side streams past them with no shuffle and, critically, no
+    old×old in-bucket pair expansion — the quadratic term is gone. A
+    new×new pair matches in both orientations; the (not-new OR smaller-id)
+    residual keeps exactly one, so shared-band counts don't double.
+    """
+    release_caches()
+    exploded = _shingle_rows(spark, sf_dir).select(
+        "doc_id", portable_hash32(F.col("shingle")).alias("h")
+    )
+    h = F.col("h")
+    sig_aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_31).alias(f"m{j}")
+        for j, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    sigs = exploded.groupBy("doc_id").agg(*sig_aggs)
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_", *[f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+                )
+            )
+            for bi in range(BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+    new = banded.filter(_delta_flag(F.col("doc_id"))).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+    )
+    matches = banded.join(
+        F.broadcast(new),
+        ["band_idx", "band_hash"],
+    ).filter(
+        (F.col("doc_id") != F.col("new_id"))
+        & (~_delta_flag(F.col("doc_id")) | (F.col("doc_id") < F.col("new_id")))
+    )
+    return matches.groupBy(
+        F.least("doc_id", "new_id").alias("doc_a"),
+        F.greatest("doc_id", "new_id").alias("doc_b"),
+    ).agg(F.count(F.lit(1)).alias("shared_bands"))
+
+
+def _minhash_incremental_sql() -> str:
+    h = portable_hash32_sql("shingle")
+    sig_cols = ", ".join(
+        f"MIN(({a} * {h} + {b}) % {MERSENNE_31}) AS m{j}"
+        for j, (a, b) in enumerate(_MH_PARAMS)
+    )
+    band_selects = []
+    for bi in range(BANDS):
+        cols = [f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5({concat}) AS band_hash FROM sigs"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    new_flag_x = _DELTA_FLAG_SQL.replace("doc_id", "x.doc_id")
+    new_flag_y = _DELTA_FLAG_SQL.replace("doc_id", "y.doc_id")
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+ds AS ({_DOC_SHINGLES_SQL}),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+sigs AS (SELECT doc_id, {sig_cols} FROM exploded GROUP BY doc_id),
+bands AS ({bands})
+SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
+       GREATEST(x.doc_id, y.doc_id) AS doc_b,
+       COUNT(*) AS shared_bands
+FROM bands x JOIN bands y
+  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+WHERE ({new_flag_y})
+  AND x.doc_id <> y.doc_id
+  AND (NOT ({new_flag_x}) OR x.doc_id < y.doc_id)
+GROUP BY 1, 2
+"""
 
 
 def _minhash_sql() -> str:
@@ -837,6 +943,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_neardup_clusters": dedup_neardup_clusters,
@@ -847,6 +954,7 @@ ORACLES = {
     "dedup_exact": EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_minhash_incremental": _minhash_incremental_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": _embedding_sql(),
     "dedup_neardup_clusters": CLUSTERS_SQL,
