@@ -212,6 +212,13 @@ class TestRound2OperatorPlans:
         assert_no_python_eval(df)
         assert_read_schema_only(df, "events.parquet", {"ts", "event_type"})
 
+    def test_incremental_dedup_broadcasts_new_batch(self, spark):
+        # the delta batch's banded signatures must broadcast — the corpus
+        # side never shuffles for the incremental match
+        plan = formatted_plan(dedup.dedup_minhash_incremental(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan
+
     def test_funnel_family_stays_jvm_no_cartesian(self, spark):
         from dbsurveyor_spark.operators import funnel
 
