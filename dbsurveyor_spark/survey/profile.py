@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import TABLES, load_table
+from ..functions.aggregates import DECIMAL_T
 
 # (table, column, kind) — kind drives which min/max representation is used.
 _NUMERIC = "num"
@@ -383,6 +384,96 @@ FROM (SELECT quantile_cont(CAST({c} AS DOUBLE), [{probs}]) AS q
     return "\nUNION ALL\n".join(parts)
 
 
+CORR_COLS = QUANTILE_COLS
+CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(CORR_COLS)
+    for b in CORR_COLS[i + 1 :]
+]
+
+
+def survey_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the numeric lineitem measures —
+    the dependency-insight profile (which measures move together) a
+    schema document's reader wants next to histograms/quantiles.
+
+    One single-pass aggregate: per column Σx and Σx², per pair Σxy — all
+    through the exact-decimal accumulator (functions/aggregates.dsum), so
+    sums are independent of partitioning and the closed-form
+    corr = (nΣxy − ΣxΣy) / √((nΣx² − Σx²)(nΣy² − Σy²))
+    evaluates to bit-identical doubles in both engines. Built-in `corr`
+    is NOT used: its streaming covariance accumulates in doubles, whose
+    value depends on partition merge order.
+    """
+    df = load_table(spark, sf_dir, PROFILE_TABLE)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in CORR_COLS:
+        x = F.col(c).cast("double")
+        aggs.append(F.sum(x.cast(DECIMAL_T)).cast("double").alias(f"{c}__s"))
+        aggs.append(
+            F.sum((x * x).cast(DECIMAL_T)).cast("double").alias(f"{c}__ss")
+        )
+    for a, b in CORR_PAIRS:
+        xy = F.col(a).cast("double") * F.col(b).cast("double")
+        aggs.append(
+            F.sum(xy.cast(DECIMAL_T)).cast("double").alias(f"{a}__{b}__sxy")
+        )
+    one = df.agg(*aggs)
+    n = F.col("n")
+
+    def _corr(a: str, b: str):
+        sx, sy = F.col(f"{a}__s"), F.col(f"{b}__s")
+        sxx, syy = F.col(f"{a}__ss"), F.col(f"{b}__ss")
+        sxy = F.col(f"{a}__{b}__sxy")
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
+        )
+
+    entries = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            _corr(a, b).alias("corr"),
+        )
+        for a, b in CORR_PAIRS
+    ]
+    return one.select(F.inline(F.array(*entries)))
+
+
+def _correlation_sql() -> str:
+    agg_cols = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in CORR_COLS:
+        x = f"CAST({c} AS DOUBLE)"
+        agg_cols.append(
+            f"CAST(SUM(CAST({x} AS DECIMAL(30,6))) AS DOUBLE) AS {c}__s"
+        )
+        agg_cols.append(
+            f"CAST(SUM(CAST(({x} * {x}) AS DECIMAL(30,6))) AS DOUBLE) AS {c}__ss"
+        )
+    for a, b in CORR_PAIRS:
+        xy = f"CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)"
+        agg_cols.append(
+            f"CAST(SUM(CAST(({xy}) AS DECIMAL(30,6))) AS DOUBLE) "
+            f"AS {a}__{b}__sxy"
+        )
+    selects = []
+    for a, b in CORR_PAIRS:
+        expr = (
+            f"ROUND((n * {a}__{b}__sxy - {a}__s * {b}__s) / "
+            f"SQRT((n * {a}__ss - {a}__s * {a}__s) * "
+            f"(n * {b}__ss - {b}__s * {b}__s)), 9)"
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, {expr} AS corr FROM agg"
+        )
+    return (
+        f"WITH agg AS (SELECT {', '.join(agg_cols)} FROM {PROFILE_TABLE})\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 HIST_BUCKETS = 16
 HIST_COLS = QUANTILE_COLS
 
@@ -502,10 +593,12 @@ QUERIES = {
     "survey_fk_inference": survey_fk_inference,
     "survey_numeric_quantiles": survey_numeric_quantiles,
     "survey_numeric_histogram": survey_numeric_histogram,
+    "survey_correlation": survey_correlation,
 }
 
 ORACLES = {
     "survey_numeric_histogram": _histogram_sql(),
+    "survey_correlation": _correlation_sql(),
     "survey_schema_overview": _overview_sql(),
     "survey_column_profile": _profile_sql(),
     "survey_pk_inference": _pk_sql(),
