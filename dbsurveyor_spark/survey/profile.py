@@ -474,6 +474,72 @@ def _correlation_sql() -> str:
     )
 
 
+# Candidate functional dependencies A → B: positives (keys and the
+# nation→region hierarchy) and negatives, like the PK/FK candidate lists.
+FD_CANDIDATES = [
+    ("region", "r_regionkey", "r_name"),
+    ("nation", "n_nationkey", "n_name"),
+    ("nation", "n_name", "n_regionkey"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+]
+
+
+def survey_fd_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery: does column A determine column B?
+    (schema-discovery literature's FD check — the generalization of
+    survey_pk_inference's uniqueness test; n_name → n_regionkey is the
+    classic hierarchy FD).
+
+    Per candidate: distinct (A, B) pairs (one map-side-combinable dedup
+    shuffle — the frame shrinks to the pair cardinality immediately),
+    then per-A counts; A → B holds iff no A value maps to two B values.
+    Violations are counted, not just flagged, so near-FDs (dirty data)
+    are visible. Results union to a metadata-sized report.
+    """
+    frames = []
+    for table, det, dep in FD_CANDIDATES:
+        pairs = (
+            load_table(spark, sf_dir, table)
+            .select(F.col(det).alias("a"), F.col(dep).alias("b"))
+            .distinct()
+        )
+        per_a = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n_b"))
+        stats = per_a.agg(
+            F.count(F.lit(1)).alias("determinant_values"),
+            F.sum((F.col("n_b") > 1).cast("bigint")).alias("violating_values"),
+        )
+        frames.append(
+            stats.select(
+                F.lit(table).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "determinant_values",
+                "violating_values",
+                (F.col("violating_values") == 0).alias("is_fd"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _fd_sql() -> str:
+    parts = []
+    for table, det, dep in FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{table}' AS table_name, '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS determinant_values,
+       CAST(SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_values,
+       SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0 AS is_fd
+FROM (
+  SELECT a, COUNT(*) AS n_b
+  FROM (SELECT DISTINCT {det} AS a, {dep} AS b FROM {table}) p
+  GROUP BY a
+) t""")
+    return "\nUNION ALL\n".join(parts)
+
+
 HIST_BUCKETS = 16
 HIST_COLS = QUANTILE_COLS
 
@@ -594,9 +660,11 @@ QUERIES = {
     "survey_numeric_quantiles": survey_numeric_quantiles,
     "survey_numeric_histogram": survey_numeric_histogram,
     "survey_correlation": survey_correlation,
+    "survey_fd_inference": survey_fd_inference,
 }
 
 ORACLES = {
+    "survey_fd_inference": _fd_sql(),
     "survey_numeric_histogram": _histogram_sql(),
     "survey_correlation": _correlation_sql(),
     "survey_schema_overview": _overview_sql(),
