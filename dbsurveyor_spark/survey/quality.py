@@ -536,6 +536,97 @@ FROM parts
 """
 
 
+IQR_K = 1.5  # Tukey fence multiplier (the standard box-plot rule)
+
+
+def quality_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR (Tukey-fence) outlier detection — the robust companion to the
+    z-score analyzer: quartiles don't move when the outliers themselves
+    inflate the variance, so heavy-tailed columns (like events.value)
+    get a stable fence where the z-score's own σ is contaminated.
+
+    Pass 1: exact p25/p75 per column (percentile ↔ quantile_cont, the
+    parity proven by survey_numeric_quantiles); fences at Q1 − k·IQR /
+    Q3 + k·IQR. Pass 2: per-row fence check counted per column; the
+    1-row fence frame broadcasts (no shuffle of the fact table).
+    Degenerate columns (IQR = 0) are skipped like MIN_STD in the z-score
+    path.
+    """
+    df = load_table(spark, sf_dir, ANOMALY_TABLE)
+    q_aggs = []
+    for col in ANOMALY_COLS:
+        q = F.percentile(F.col(col).cast("double"), F.array(F.lit(0.25), F.lit(0.75)))
+        q_aggs.append(q.alias(f"{col}__q"))
+        q_aggs.append(F.count(F.col(col)).alias(f"{col}__n"))
+    fences = df.agg(*q_aggs)
+    for col in ANOMALY_COLS:
+        q1, q3 = F.col(f"{col}__q")[0], F.col(f"{col}__q")[1]
+        iqr = q3 - q1
+        fences = (
+            fences.withColumn(f"{col}__lo", q1 - IQR_K * iqr)
+            .withColumn(f"{col}__hi", q3 + IQR_K * iqr)
+            .withColumn(f"{col}__iqr", iqr)
+        )
+    joined = df.crossJoin(F.broadcast(fences))
+    cnt_aggs = []
+    for col in ANOMALY_COLS:
+        out = F.when(
+            F.col(f"{col}__iqr") > 0,
+            F.when(
+                (F.col(col) < F.col(f"{col}__lo"))
+                | (F.col(col) > F.col(f"{col}__hi")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0))
+        cnt_aggs += [
+            F.sum(out.cast("bigint")).alias(f"{col}__outliers"),
+            F.first(f"{col}__lo").alias(f"{col}__lo"),
+            F.first(f"{col}__hi").alias(f"{col}__hi"),
+            F.first(f"{col}__iqr").alias(f"{col}__iqr"),
+            F.first(f"{col}__n").alias(f"{col}__n"),
+        ]
+    one = joined.agg(*cnt_aggs)
+    entries = [
+        F.struct(
+            F.lit(col).alias("column_name"),
+            F.col(f"{col}__outliers").alias("outlier_count"),
+            F.round(F.col(f"{col}__lo"), 9).alias("fence_low"),
+            F.round(F.col(f"{col}__hi"), 9).alias("fence_high"),
+            F.col(f"{col}__n").alias("n_values"),
+        )
+        for col in ANOMALY_COLS
+    ]
+    return one.select(F.inline(F.array(*entries))).filter(
+        (F.col("outlier_count") > 0) & (F.col("n_values") >= MIN_VALUES)
+    )
+
+
+def _anomaly_iqr_sql() -> str:
+    parts = []
+    for col in ANOMALY_COLS:
+        parts.append(f"""
+SELECT '{col}' AS column_name,
+       CAST(SUM(CASE WHEN iqr > 0 AND (v < lo OR v > hi) THEN 1 ELSE 0 END)
+            AS BIGINT) AS outlier_count,
+       ROUND(ANY_VALUE(lo), 9) AS fence_low,
+       ROUND(ANY_VALUE(hi), 9) AS fence_high,
+       ANY_VALUE(n) AS n_values
+FROM (
+  SELECT CAST({col} AS DOUBLE) AS v, f.lo, f.hi, f.iqr, f.n
+  FROM {ANOMALY_TABLE},
+       (SELECT q[1] - {IQR_K} * (q[2] - q[1]) AS lo,
+               q[2] + {IQR_K} * (q[2] - q[1]) AS hi,
+               q[2] - q[1] AS iqr,
+               n
+        FROM (SELECT quantile_cont(CAST({col} AS DOUBLE), [0.25, 0.75]) AS q,
+                     COUNT({col}) AS n
+              FROM {ANOMALY_TABLE}) s) f
+) t
+HAVING SUM(CASE WHEN iqr > 0 AND (v < lo OR v > hi) THEN 1 ELSE 0 END) > 0
+   AND ANY_VALUE(n) >= {MIN_VALUES}""")
+    return "\nUNION ALL\n".join(parts)
+
+
 # ------------------------------------------- referential integrity (RI)
 
 # FK edges checked for ROW-level orphan rates (complementary to
@@ -859,10 +950,12 @@ QUERIES = {
     "quality_format_consistency": quality_format_consistency,
     "quality_score_table": quality_score_table,
     "quality_referential_integrity": quality_referential_integrity,
+    "quality_anomaly_iqr": quality_anomaly_iqr,
 }
 
 ORACLES = {
     "quality_referential_integrity": _referential_integrity_sql(),
+    "quality_anomaly_iqr": _anomaly_iqr_sql(),
     "quality_completeness": _completeness_sql(),
     "quality_uniqueness": _uniqueness_sql(),
     "quality_anomaly_zscore": _anomaly_sql(),
