@@ -505,9 +505,63 @@ SELECT window_start, event_type, event_count, rank FROM (
 """
 
 
+VOLUME_Z = 2.0
+
+
+def stream_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ingest-volume anomaly: days whose event count deviates from
+    the stream's mean daily volume by more than VOLUME_Z population
+    z-scores — the pipeline-health check that catches a broken producer
+    or an ingest storm.
+
+    The raw scan reduces to one (day → count) aggregate immediately
+    (map-side combinable, |days| rows); mean/σ and the z-flag all run on
+    that metadata-sized frame via unpartitioned windows. Day keys surface
+    as ISO strings (engine-neutral, like retention_cohorts).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy()
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mean = F.sum("n_events").over(w) / n
+    var = F.sum(F.col("n_events") * F.col("n_events")).over(w) / n - mean * mean
+    std = F.sqrt(F.greatest(F.lit(0.0), var))
+    z = (F.col("n_events") - mean) / std
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            F.round(z, 9).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) > VOLUME_Z)
+    )
+
+
+VOLUME_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT day, n_events,
+         (n_events - AVG(n_events) OVER ()) /
+         SQRT(GREATEST(0.0,
+              AVG(n_events * n_events) OVER ()
+              - AVG(n_events) OVER () * AVG(n_events) OVER ())) AS z
+  FROM daily
+)
+SELECT day, n_events, ROUND(z, 9) AS z_score
+FROM stats WHERE ABS(ROUND(z, 9)) > {VOLUME_Z}
+"""
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_topk_trending": stream_topk_trending,
+    "stream_volume_anomaly": stream_volume_anomaly,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_sessionization": stream_sessionization,
     "stream_dedup_events": stream_dedup_events,
@@ -516,6 +570,7 @@ QUERIES = {
 ORACLES = {
     "stream_tumbling_counts": TUMBLING_SQL,
     "stream_topk_trending": TRENDING_SQL,
+    "stream_volume_anomaly": VOLUME_ANOMALY_SQL,
     "stream_sliding_counts": SLIDING_SQL,
     "stream_sessionization": SESSION_SQL,
     "stream_dedup_events": DEDUP_EVENTS_SQL,
