@@ -34,9 +34,11 @@ HEADLINE = [
     "survey_column_profile",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_recall_report",
     "text_stats",
     "text_repetition",
     "corpus_decontamination",
