@@ -552,14 +552,21 @@ def quality_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate columns (IQR = 0) are skipped like MIN_STD in the z-score
     path.
     """
-    df = load_table(spark, sf_dir, ANOMALY_TABLE)
+    return iqr_outlier_counts(
+        load_table(spark, sf_dir, ANOMALY_TABLE), ANOMALY_COLS
+    )
+
+
+def iqr_outlier_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Tukey-fence outlier counts for ``cols`` of ``df`` (the analyzer core
+    behind quality_anomaly_iqr, injectable for unit tests)."""
     q_aggs = []
-    for col in ANOMALY_COLS:
+    for col in cols:
         q = F.percentile(F.col(col).cast("double"), F.array(F.lit(0.25), F.lit(0.75)))
         q_aggs.append(q.alias(f"{col}__q"))
         q_aggs.append(F.count(F.col(col)).alias(f"{col}__n"))
     fences = df.agg(*q_aggs)
-    for col in ANOMALY_COLS:
+    for col in cols:
         q1, q3 = F.col(f"{col}__q")[0], F.col(f"{col}__q")[1]
         iqr = q3 - q1
         fences = (
@@ -569,7 +576,7 @@ def quality_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     joined = df.crossJoin(F.broadcast(fences))
     cnt_aggs = []
-    for col in ANOMALY_COLS:
+    for col in cols:
         out = F.when(
             F.col(f"{col}__iqr") > 0,
             F.when(
@@ -594,7 +601,7 @@ def quality_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col(f"{col}__hi"), 9).alias("fence_high"),
             F.col(f"{col}__n").alias("n_values"),
         )
-        for col in ANOMALY_COLS
+        for col in cols
     ]
     return one.select(F.inline(F.array(*entries))).filter(
         (F.col("outlier_count") > 0) & (F.col("n_values") >= MIN_VALUES)

@@ -205,3 +205,33 @@ class TestSqlitePathParsing:
 
         with _pytest.raises(ValueError):
             _sqlite_path("sqlite://host/path.db")
+
+
+class TestIqrAnalyzer:
+    def test_constant_column_skipped(self, spark):
+        # IQR = 0 → column skipped, like the z-score MIN_STD guard
+        from dbsurveyor_spark.survey.quality import iqr_outlier_counts
+
+        df = spark.createDataFrame([(5.0,)] * 20, "v double")
+        assert iqr_outlier_counts(df, ["v"]).count() == 0
+
+    def test_clear_outlier_caught_with_exact_fences(self, spark):
+        from dbsurveyor_spark.survey.quality import IQR_K, iqr_outlier_counts
+
+        # 21 values → quartile indexes land exactly: q1 = sorted[5] = 6,
+        # q3 = sorted[15] = 16, IQR = 10, fences −9 / 31 — only 1000.0
+        # lands outside
+        vals = [(float(i),) for i in range(1, 21)] + [(1000.0,)]
+        df = spark.createDataFrame(vals, "v double")
+        (row,) = iqr_outlier_counts(df, ["v"]).collect()
+        assert row["outlier_count"] == 1
+        assert row["fence_low"] == 6.0 - IQR_K * 10.0
+        assert row["fence_high"] == 16.0 + IQR_K * 10.0
+        assert row["n_values"] == 21
+
+    def test_below_min_values_not_reported(self, spark):
+        from dbsurveyor_spark.survey.quality import iqr_outlier_counts
+
+        # 2 values: even a wild spread reports nothing (anomaly.rs:46 analog)
+        df = spark.createDataFrame([(0.0,), (1e9,)], "v double")
+        assert iqr_outlier_counts(df, ["v"]).count() == 0
