@@ -175,3 +175,31 @@ def test_neardup_clusters_operator_matches_star_labels(spark):
     for r in rows:
         assert r["is_survivor"] == (r["doc_id"] == r["cluster_id"])
     assert by_doc
+
+
+def test_incremental_dedup_equals_batch_restricted_to_new(spark):
+    """dedup_minhash_incremental must return EXACTLY the batch LSH pairs
+    that involve at least one delta-batch doc — the correctness contract
+    that lets a pipeline skip old-by-old re-pairing per ingest."""
+    from pyspark.sql import functions as F
+
+    from dbsurveyor_spark.operators.dedup import (
+        _delta_flag,
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inc = {
+        (r["doc_a"], r["doc_b"], r["shared_bands"])
+        for r in dedup_minhash_incremental(spark, sf).collect()
+    }
+    batch = dedup_minhash_lsh(spark, sf)
+    restricted = {
+        (r["doc_a"], r["doc_b"], r["shared_bands"])
+        for r in batch.filter(
+            _delta_flag(F.col("doc_a")) | _delta_flag(F.col("doc_b"))
+        ).collect()
+    }
+    assert inc == restricted
+    assert len(inc) > 0  # non-vacuous: the delta batch has near-dups

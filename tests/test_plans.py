@@ -195,6 +195,17 @@ class TestRound2OperatorPlans:
         # the explode+window pass per branch
         assert plan.count("InMemoryTableScan") >= 2, plan
 
+    def test_correlation_scan_prunes_to_measure_columns(self, spark):
+        from dbsurveyor_spark.survey import profile
+
+        df = profile.survey_correlation(spark, SF)
+        assert_no_python_eval(df)
+        assert_read_schema_only(
+            df,
+            "lineitem.parquet",
+            {"l_quantity", "l_extendedprice", "l_discount", "l_tax"},
+        )
+
     def test_histogram_scan_prunes_to_measure_columns(self, spark):
         from dbsurveyor_spark.survey import profile
 
