@@ -101,3 +101,89 @@ def test_trending_job_matches_batch(spark, ckpt):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, ckpt, tmp_path):
+    """Late-data semantics: an event older than the advanced watermark is
+    DROPPED by the streaming aggregate once its window's state has been
+    evicted, while the equivalent batch aggregate counts it — the trade a
+    watermarked pipeline explicitly makes.
+
+    Subtlety pinned here (measured, not assumed): dropping requires the
+    state to be gone in a PRIOR batch. A straggler arriving in the very
+    batch where the watermark first passes its window still merges into
+    the live state before eviction. Hence THREE micro-batches
+    (maxFilesPerTrigger=1): b1 advances event time far past window W1,
+    b2 (any row) lets the watermark take effect and evict+emit W1,
+    b3 delivers the W1 straggler → dropped."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "ts timestamp, event_type string"
+
+    def _write(rows, name):
+        (
+            spark.createDataFrame(rows, "ts string, event_type string")
+            .select(F.to_timestamp("ts").alias("ts"), "event_type")
+            .coalesce(1)
+            .write.parquet(str(src / name))
+        )
+
+    _write(
+        [
+            ("2024-01-01 00:05:00", "click"),
+            ("2024-01-01 00:10:00", "click"),
+            ("2024-01-01 06:00:00", "click"),  # wm → 05:50 after b1
+        ],
+        "b1.parquet",
+    )
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    _write([("2024-01-01 06:05:00", "click")], "b2.parquet")
+    time.sleep(1.1)
+    _write([("2024-01-01 00:20:00", "click")], "b3.parquet")  # straggler
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "3600 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # the straggler, counted by the engine itself
+    got = {
+        (str(r["window_start"]), r["n"])
+        for r in spark.table("late_test").collect()
+    }
+    # W1 finalized with the 2 on-time rows; the straggler did NOT reopen it
+    assert got == {("2024-01-01 00:00:00", 2)}
+    # batch semantics over the same files WOULD count the straggler
+    batch = (
+        spark.read.schema(schema)
+        .parquet(str(src) + "/*")
+        .groupBy(F.window("ts", "3600 seconds"))
+        .count()
+        .filter(F.col("window.start") == "2024-01-01 00:00:00")
+        .collect()
+    )
+    assert batch[0]["count"] == 3
