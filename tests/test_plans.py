@@ -223,6 +223,26 @@ class TestRound2OperatorPlans:
         assert_no_python_eval(df)
         assert_read_schema_only(df, "events.parquet", {"ts", "event_type"})
 
+    def test_referential_integrity_plans_anti_joins_no_cartesian(self, spark):
+        plan = formatted_plan(quality.quality_referential_integrity(spark, SF))
+        assert "LeftAnti" in plan, plan
+        assert "CartesianProduct" not in plan
+
+    def test_fd_inference_no_expand_no_cartesian(self, spark):
+        from dbsurveyor_spark.survey import profile
+
+        plan = formatted_plan(profile.survey_fd_inference(spark, SF))
+        # distinct-pair + count shape, never the multi-distinct Expand
+        assert "Expand" not in plan, plan
+        assert "CartesianProduct" not in plan
+
+    def test_volume_anomaly_scan_prunes_to_ts(self, spark):
+        from dbsurveyor_spark.streaming import events as streaming_events
+
+        df = streaming_events.stream_volume_anomaly(spark, SF)
+        assert_no_python_eval(df)
+        assert_read_schema_only(df, "events.parquet", {"ts"})
+
     def test_incremental_dedup_broadcasts_new_batch(self, spark):
         # the delta batch's banded signatures must broadcast — the corpus
         # side never shuffles for the incremental match
