@@ -175,3 +175,55 @@ class TestMixPlanner:
 
         with _pytest.raises(ValueError, match="zz"):
             plan_corpus_mix({"en": 100}, {"en": 0.5, "zz": 0.5})
+
+
+class TestMixPlannerClosesLoop:
+    def test_planned_rates_realize_target_shares_on_testdata(self, spark):
+        """End-to-end: plan keep-rates from the real mix report, apply them
+        with the deterministic hash-Bernoulli filter, and verify the
+        sampled corpus's token shares approach the targets (exact equality
+        is impossible — Bernoulli on 500 docs — so assert the planner
+        moved each share toward its target vs the unsampled corpus)."""
+        from pyspark.sql import functions as F
+
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.functions.hashing import portable_hash64
+        from dbsurveyor_spark.functions.text import tokens
+        from dbsurveyor_spark.operators.pipeline import (
+            corpus_mix_report,
+            plan_corpus_mix,
+        )
+        from .conftest import SF_SMALL
+
+        rows = corpus_mix_report(spark, SF_SMALL).collect()
+        avail: dict[str, int] = {}
+        for r in rows:
+            avail[r["lang"]] = avail.get(r["lang"], 0) + r["n_tokens"]
+        targets = {lang: 1.0 for lang in avail}  # uniform mix
+        plan = plan_corpus_mix(avail, targets)
+
+        docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang", "text")
+        rate = F.lit(0.0)
+        for lang, p in plan.items():
+            rate = F.when(F.col("lang") == lang, F.lit(p["keep_rate"] * 100)).otherwise(rate)
+        keep = (
+            portable_hash64(F.concat(F.lit("mixplan_"), F.col("doc_id").cast("string")))
+            % 10000
+        ) < rate * 100
+        sampled = docs.filter(keep)
+        got = {
+            r["lang"]: r["t"]
+            for r in sampled.groupBy("lang")
+            .agg(F.sum(F.size(tokens(F.col("text")))).alias("t"))
+            .collect()
+        }
+        total_before = sum(avail.values())
+        total_after = sum(got.values())
+        target_share = 1.0 / len(avail)
+        for lang in avail:
+            before = avail[lang] / total_before
+            after = got.get(lang, 0) / total_after
+            # each language's share must move toward (or stay at) target
+            assert abs(after - target_share) <= abs(before - target_share) + 0.02, (
+                lang, before, after
+            )

@@ -109,3 +109,32 @@ class TestSqliteNullBatches:
         rows = {r.id: r.maybe for r in df.collect()}
         assert rows[0] is None and rows[7] == "v7"
         assert len(rows) == 10
+
+
+def test_histogram_invariants(spark):
+    """Equi-width histogram: per-column bucket counts sum to the table's
+    rows, buckets stay within [0, HIST_BUCKETS), and fences tile the
+    [min, max] range without gaps."""
+    from pyspark.sql import functions as F
+
+    from dbsurveyor_spark.catalog import load_table
+    from dbsurveyor_spark.survey.profile import (
+        HIST_BUCKETS,
+        HIST_COLS,
+        survey_numeric_histogram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = survey_numeric_histogram(spark, sf).collect()
+    n_rows = load_table(spark, sf, "lineitem").count()
+    by_col: dict[str, list] = {}
+    for r in hist:
+        by_col.setdefault(r["column_name"], []).append(r)
+    assert set(by_col) == set(HIST_COLS)
+    for col, rows in by_col.items():
+        assert sum(r["row_count"] for r in rows) == n_rows, col
+        assert all(0 <= r["bucket"] < HIST_BUCKETS for r in rows), col
+        ordered = sorted(rows, key=lambda r: r["bucket"])
+        for a, b in zip(ordered, ordered[1:]):
+            if b["bucket"] == a["bucket"] + 1:  # adjacent buckets tile
+                assert abs(a["bucket_hi"] - b["bucket_lo"]) < 1e-6, col
