@@ -938,8 +938,59 @@ FROM reach GROUP BY doc_id
 """
 
 
+def dedup_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup-deduplicated corpus itself: one representative
+    (min-id survivor) per near-dup cluster, singletons kept — the artifact
+    a training pipeline actually ships downstream (`dedup_survivor_corpus`
+    is the exact-hash analog; this one removes the τ ≥ 0.8 Jaccard
+    near-dups that exact hashing can't see).
+
+    Plan: the clustering labels (already O(log n) star contraction) filter
+    to survivors — a corpus-sized-or-smaller id list — then one semi-join
+    back to the corpus re-attaches payload columns; content is summarized
+    as (n_chars, md5) so the result stays compact under the value oracle.
+    """
+    survivors = dedup_neardup_clusters(spark, sf_dir).filter(
+        F.col("is_survivor")
+    )
+    return (
+        _corpus(spark, sf_dir)
+        .join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.md5("text").alias("content_md5"),
+        )
+    )
+
+
+NEARDUP_CORPUS_SQL = f"""
+WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+{_NGRAM_CTES},
+pairs AS ({_NGRAM_SELECT}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+),
+labels AS (
+  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+       md5(c.text) AS content_md5
+FROM corpus c JOIN labels l ON l.doc_id = c.doc_id
+WHERE l.doc_id = l.cluster_id
+"""
+
+
 QUERIES = {
     "dedup_survivor_corpus": dedup_survivor_corpus,
+    "dedup_neardup_corpus": dedup_neardup_corpus,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -951,6 +1002,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_survivor_corpus": SURVIVOR_SQL,
+    "dedup_neardup_corpus": NEARDUP_CORPUS_SQL,
     "dedup_exact": EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
