@@ -242,13 +242,65 @@ FROM matrix
 """
 
 
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event arrival statistics per event type: how long after a
+    user's previous event does each type arrive (p50/p90 gap seconds,
+    count) — the feature-engineering pass for sequence models and the
+    input to session-gap tuning (stream_sessionization's 30-min gap
+    should sit far above typical p90s).
+
+    One lag window on the shared user_id key produces the gap column;
+    exact percentiles aggregate per type (bounded groups). Ties on ts
+    break on event_id so both engines order identically.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional epoch seconds: timestamp→double (micros/1e6) is the same
+    # IEEE expression DuckDB's epoch() computes — unix_timestamp would
+    # truncate to whole seconds and diverge
+    gaps = events.select(
+        "event_type",
+        (
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double"), 1).over(w)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    q = F.percentile(F.col("gap_s").cast("double"), F.array(F.lit(0.5), F.lit(0.9)))
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(q[0], 6).alias("gap_p50_s"),
+        F.round(q[1], 6).alias("gap_p90_s"),
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch(ts) - epoch(lag(ts, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(CAST(gap_s AS DOUBLE), 0.5), 6) AS gap_p50_s,
+       ROUND(quantile_cont(CAST(gap_s AS DOUBLE), 0.9), 6) AS gap_p90_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "event_transitions": event_transitions,
+    "event_interarrival_stats": event_interarrival_stats,
 }
 ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "retention_cohorts": RETENTION_SQL,
     "event_transitions": TRANSITIONS_SQL,
+    "event_interarrival_stats": INTERARRIVAL_SQL,
 }
