@@ -292,15 +292,53 @@ GROUP BY event_type
 """
 
 
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the ubiquitous lake pattern (current-state
+    view / SCD collapse / changelog compaction), done the scale-right way:
+    ONE struct-max aggregate (lexicographic (ts, event_id) — ts wins,
+    event_id breaks ties) instead of a row_number window. The aggregate is
+    map-side combinable — each partition contributes one candidate per
+    key, so the shuffle carries |keys| rows — where the window form sorts
+    every row of every partition before discarding all but one.
+    """
+    events = load_table(spark, sf_dir, "events")
+    m = F.max(
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
+        )
+    ).alias("m")
+    return (
+        events.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id",
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+            F.round(F.col("m.value"), 6).alias("value"),
+        )
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, ts, event_id, event_type, ROUND(value, 6) AS value
+FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "event_transitions": event_transitions,
     "event_interarrival_stats": event_interarrival_stats,
+    "latest_event_per_user": latest_event_per_user,
 }
 ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "retention_cohorts": RETENTION_SQL,
     "event_transitions": TRANSITIONS_SQL,
     "event_interarrival_stats": INTERARRIVAL_SQL,
+    "latest_event_per_user": LATEST_EVENT_SQL,
 }
