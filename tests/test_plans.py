@@ -250,6 +250,17 @@ class TestRound2OperatorPlans:
         assert "BroadcastHashJoin" in plan, plan
         assert "CartesianProduct" not in plan
 
+    def test_latest_event_compaction_aggregates_not_window_sorts(self, spark):
+        from dbsurveyor_spark.operators import funnel
+
+        df = funnel.latest_event_per_user(spark, SF)
+        plan = formatted_plan(df)
+        # the whole point: struct-max partial aggregation, never a
+        # row_number window (which sorts every row before discarding)
+        assert "Window" not in plan, plan
+        assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+        assert_no_python_eval(df)
+
     def test_funnel_family_stays_jvm_no_cartesian(self, spark):
         from dbsurveyor_spark.operators import funnel
 
