@@ -431,14 +431,141 @@ def materialize_curated_corpus(
     }
 
 
+# ------------------------------------------------------------- PII scanning
+
+# Row-level PII detection — the row-content counterpart of the reference's
+# *column-name* sensitive-data scan (`security.py detect_sensitive_columns`,
+# reference `adapters/config/sampling.rs:110` sensitive_patterns): a corpus
+# release gate needs to know which documents carry emails / SSNs / phone
+# numbers / IP addresses, not just which columns are named like them.
+#
+# Patterns use explicit ASCII classes + `\b` word boundaries only — the
+# subset with identical semantics in Java regex (Spark) and RE2 (DuckDB),
+# so the oracle replays the scan exactly. The synthetic corpus is clean, so
+# the PII is injected deterministically in-query in BOTH engines (same
+# dirty-in-query discipline as survey/quality.py's dirtied orders view).
+PII_EMAIL_RE = r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}"
+PII_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _pii_dirty(doc_id: Column, text: Column) -> Column:
+    """text ++ deterministic PII snippets keyed on doc_id (both engines)."""
+    d = doc_id.cast("bigint")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" contact user"), s(d), F.lit("@example.com now")),
+    ).otherwise("")
+    ssn = F.when(
+        d % 11 == 0, F.concat(F.lit(" id 123-45-"), s(d % 9000 + 1000))
+    ).otherwise("")
+    phone = F.when(
+        d % 13 == 0,
+        F.concat(F.lit(" tel 555-"), s(d % 900 + 100), F.lit("-"), s(d % 9000 + 1000)),
+    ).otherwise("")
+    ip = F.when(
+        d % 17 == 0,
+        F.concat(F.lit(" ip 10.0."), s(d % 256), F.lit("."), s(d % 254 + 1)),
+    ).otherwise("")
+    return F.concat(text, email, ssn, phone, ip)
+
+
+_PII_DIRTY_SQL = """
+text
+  || CASE WHEN doc_id % 7 = 0
+     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+     ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+     THEN ' id 123-45-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+     THEN ' tel 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+       || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 17 = 0
+     THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END
+"""
+
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts + a redaction fingerprint.
+
+    Emits per-doc match counts for the four pattern families, the total,
+    a 0/1 release-blocking flag, and ``redacted_fp`` — md5 of the text
+    after all four families are replaced with typed tags, proving the
+    redaction transform itself is engine-exact without shipping the text.
+
+    Scale: pure map-side projection (regexp_count/regexp_replace are
+    codegen'd JVM ops); no shuffle at all — linear in input splits, same
+    envelope as text_stats.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = _pii_dirty(F.col("doc_id"), F.col("text"))
+    base = docs.select("doc_id", dirty.alias("t"))
+    cnt = lambda re_: F.regexp_count(F.col("t"), F.lit(re_)).cast("bigint")  # noqa: E731
+    redacted = F.col("t")
+    for re_, tag in (
+        (PII_EMAIL_RE, "[EMAIL]"),
+        (PII_SSN_RE, "[SSN]"),
+        (PII_PHONE_RE, "[PHONE]"),
+        (PII_IPV4_RE, "[IP]"),
+    ):
+        redacted = F.regexp_replace(redacted, re_, tag)
+    total = (
+        cnt(PII_EMAIL_RE) + cnt(PII_SSN_RE) + cnt(PII_PHONE_RE) + cnt(PII_IPV4_RE)
+    )
+    return base.select(
+        "doc_id",
+        cnt(PII_EMAIL_RE).alias("email_count"),
+        cnt(PII_SSN_RE).alias("ssn_count"),
+        cnt(PII_PHONE_RE).alias("phone_count"),
+        cnt(PII_IPV4_RE).alias("ipv4_count"),
+        total.alias("pii_total"),
+        (total > 0).cast("int").alias("flagged"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def _pii_scan_sql() -> str:
+    c = lambda re_: (  # noqa: E731
+        f"CAST(len(regexp_extract_all(t, '{re_}')) AS BIGINT)"
+    )
+    counts = " + ".join(
+        c(r) for r in (PII_EMAIL_RE, PII_SSN_RE, PII_PHONE_RE, PII_IPV4_RE)
+    )
+    red = "t"
+    for re_, tag in (
+        (PII_EMAIL_RE, "[EMAIL]"),
+        (PII_SSN_RE, "[SSN]"),
+        (PII_PHONE_RE, "[PHONE]"),
+        (PII_IPV4_RE, "[IP]"),
+    ):
+        red = f"regexp_replace({red}, '{re_}', '{tag}', 'g')"
+    return f"""
+SELECT
+  doc_id,
+  {c(PII_EMAIL_RE)} AS email_count,
+  {c(PII_SSN_RE)} AS ssn_count,
+  {c(PII_PHONE_RE)} AS phone_count,
+  {c(PII_IPV4_RE)} AS ipv4_count,
+  {counts} AS pii_total,
+  CAST(({counts}) > 0 AS INT) AS flagged,
+  md5({red}) AS redacted_fp
+FROM (SELECT doc_id, {_PII_DIRTY_SQL} AS t FROM documents) d
+"""
+
+
 QUERIES = {
     "corpus_decontamination": corpus_decontamination,
     "split_leakage_report": split_leakage_report,
     "corpus_mix_report": corpus_mix_report,
     "corpus_curation": corpus_curation,
+    "text_pii_scan": text_pii_scan,
 }
 
 ORACLES = {
+    "text_pii_scan": _pii_scan_sql(),
     "corpus_curation": _curation_sql(),
     "corpus_decontamination": DECONTAMINATION_SQL,
     "split_leakage_report": SPLIT_LEAKAGE_SQL,
