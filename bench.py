@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
+    "dedup_substring",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "ann_ivf_topk",

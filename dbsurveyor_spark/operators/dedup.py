@@ -988,7 +988,105 @@ WHERE l.doc_id = l.cluster_id
 """
 
 
+# ----------------------------------------------------- substring repetition
+
+# Token-window width for cross-document substring detection. Production
+# substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better") uses ~50-token windows over a suffix array; the
+# n-gram-hash formulation here is the distributable equivalent — a window
+# repeats across docs iff all its W-grams repeat — sized to the test corpus.
+SUBSTR_W = 8
+_SUB_BASE = 31
+_SUB_MOD = MERSENNE_31
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring report: for each doc, the fraction
+    of its distinct ``SUBSTR_W``-token windows that also occur in another
+    document (the memorization-risk metric of Lee et al. 2022; exact
+    duplicates score 1.0, clean docs 0.0).
+
+    Plan: window hashes are built map-side per doc (fold of md5-derived
+    token hashes over each W-slice — no string W-grams ever shuffle, only
+    int64 hashes), then ONE groupBy(gram) with map-side partial counts
+    finds grams in ≥2 docs, ONE hash join (co-partitioned with the agg's
+    own exchange) re-attaches the shared flag, and a final groupBy(doc_id)
+    reduces back to one row per doc. Shuffle volume is (docs × windows)
+    pairs of int64 — the honest cost of substring dedup; the suffix-array
+    alternative is single-node only.
+    """
+    corpus = _corpus(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    gram_at = lambda i: F.aggregate(  # noqa: E731
+        F.slice(toks, i, SUBSTR_W),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * _SUB_BASE + tok_hash(t)) % _SUB_MOD,
+    )
+    grams = F.when(
+        F.size(toks) >= SUBSTR_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (SUBSTR_W - 1)),
+                lambda i: gram_at(i.cast("int")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = corpus.select("doc_id", grams.alias("grams"))
+    per_doc = base.select(
+        "doc_id", F.size("grams").cast("bigint").alias("n_grams")
+    )
+    exploded = base.select("doc_id", F.explode("grams").alias("g"))
+    shared = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("g")
+    )
+    shared_per_doc = (
+        exploded.join(shared, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ns = F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint"))
+    return per_doc.join(shared_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        ns.alias("n_shared"),
+        F.round(
+            ns.cast("double") / F.nullif(F.col("n_grams"), F.lit(0)), 9
+        ).alias("dup_fraction"),
+    )
+
+
+SUBSTRING_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tk AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM corpus),
+g AS (SELECT doc_id,
+  CASE WHEN len(toks) >= {SUBSTR_W} THEN
+    list_distinct(list_transform(range(1, len(toks) - {SUBSTR_W - 1} + 1),
+      i -> list_reduce(
+             list_transform(toks[i : i + {SUBSTR_W - 1}],
+               t -> CAST(('0x' || substring(md5(t), 1, 7)) AS BIGINT)),
+             (acc, h) -> (acc * {_SUB_BASE} + h) % {_SUB_MOD})))
+  ELSE [] END AS grams FROM tk),
+per_doc AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g),
+ex AS (SELECT doc_id, unnest(grams) AS gh FROM g),
+cnt AS (SELECT gh FROM ex GROUP BY gh HAVING count(*) >= 2),
+sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       FROM ex JOIN cnt USING (gh) GROUP BY doc_id)
+SELECT p.doc_id, p.n_grams,
+  COALESCE(s.n_shared, 0) AS n_shared,
+  round(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / NULLIF(p.n_grams, 0), 9)
+    AS dup_fraction
+FROM per_doc p LEFT JOIN sh s USING (doc_id)
+"""
+
+
 QUERIES = {
+    "dedup_substring": dedup_substring,
     "dedup_survivor_corpus": dedup_survivor_corpus,
     "dedup_neardup_corpus": dedup_neardup_corpus,
     "dedup_exact": dedup_exact,
@@ -1001,6 +1099,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_substring": SUBSTRING_SQL,
     "dedup_survivor_corpus": SURVIVOR_SQL,
     "dedup_neardup_corpus": NEARDUP_CORPUS_SQL,
     "dedup_exact": EXACT_SQL,

@@ -453,7 +453,128 @@ WHERE l_quantity < 0.2 * avg_q
 """
 
 
+# -------------------------------------------------------------------- pivot
+
+# Pivot column values are pinned explicitly: Spark's two-arg pivot skips the
+# extra distinct-values job AND fixes the output schema deterministically
+# (the values-discovery variant is a collect of unbounded cardinality — the
+# anti-pattern at scale).
+MKT_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+def pivot_sales_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue matrix of order-year × market segment (the
+    wide-report operator ROLLUP/CUBE don't cover — one output COLUMN per
+    pivot value).
+
+    Plan: orders pre-aggregate to (custkey, year) BEFORE the customer join
+    (the join input shrinks from |orders| to |custkey×years|), then one
+    groupBy(year).pivot(segment, pinned) — a single Expand-free aggregate
+    whose state is years × segments. Exact-decimal sums end-to-end; sum of
+    per-customer sums ≡ the oracle's direct conditional aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    pre = (
+        orders.select(
+            "o_custkey",
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.col("o_totalprice").cast(DECIMAL_T).alias("price"),
+        )
+        .groupBy("o_custkey", "order_year")
+        .agg(F.sum("price").alias("rev"))
+    )
+    piv = (
+        pre.join(customer, pre.o_custkey == customer.c_custkey)
+        .groupBy("order_year")
+        .pivot("c_mktsegment", list(MKT_SEGMENTS))
+        .agg(F.sum("rev"))
+    )
+    zero = F.lit(0).cast(DECIMAL_T)
+    return piv.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(seg), zero)
+            .cast("double")
+            .alias(f"{seg.lower()}_rev")
+            for seg in MKT_SEGMENTS
+        ],
+    )
+
+
+def _pivot_sql() -> str:
+    cols = ",\n  ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN c_mktsegment = '{seg}' "
+        f"THEN CAST(o_totalprice AS DECIMAL(30,6)) END), 0) AS DOUBLE) "
+        f"AS {seg.lower()}_rev"
+        for seg in MKT_SEGMENTS
+    )
+    return f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  {cols}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY order_year
+"""
+
+
+# ------------------------------------------------------------- range frames
+
+TRAILING_DAYS = 7
+_TRAILING_SECS = TRAILING_DAYS * 86400
+
+
+def window_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-customer trailing-7-day revenue
+    and order count at every order (the moving-aggregate shape
+    rows-frames can't express — the frame is defined by VALUE distance,
+    including all peers at equal timestamps, not by row offsets).
+
+    One shuffle on the partition key, same envelope as the running-totals
+    window; the frame bound is a constant so the in-partition pass is a
+    sliding two-pointer, not a per-row rescan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate").alias("order_epoch")
+    base = orders.select(
+        "o_custkey", "o_orderkey", epoch, F.col("o_totalprice")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_epoch")
+        .rangeBetween(-_TRAILING_SECS, 0)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_epoch",
+        F.sum(F.col("o_totalprice").cast(DECIMAL_T))
+        .over(w)
+        .cast("double")
+        .alias("trailing_rev"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_cnt"),
+    )
+
+
+TRAILING_SQL = f"""
+SELECT o_custkey, o_orderkey,
+  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+    RANGE BETWEEN {_TRAILING_SECS} PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS trailing_rev,
+  CAST(COUNT(*) OVER (
+    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+    RANGE BETWEEN {_TRAILING_SECS} PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS trailing_cnt
+FROM orders
+"""
+
+
 QUERIES = {
+    "pivot_sales_by_segment": pivot_sales_by_segment,
+    "window_trailing_revenue": window_trailing_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -468,6 +589,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pivot_sales_by_segment": _pivot_sql(),
+    "window_trailing_revenue": TRAILING_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,

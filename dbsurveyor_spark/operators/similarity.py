@@ -469,7 +469,54 @@ LEFT JOIN matches m ON m.query_id = p.query_id
 """
 
 
+# ----------------------------------------------------------------- index add
+
+# "Newly arrived" vectors for the index-add step: a deterministic tenth of
+# the table stands in for an ingest batch (same convention as
+# dedup.DELTA_PCT's delta-batch flag).
+ADD_BATCH_RESIDUE = 7
+
+
+def ann_ivf_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Faiss ``add()`` lifecycle step: assign an ingest batch of new
+    vectors to the already-trained coarse quantizer — NO retraining, no
+    touch of the stored corpus. Completes the index lifecycle next to
+    train (`trained_centroid_rows`) and search (`ann_ivf_topk`), and is
+    the per-ingest production mode at 100 TB: each batch streams once
+    through `cell_topk_mapper` (nprobe=1 — storage assignment) against
+    the memoized model riding in the task closure; output is the
+    (vec_id, cell_id) posting-list delta.
+
+    Oracle replays quantizer training + the assignment rank over the same
+    batch (reference analog: the collect-side incremental refresh of an
+    index inventory; model-state reuse mirrors `adapters/*` connection
+    pooling only in spirit — cited for lifecycle parity, not mechanism).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    delta = emb.filter(F.col("vec_id") % 10 == ADD_BATCH_RESIDUE)
+    cent = trained_centroid_rows(spark, sf_dir)
+    return rank_cells(delta, cent, nprobe=1).select("vec_id", "cell_id")
+
+
+def _add_batch_sql(dim: int = IVF_SQL_DIM) -> str:
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
+    return f"""
+WITH {train_ctes},
+final AS (
+  SELECT e.vec_id, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {cent} c
+  WHERE e.vec_id % 10 = {ADD_BATCH_RESIDUE}
+)
+SELECT vec_id, cell_id FROM final WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "ann_ivf_add_batch": ann_ivf_add_batch,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embed_cluster_report": embed_cluster_report,
@@ -477,6 +524,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_ivf_add_batch": _add_batch_sql(),
     "ann_bruteforce_topk": _bruteforce_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "embed_cluster_report": _cluster_report_sql(),

@@ -651,7 +651,184 @@ GROUP BY column_name, bucket
 """
 
 
+# ------------------------------------------------------------------ moments
+
+# Per-column DECIMAL(38,scale) for the power-sum accumulators: the scale is
+# matched to the column's magnitude so x⁴ keeps precision for sub-unit
+# columns (discount/tax) while Σx⁴ of the price column still fits 34
+# integer digits at trillion-row scale (1.5e20 per row × 1e12 rows ≈ 1e32).
+_MOMENT_SCALES = {
+    "l_quantity": 12,
+    "l_extendedprice": 4,
+    "l_discount": 24,
+    "l_tax": 24,
+}
+
+
+def survey_numeric_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment numeric profile — mean, population stddev, skewness,
+    excess kurtosis per measure — the distribution-shape row a profiler
+    prints next to quantiles/histograms (is this column symmetric?
+    heavy-tailed?).
+
+    One single-pass aggregate of exact-decimal power sums Σx..Σx⁴ (same
+    partitioning-independent discipline as survey_correlation; built-in
+    skewness/kurtosis stream in doubles and are merge-order-dependent),
+    then the closed-form raw-moment identities evaluate in doubles with
+    the oracle running the literally identical expression tree.
+    """
+    df = load_table(spark, sf_dir, PROFILE_TABLE)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c, sc in _MOMENT_SCALES.items():
+        dec = f"decimal(38,{sc})"
+        x = F.col(c).cast("double")
+        pows = [x, x * x, (x * x) * x, ((x * x) * x) * x]
+        for i, p in enumerate(pows, start=1):
+            aggs.append(F.sum(p.cast(dec)).cast("double").alias(f"{c}__s{i}"))
+    one = df.agg(*aggs)
+    n = F.col("n")
+    entries = []
+    for c in _MOMENT_SCALES:
+        s1, s2, s3, s4 = (F.col(f"{c}__s{i}") for i in (1, 2, 3, 4))
+        mean, q2, q3, q4 = s1 / n, s2 / n, s3 / n, s4 / n
+        m2 = q2 - mean * mean
+        m3 = q3 - F.lit(3) * mean * q2 + F.lit(2) * mean * mean * mean
+        m4 = (
+            q4
+            - F.lit(4) * mean * q3
+            + F.lit(6) * mean * mean * q2
+            - F.lit(3) * mean * mean * mean * mean
+        )
+        std = F.sqrt(m2)
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                n.cast("bigint").alias("n_rows"),
+                F.round(mean, 9).alias("mean"),
+                F.round(std, 9).alias("stddev_pop"),
+                F.round(m3 / (std * std * std), 9).alias("skewness"),
+                F.round(m4 / (m2 * m2) - F.lit(3), 9).alias("kurtosis_excess"),
+            )
+        )
+    return one.select(F.inline(F.array(*entries)))
+
+
+def _moments_sql() -> str:
+    agg_cols = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c, sc in _MOMENT_SCALES.items():
+        x = f"CAST({c} AS DOUBLE)"
+        pows = [x, f"{x} * {x}", f"({x} * {x}) * {x}", f"(({x} * {x}) * {x}) * {x}"]
+        for i, p in enumerate(pows, start=1):
+            agg_cols.append(
+                f"CAST(SUM(CAST(({p}) AS DECIMAL(38,{sc}))) AS DOUBLE) AS {c}__s{i}"
+            )
+    selects = []
+    for c in _MOMENT_SCALES:
+        mean, q2, q3, q4 = (f"({c}__s{i} / n)" for i in (1, 2, 3, 4))
+        m2 = f"({q2} - {mean} * {mean})"
+        m3 = f"({q3} - 3 * {mean} * {q2} + 2 * {mean} * {mean} * {mean})"
+        m4 = (
+            f"({q4} - 4 * {mean} * {q3} + 6 * {mean} * {mean} * {q2}"
+            f" - 3 * {mean} * {mean} * {mean} * {mean})"
+        )
+        std = f"SQRT({m2})"
+        selects.append(
+            f"SELECT '{c}' AS column_name, CAST(n AS BIGINT) AS n_rows, "
+            f"ROUND({mean}, 9) AS mean, ROUND({std}, 9) AS stddev_pop, "
+            f"ROUND({m3} / ({std} * {std} * {std}), 9) AS skewness, "
+            f"ROUND({m4} / ({m2} * {m2}) - 3, 9) AS kurtosis_excess FROM agg"
+        )
+    return (
+        f"WITH agg AS (SELECT {', '.join(agg_cols)} FROM {PROFILE_TABLE})\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+# --------------------------------------------------------------- top values
+
+# Most-common-values profiling (the pg_stats `most_common_vals` feature a
+# live-DB collector reads from the catalog; a lake engine computes it).
+# Columns span the interesting cases: tiny domain (status), small domain
+# (priority), high cardinality (custkey — top-5 still well-defined via the
+# deterministic value tiebreak).
+_TOP_VALUES_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+TOP_VALUES_K = 5
+
+
+def survey_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most frequent values per profiled column with frequency share
+    (reference: sampled statistics in `adapters/postgres/batch_collection.rs`;
+    catalogs expose this as pg_stats.most_common_vals/freqs).
+
+    Plan: one unpivot projection (inline arrays of structs — map-side, no
+    UDF) → one groupBy(column,value) with map-side partial counts (agg
+    state bounded by Σ per-column distincts) → rank window over the
+    AGGREGATE only (|distinct| rows, never the data) → top-K. The row
+    total joins in as a 1-row broadcast, never a second scan per column.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in _TOP_VALUES_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    counts = pairs.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.partitionBy("column_name").orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_VALUES_K)
+        .join(F.broadcast(total))
+        .select(
+            "column_name",
+            "value",
+            F.col("cnt").cast("bigint").alias("value_count"),
+            F.col("rk").cast("bigint").alias("rank"),
+            F.round(F.col("cnt").cast("double") / F.col("total"), 9).alias(
+                "frequency"
+            ),
+        )
+    )
+
+
+def _top_values_sql() -> str:
+    pairs = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS value FROM orders"
+        for c in _TOP_VALUES_COLS
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+c AS (SELECT column_name, value, CAST(count(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY column_name, value),
+r AS (SELECT column_name, value, cnt,
+        CAST(row_number() OVER (PARTITION BY column_name
+               ORDER BY cnt DESC, value ASC) AS BIGINT) AS rk
+      FROM c),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders)
+SELECT column_name, value, cnt AS value_count, rk AS rank,
+  round(CAST(cnt AS DOUBLE) / total, 9) AS frequency
+FROM r, t
+WHERE rk <= {TOP_VALUES_K}
+"""
+
+
 QUERIES = {
+    "survey_numeric_moments": survey_numeric_moments,
+    "survey_top_values": survey_top_values,
     "survey_schema_overview": survey_schema_overview,
     "survey_column_profile": survey_column_profile,
     "survey_profile_approx": survey_profile_approx,
@@ -664,6 +841,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "survey_numeric_moments": _moments_sql(),
+    "survey_top_values": _top_values_sql(),
     "survey_fd_inference": _fd_sql(),
     "survey_numeric_histogram": _histogram_sql(),
     "survey_correlation": _correlation_sql(),

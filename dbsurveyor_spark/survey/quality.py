@@ -950,7 +950,102 @@ def collect_quality_metrics(
     return out
 
 
+# ------------------------------------------------------ balance / reconcile
+
+# |computed − stored| ≤ this → the pair reconciles (cents-level tolerance).
+BALANCE_TOLERANCE = 0.01
+
+
+def quality_balance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: recompute each order's total from its
+    lineitems (Σ extendedprice·(1−discount)·(1+tax)) and report how the
+    stored ``o_totalprice`` reconciles — the business-rule quality check
+    that single-table analyzers (completeness/uniqueness/anomaly) cannot
+    express. One summary row: order counts, within-tolerance matches,
+    mismatch rate, and the worst absolute drift.
+
+    Plan: lineitem reduces to |orders| rows FIRST (exact-decimal per-order
+    aggregate with map-side partials), then one equi-join on the key both
+    sides are already hash-partitioned by, then a metadata-sized summary
+    aggregate. Lineitem is scanned once, pruned to 5 columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    computed = (
+        li.select(
+            "l_orderkey",
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            )
+            .cast(DECIMAL_T)
+            .alias("line_total"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("line_total").alias("computed_total"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast(DECIMAL_T).alias("stored")
+    )
+    j = orders.join(
+        computed, orders.o_orderkey == computed.l_orderkey, "left"
+    )
+    diff = F.abs(
+        F.col("stored").cast("double") - F.col("computed_total").cast("double")
+    )
+    has_lines = F.col("computed_total").isNotNull()
+    matched = has_lines & (diff <= BALANCE_TOLERANCE)
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_orders"),
+        F.sum(has_lines.cast("int")).cast("bigint").alias("orders_with_lines"),
+        F.sum(matched.cast("int")).cast("bigint").alias("reconciled"),
+        F.sum((has_lines & ~matched).cast("int"))
+        .cast("bigint")
+        .alias("mismatched"),
+        F.round(
+            F.sum((has_lines & ~matched).cast("int")).cast("double")
+            / F.nullif(F.sum(has_lines.cast("int")), F.lit(0)),
+            9,
+        ).alias("mismatch_rate"),
+        F.round(F.max(F.when(has_lines, diff)), 4).alias("max_abs_diff"),
+    )
+
+
+BALANCE_SQL = f"""
+WITH computed AS (
+  SELECT l_orderkey,
+    SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        AS DECIMAL(30,6))) AS computed_total
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT CAST(o_totalprice AS DECIMAL(30,6)) AS stored, computed_total
+  FROM orders LEFT JOIN computed ON o_orderkey = l_orderkey
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS total_orders,
+  CAST(SUM(CASE WHEN computed_total IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS orders_with_lines,
+  CAST(SUM(CASE WHEN computed_total IS NOT NULL
+    AND abs(CAST(stored AS DOUBLE) - CAST(computed_total AS DOUBLE))
+        <= {BALANCE_TOLERANCE} THEN 1 ELSE 0 END) AS BIGINT) AS reconciled,
+  CAST(SUM(CASE WHEN computed_total IS NOT NULL
+    AND NOT (abs(CAST(stored AS DOUBLE) - CAST(computed_total AS DOUBLE))
+        <= {BALANCE_TOLERANCE}) THEN 1 ELSE 0 END) AS BIGINT) AS mismatched,
+  ROUND(CAST(SUM(CASE WHEN computed_total IS NOT NULL
+    AND NOT (abs(CAST(stored AS DOUBLE) - CAST(computed_total AS DOUBLE))
+        <= {BALANCE_TOLERANCE}) THEN 1 ELSE 0 END) AS DOUBLE)
+    / NULLIF(SUM(CASE WHEN computed_total IS NOT NULL THEN 1 ELSE 0 END), 0), 9)
+    AS mismatch_rate,
+  ROUND(MAX(CASE WHEN computed_total IS NOT NULL
+    THEN abs(CAST(stored AS DOUBLE) - CAST(computed_total AS DOUBLE)) END), 4)
+    AS max_abs_diff
+FROM j
+"""
+
+
 QUERIES = {
+    "quality_balance_check": quality_balance_check,
     "quality_completeness": quality_completeness,
     "quality_uniqueness": quality_uniqueness,
     "quality_anomaly_zscore": quality_anomaly_zscore,
@@ -961,6 +1056,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_balance_check": BALANCE_SQL,
     "quality_referential_integrity": _referential_integrity_sql(),
     "quality_anomaly_iqr": _anomaly_iqr_sql(),
     "quality_completeness": _completeness_sql(),

@@ -1,0 +1,182 @@
+"""Plan + semantics tests for the round-4 additions: PII scan, substring
+dedup, top-values / moments profilers, pivot, RANGE-frame window."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbsurveyor_spark.operators import dedup, pipeline, relational
+from dbsurveyor_spark.plans.asserts import (
+    assert_no_python_eval,
+    assert_read_schema_only,
+    formatted_plan,
+)
+from dbsurveyor_spark.survey import profile
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestPiiScan:
+    def test_map_side_only_no_shuffle(self, spark):
+        df = pipeline.text_pii_scan(spark, SF)
+        plan = formatted_plan(df)
+        assert "Exchange" not in plan, plan
+        assert_no_python_eval(df)
+
+    def test_injected_pii_is_found_and_redacted(self, spark):
+        df = pipeline.text_pii_scan(spark, SF).filter(F.col("doc_id") % 7 == 0)
+        rows = df.collect()
+        assert rows and all(r.email_count >= 1 and r.flagged == 1 for r in rows)
+        # doc 0 hits every injection family (0 ≡ 0 mod 7/11/13/17)
+        r0 = next(r for r in rows if r.doc_id == 0)
+        assert (
+            r0.ssn_count >= 1 and r0.phone_count >= 1 and r0.ipv4_count >= 1
+        )
+        assert r0.pii_total == (
+            r0.email_count + r0.ssn_count + r0.phone_count + r0.ipv4_count
+        )
+
+    def test_clean_docs_unflagged(self, spark):
+        df = pipeline.text_pii_scan(spark, SF)
+        clean = df.filter(
+            (F.col("doc_id") % 7 != 0)
+            & (F.col("doc_id") % 11 != 0)
+            & (F.col("doc_id") % 13 != 0)
+            & (F.col("doc_id") % 17 != 0)
+        )
+        assert clean.filter(F.col("flagged") == 1).count() == 0
+
+
+class TestSubstringDedup:
+    def test_no_python_eval(self, spark):
+        assert_no_python_eval(dedup.dedup_substring(spark, SF))
+
+    def test_shuffled_grams_are_int64_not_strings(self, spark):
+        # the whole point of hashing windows map-side: nothing string-typed
+        # ever reaches an exchange. Inspect each Exchange's output schema.
+        plan = formatted_plan(dedup.dedup_substring(spark, SF))
+        for block in plan.split("\n\n"):
+            if block.strip().startswith("(") and "Exchange" in block.split("\n")[0]:
+                assert "string" not in block.lower(), block
+
+    def test_injected_exact_dups_score_one(self, spark):
+        df = dedup.dedup_substring(spark, SF)
+        clones = df.filter(F.col("doc_id") >= dedup.ID_OFFSET)
+        n = clones.count()
+        assert n > 0
+        assert clones.filter(F.col("dup_fraction") == 1.0).count() == n
+
+
+class TestProfilers:
+    def test_top_values_scan_prunes_orders(self, spark):
+        df = profile.survey_top_values(spark, SF)
+        assert_read_schema_only(
+            df,
+            "orders.parquet",
+            {"o_orderstatus", "o_orderpriority", "o_custkey"},
+        )
+        assert_no_python_eval(df)
+
+    def test_top_values_k_per_column(self, spark):
+        import collections
+
+        rows = profile.survey_top_values(spark, SF).collect()
+        by_col = collections.Counter(r.column_name for r in rows)
+        assert set(by_col) == set(profile._TOP_VALUES_COLS)
+        # tiny domains yield ≤K rows; ranks are 1..n and frequencies ≤ 1
+        for r in rows:
+            assert 1 <= r.rank <= profile.TOP_VALUES_K
+            assert 0.0 < r.frequency <= 1.0
+
+    def test_moments_single_pass_pruned(self, spark):
+        df = profile.survey_numeric_moments(spark, SF)
+        plan = formatted_plan(df)
+        # tree-form "Scan parquet  (n)" counts nodes once (the details
+        # section repeats each node as "(n) Scan parquet")
+        assert plan.count("Scan parquet  (") == 1, plan
+        assert_read_schema_only(
+            df, "lineitem.parquet", set(profile._MOMENT_SCALES)
+        )
+
+    def test_moments_sane_shapes(self, spark):
+        rows = {
+            r.column_name: r
+            for r in profile.survey_numeric_moments(spark, SF).collect()
+        }
+        assert set(rows) == set(profile._MOMENT_SCALES)
+        # l_quantity is ~uniform on [1,50]: near-zero skew, platykurtic
+        q = rows["l_quantity"]
+        assert abs(q.skewness) < 0.2
+        assert q.kurtosis_excess < 0
+        for r in rows.values():
+            assert r.stddev_pop > 0
+
+
+class TestPivotAndRangeFrame:
+    def test_pivot_preaggregates_before_join(self, spark):
+        # the orders-side aggregate must sit BELOW the customer join:
+        # exactly two HashAggregate pairs (pre-agg + pivot agg), and the
+        # orders scan pruned to 3 columns.
+        df = relational.pivot_sales_by_segment(spark, SF)
+        assert_read_schema_only(
+            df, "orders.parquet", {"o_custkey", "o_orderdate", "o_totalprice"}
+        )
+        assert_read_schema_only(
+            df, "customer.parquet", {"c_custkey", "c_mktsegment"}
+        )
+
+    def test_pivot_schema_is_pinned(self, spark):
+        df = relational.pivot_sales_by_segment(spark, SF)
+        assert df.columns == ["order_year"] + [
+            f"{s.lower()}_rev" for s in relational.MKT_SEGMENTS
+        ]
+
+    def test_trailing_window_one_exchange(self, spark):
+        df = relational.window_trailing_revenue(spark, SF)
+        plan = formatted_plan(df)
+        assert plan.count("Exchange (") == 1, plan
+
+    def test_trailing_counts_bounded_by_running(self, spark):
+        # trailing-7d count ≤ running row_number, equality iff all history
+        # is within the window — spot-check the frame actually trims.
+        df = relational.window_trailing_revenue(spark, SF)
+        agg = df.agg(
+            F.max("trailing_cnt").alias("max_cnt"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        per_cust_max = (
+            df.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert agg.n > 0
+        assert agg.max_cnt <= per_cust_max
+
+
+class TestIndexAddAndBalance:
+    def test_add_batch_consistent_with_full_assignment(self, spark):
+        # add() must place a delta vector exactly where the search path's
+        # assignment pass places it — otherwise lookups miss fresh data.
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import similarity
+
+        added = {
+            (r.vec_id, r.cell_id)
+            for r in similarity.ann_ivf_add_batch(spark, SF).collect()
+        }
+        assert added
+        emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+        cent = similarity.trained_centroid_rows(spark, SF)
+        full = {
+            (r.vec_id, r.cell_id)
+            for r in similarity.rank_cells(emb, cent, 1).collect()
+            if r.vec_id % 10 == similarity.ADD_BATCH_RESIDUE
+        }
+        assert added == full
+
+    def test_balance_check_summary_shape(self, spark):
+        from dbsurveyor_spark.survey import quality
+
+        row = quality.quality_balance_check(spark, SF).collect()[0]
+        assert row.total_orders > 0
+        assert row.orders_with_lines <= row.total_orders
+        assert row.reconciled + row.mismatched == row.orders_with_lines
+        assert 0.0 <= row.mismatch_rate <= 1.0
