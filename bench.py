@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "ann_recall_report",
     "text_stats",
     "text_repetition",
@@ -145,7 +146,10 @@ def main() -> None:
     # driver hiccup in one pass (observed in round-3's recorded run: one
     # 22 s outlier on a query that steadily times ~2 s) can't contaminate
     # the number that projects to a long-lived cluster session.
-    from dbsurveyor_spark.operators.similarity import trained_centroid_rows
+    from dbsurveyor_spark.operators.similarity import (
+        trained_centroid_rows,
+        trained_pq_codebooks,
+    )
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
@@ -167,6 +171,9 @@ def main() -> None:
         t0 = time.perf_counter()
         trained_centroid_rows(spark, sf_dir)
         out["ivf_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        trained_pq_codebooks(spark, sf_dir)
+        out["pq_index_build"] = round(time.perf_counter() - t0, 3)
         for key in HEADLINE:
             if key not in qs:
                 continue

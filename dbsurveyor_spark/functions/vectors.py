@@ -318,3 +318,132 @@ def cosine_sql(a: str, b: str) -> str:
 
 def cosine_rounded_sql(a: str, b: str) -> str:
     return f"round({cosine_sql(a, b)}, {COS_ROUND})"
+
+
+# ------------------------------------------------- product quantization (PQ)
+
+# Schema of pq_encode_mapper output: the PQ code word per vector — m small
+# ints (the 100 TB trick: a 64-dim float64 vector compresses 64× to m bytes
+# of codebook indices; the posting list ships codes, never vectors).
+PQ_ENCODE_SCHEMA = "vec_id bigint, codes array<int>"
+
+
+def pq_encode_mapper(codebooks: list):
+    """mapInPandas factory: PQ-encode each (vec_id, embedding) batch — for
+    every subspace s, the id of the nearest codebook entry (cosine over the
+    subvector, the exact scoring/tie rule of :func:`cell_topk_mapper` at
+    nprobe=1). ``codebooks`` is a list over subspaces of [(code_id,
+    subvector)] sorted by code_id; total model size m×k×dsub doubles —
+    metadata riding in the task closure.
+
+    One streaming corpus pass encodes all m subspaces (no per-subspace
+    rescan); Arrow transfer out is |corpus| rows of m ints.
+    """
+    subs = []
+    for cb in codebooks:
+        ids = [int(r[0]) for r in cb]
+        vecs = [[float(x) for x in r[1]] for r in cb]
+        subs.append((ids, vecs))
+
+    def mapper(batches):  # pragma: no cover — runs on executors
+        import numpy as np
+        import pandas as pd
+
+        models = []
+        for ids, vecs in subs:
+            C = np.asarray(vecs, dtype=np.float64)  # k × dsub
+            cn = np.zeros(C.shape[0])
+            for i in range(C.shape[1]):
+                cn += C[:, i] * C[:, i]
+            models.append((np.asarray(ids, dtype=np.int64), C, np.sqrt(cn)))
+        dsub = models[0][1].shape[1]
+        for pdf in batches:
+            mrows = len(pdf)
+            if mrows == 0:
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            out = np.empty((mrows, len(models)), dtype=np.int32)
+            for s, (ids, C, cn) in enumerate(models):
+                Asub = A[:, s * dsub : (s + 1) * dsub]
+                k = C.shape[0]
+                acc = np.zeros((mrows, k))
+                na = np.zeros(mrows)
+                for i in range(dsub):
+                    ai = Asub[:, i]
+                    na += ai * ai
+                    acc += ai[:, None] * C[None, :, i]
+                na = np.sqrt(na)
+                ok = (na[:, None] > 0) & (cn[None, :] > 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(ok, acc / (na[:, None] * cn[None, :]), 0.0)
+                best = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+                out[:, s] = ids[best].astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": [row.tolist() for row in out],
+                }
+            )
+
+    return mapper
+
+
+PQ_ADC_SCHEMA = "query_id bigint, neighbor_id bigint, score double"
+
+
+def pq_adc_mapper(tables: list, query_ids: list, k: int):
+    """mapInPandas factory for the ADC (asymmetric distance computation)
+    scan: stream the PQ-coded corpus once and score every vector against
+    every probe by LOOKUP — score(q, x) = Σ_s T[q][s][code_s(x)], where
+    the distance tables T (probes × m × codes inner products, built
+    driver-side with the exact :func:`dot` fold) ride in the closure.
+
+    Per batch only the top-``k`` candidates per probe survive (raw-score
+    ranking, ties by ascending neighbor id — bit-stable across engines, so
+    the batch-local cut keeps exactly the rows the global rank keeps).
+    Emitted volume is ≤ batches×probes×k slim rows; the corpus itself —
+    and its original vectors — never shuffle. Self-matches are dropped.
+    """
+    qids = [int(q) for q in query_ids]
+    tabs = [[list(map(float, sub)) for sub in t] for t in tables]
+
+    def mapper(batches):  # pragma: no cover — runs on executors
+        import numpy as np
+        import pandas as pd
+
+        T = np.asarray(tabs, dtype=np.float64)  # probes × m × codes
+        qarr = np.asarray(qids, dtype=np.int64)
+        nq, m, _ = T.shape
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            vids = pdf["vec_id"].to_numpy().astype(np.int64)
+            # scores[q, row]: left-assoc sum over subspaces s = 0..m-1,
+            # mirroring the SQL's literal t1 + t2 + … + tm
+            scores = T[:, 0, :][:, codes[:, 0]].copy()
+            for s in range(1, m):
+                scores += T[:, s, :][:, codes[:, s]]
+            take = min(k, n)
+            qcol, ncol, scol = [], [], []
+            for qi in range(nq):
+                sc = scores[qi].copy()
+                mask = vids == qarr[qi]
+                sc[mask] = -np.inf
+                order = np.lexsort((vids, -sc))[:take]
+                order = order[~mask[order]]
+                qcol.append(np.full(len(order), qarr[qi], dtype=np.int64))
+                ncol.append(vids[order])
+                scol.append(sc[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qcol),
+                    "neighbor_id": np.concatenate(ncol),
+                    "score": np.concatenate(scol),
+                }
+            )
+
+    return mapper

@@ -32,12 +32,17 @@ from ..catalog import load_table
 from ..functions.vectors import (
     CELL_TOPK_SCHEMA,
     CENTROID_PARTIAL_SCHEMA,
+    PQ_ADC_SCHEMA,
+    PQ_ENCODE_SCHEMA,
     cell_topk_mapper,
     centroid_partial_mapper,
     cosine_rounded_arrow,
     cosine_rounded_sql,
     cosine_sql,
+    dot_sql,
     merge_centroid_partials,
+    pq_adc_mapper,
+    pq_encode_mapper,
 )
 
 N_PROBES = 10  # probe set: vec_id < 10
@@ -334,50 +339,64 @@ FROM ranked GROUP BY cell_id
 IVF_SQL_DIM = 64  # test-table embedding dim; Spark introspects, SQL is static
 
 
-def train_sql_ctes(source: str, dim: int = IVF_SQL_DIM) -> tuple[str, str]:
+def train_sql_ctes(
+    source: str,
+    dim: int = IVF_SQL_DIM,
+    prefix: str = "",
+    k_sql: str | None = None,
+) -> tuple[str, str]:
     """CTE chain mirroring `_train_centroids` over relation ``source``.
 
     Returns (cte_fragment, final_centroid_cte_name); the fragment expects to
     be spliced into a WITH list. Shared by the IVF oracle and the
     IVF-bucketed embedding-dedup oracle so both replay the same quantizer.
+    ``prefix`` namespaces the CTE names (so several trainings — e.g. the PQ
+    oracle's per-subspace codebooks — coexist in one WITH list); ``k_sql``
+    overrides the √n cell-count expression with a fixed codebook size.
     """
+    p = prefix
     cos_assign = cosine_sql("c.c_emb", "e.embedding")
     mean_exprs = ", ".join(
         f"CAST(SUM(CAST(CAST(embedding[{j + 1}] AS DOUBLE) AS DECIMAL(30,9)))"
         f" AS DOUBLE) / COUNT(*)"
         for j in range(dim)
     )
-    parts = [
-        f"""cells AS (
+    cells_cte = (
+        f"{p}cells AS (SELECT {k_sql} AS k)"
+        if k_sql is not None
+        else f"""{p}cells AS (
   SELECT GREATEST({MIN_CELLS}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k
   FROM {source}
-),
-seeds_ranked AS (
+)"""
+    )
+    parts = [
+        f"""{cells_cte},
+{p}seeds_ranked AS (
   SELECT CAST(ROW_NUMBER() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR))) AS BIGINT) AS cell_id,
          CAST(embedding AS DOUBLE[]) AS c_emb
   FROM {source}
 ),
-seeds AS (
-  SELECT cell_id, c_emb FROM seeds_ranked, cells WHERE cell_id <= k
+{p}seeds AS (
+  SELECT cell_id, c_emb FROM {p}seeds_ranked, {p}cells WHERE cell_id <= k
 )"""
     ]
-    prev = "seeds"
+    prev = f"{p}seeds"
     for i in range(1, KMEANS_ITERS + 1):
         parts.append(
-            f"""a{i} AS (
+            f"""{p}a{i} AS (
   SELECT e.vec_id, e.embedding, c.cell_id,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
            ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
   FROM {source} e CROSS JOIN {prev} c
 ),
-c{i} AS (
+{p}c{i} AS (
   SELECT cell_id, list_value({mean_exprs}) AS c_emb
-  FROM a{i} WHERE rn = 1 GROUP BY cell_id
+  FROM {p}a{i} WHERE rn = 1 GROUP BY cell_id
 )"""
         )
-        prev = f"c{i}"
+        prev = f"{p}c{i}"
     return ",\n".join(parts), prev
 
 
@@ -515,7 +534,169 @@ SELECT vec_id, cell_id FROM final WHERE rn = 1
 """
 
 
+# -------------------------------------------------- product quantization
+
+PQ_M = 8  # subspaces (dim 64 → 8 dims each)
+PQ_CODES = 16  # codebook entries per subspace
+
+# PQ codebooks are model state exactly like the IVF coarse quantizer:
+# trained once per (lake, content fingerprint), shared by every encode /
+# search call. Reuses _CENTROID_LOCK — contention is nil and one lock
+# keeps the invalidation story identical.
+_PQ_CACHE: dict[tuple, list] = {}
+
+
+def trained_pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Per-subspace PQ codebooks — list over subspaces of [(code_id,
+    subvector)] — trained by the SAME deterministic seed+Lloyd procedure
+    as the coarse quantizer (`_train_centroids`), applied to each
+    subvector slice with a fixed k=PQ_CODES. Memoized per lake content.
+
+    Training runs PQ_M × KMEANS_ITERS streaming passes over the
+    embeddings table (bounded: production PQ trains on a hash-sample of
+    the corpus, exactly like Faiss — the m× pass count applies to the
+    sample, not 100 TB)."""
+    key = (sf_dir, _lake_fingerprint(sf_dir))
+    with _CENTROID_LOCK:
+        if key in _PQ_CACHE:
+            return _PQ_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = emb.select(F.size("embedding").alias("d")).head()["d"]
+    dsub = dim // PQ_M
+    books = []
+    for s in range(PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding"), s * dsub + 1, dsub).alias("embedding"),
+        )
+        books.append(_train_centroids(sub, PQ_CODES))
+    with _CENTROID_LOCK:
+        for k in [k for k in _PQ_CACHE if k[0] == sf_dir and k != key]:
+            del _PQ_CACHE[k]
+        _PQ_CACHE[key] = books
+    return books
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search"): vectors compress to
+    PQ_M codebook indices; search scores the CODES against per-probe
+    lookup tables — the asymmetric distance computation that makes
+    billion-vector scans memory-resident at 100 TB (the corpus ships
+    m ints per vector through the scan; original vectors never move).
+
+    Pipeline: one encode pass (`pq_encode_mapper`, all subspaces fused)
+    → one ADC scan (`pq_adc_mapper`; per-batch top-k cut on raw scores)
+    → a final rank window over ≤ batches×probes×k slim rows. Similarity
+    is the approximate inner product Σ_s ⟨q_s, codebook_s[code]⟩; the
+    oracle replays codebook training, encoding, and the literal
+    left-assoc subspace sum.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = trained_pq_codebooks(spark, sf_dir)
+    codes = emb.mapInPandas(pq_encode_mapper(books), PQ_ENCODE_SCHEMA)
+    probe_rows = sorted(
+        emb.filter(F.col("vec_id") < N_PROBES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    dsub = len(books[0][0][1])
+    qids, tables = [], []
+    for r in probe_rows:
+        q = [float(x) for x in r["embedding"]]
+        qids.append(int(r["vec_id"]))
+        t = []
+        for s, cb in enumerate(books):
+            row = [0.0] * (PQ_CODES + 1)
+            qs = q[s * dsub : (s + 1) * dsub]
+            for code_id, cvec in cb:
+                acc = 0.0
+                for i in range(dsub):
+                    acc = acc + qs[i] * float(cvec[i])
+                row[int(code_id)] = acc
+            t.append(row)
+        tables.append(t)
+    cand = codes.mapInPandas(
+        pq_adc_mapper(tables, qids, IVF_K), PQ_ADC_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 9).alias("score_pq"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _pq_sql(dim: int = IVF_SQL_DIM) -> str:
+    dsub = dim // PQ_M
+    parts, code_ctes = [], []
+    for s in range(PQ_M):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"sub{s} AS (SELECT vec_id, "
+            f"CAST(embedding AS DOUBLE[])[{lo}:{hi}] AS embedding "
+            f"FROM embeddings)"
+        )
+        ctes, cent = train_sql_ctes(
+            f"sub{s}", dim=dsub, prefix=f"s{s}_", k_sql=str(PQ_CODES)
+        )
+        parts.append(ctes)
+        cos_assign = cosine_sql("c.c_emb", "e.embedding")
+        parts.append(
+            f"""enc{s} AS (
+  SELECT e.vec_id, c.cell_id AS code,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM sub{s} e CROSS JOIN {cent} c
+),
+code{s} AS (SELECT vec_id, code FROM enc{s} WHERE rn = 1)"""
+        )
+        code_ctes.append((f"code{s}", cent))
+    joins = "\n  ".join(
+        f"JOIN code{s} ON code{s}.vec_id = x.vec_id "
+        f"JOIN {cent} cb{s} ON cb{s}.cell_id = code{s}.code"
+        for s, (_, cent) in enumerate(code_ctes)
+    )
+    score = " + ".join(
+        f"({dot_sql(f'p.q[{s * dsub + 1}:{(s + 1) * dsub}]', f'cb{s}.c_emb')})"
+        for s in range(PQ_M)
+    )
+    joined_parts = ",\n".join(parts)
+    return f"""
+WITH {joined_parts},
+probes AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+x AS (SELECT vec_id FROM embeddings),
+scored AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id, {score} AS score
+  FROM probes p CROSS JOIN x
+  {joins}
+  WHERE x.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, ROUND(score, 9) AS score_pq, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT)
+    AS rank
+  FROM scored
+) t WHERE rank <= {IVF_K}
+"""
+
+
 QUERIES = {
+    "ann_pq_topk": ann_pq_topk,
     "ann_ivf_add_batch": ann_ivf_add_batch,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -524,6 +705,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_pq_topk": _pq_sql(),
     "ann_ivf_add_batch": _add_batch_sql(),
     "ann_bruteforce_topk": _bruteforce_sql(),
     "ann_ivf_topk": _ivf_sql(),

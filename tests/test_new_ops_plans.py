@@ -180,3 +180,48 @@ class TestIndexAddAndBalance:
         assert row.orders_with_lines <= row.total_orders
         assert row.reconciled + row.mismatched == row.orders_with_lines
         assert 0.0 <= row.mismatch_rate <= 1.0
+
+
+class TestProductQuantization:
+    def test_codes_are_compact_and_valid(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.functions.vectors import (
+            PQ_ENCODE_SCHEMA,
+            pq_encode_mapper,
+        )
+        from dbsurveyor_spark.operators import similarity
+
+        emb = load_table(spark, SF, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        books = similarity.trained_pq_codebooks(spark, SF)
+        assert len(books) == similarity.PQ_M
+        valid = [{int(cid) for cid, _ in cb} for cb in books]
+        codes = emb.mapInPandas(
+            pq_encode_mapper(books), PQ_ENCODE_SCHEMA
+        ).collect()
+        assert len(codes) == emb.count()
+        for r in codes:
+            assert len(r.codes) == similarity.PQ_M
+            for s, c in enumerate(r.codes):
+                assert c in valid[s]
+
+    def test_pq_topk_overlaps_ground_truth(self, spark):
+        # ADC over 16-code subquantizers is lossy, but on 500 vectors the
+        # approximate top-3 must still intersect the exact top-3 somewhere
+        # across the probe set — guards against a scrambled codes/table
+        # mapping that would still hash-match its own oracle.
+        from dbsurveyor_spark.operators import similarity
+
+        pq = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_pq_topk(spark, SF).collect()
+        }
+        bf = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_bruteforce_topk(spark, SF)
+            .filter(F.col("rank") <= similarity.IVF_K)
+            .collect()
+        }
+        assert len(pq) == len(bf)
+        assert pq & bf
