@@ -100,6 +100,19 @@ def _warmup(spark, sf_dir: str) -> None:
         F.posexplode(F.split(F.lit("a b c d e f g h"), " ")).alias("pos", "t"),
     )
     w_ = _W.partitionBy("g").orderBy("pos")
+    # ranking + frame window shapes (row_number / rank / sum-over-frame)
+    # compile here so the first timed window query isn't mostly Janino
+    (
+        syn.select(
+            F.row_number().over(w_).alias("rn"),
+            F.rank().over(w_).alias("rk"),
+            F.sum(F.length("t").cast("decimal(30,6)"))
+            .over(w_.rowsBetween(_W.unboundedPreceding, _W.currentRow))
+            .alias("rs"),
+        )
+        .agg({"rn": "max", "rk": "max", "rs": "max"})
+        .collect()
+    )
     tri = syn.select(
         "g",
         F.concat_ws(" ", "t", F.lead("t", 1).over(w_), F.lead("t", 2).over(w_)).alias(

@@ -1006,70 +1006,76 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (the memorization-risk metric of Lee et al. 2022; exact
     duplicates score 1.0, clean docs 0.0).
 
-    Plan: window hashes are built map-side per doc (fold of md5-derived
-    token hashes over each W-slice — no string W-grams ever shuffle, only
-    int64 hashes), then ONE groupBy(gram) with map-side partial counts
-    finds grams in ≥2 docs, ONE hash join (co-partitioned with the agg's
-    own exchange) re-attaches the shared flag, and a final groupBy(doc_id)
-    reduces back to one row per doc. Shuffle volume is (docs × windows)
-    pairs of int64 — the honest cost of substring dedup; the suffix-array
-    alternative is single-node only.
+    Plan: the same codegen construction as the shingle pipeline
+    (posexplode → lead window → arithmetic), NOT array higher-order
+    functions — each token is md5-hashed ONCE, and the W-window rolling
+    hash is a chain of W−1 lead() terms folded with plain bigint
+    arithmetic, all inside whole-stage codegen. (The HOF formulation —
+    transform over slices — was measured 50× slower: interpreted lambdas,
+    and Generate re-evaluates its input expression per OUTPUT row, so
+    exploding an HOF-built array re-runs the fold per window.) No string
+    W-grams ever shuffle, only int64 hashes; a gram groupBy finds grams
+    in ≥2 docs, one co-partitioned join re-attaches the shared flag, and
+    a final groupBy(doc_id) reduces to one row per doc. The slim
+    (doc_id, gram) dedup frame is tracked_cache'd between its two
+    consumers — int64 pairs, disk-spillable, ≪ the input text.
     """
+    release_caches()
     corpus = _corpus(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast(  # noqa: E731
-        "bigint"
+    hrows = corpus.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("t"), 1, 7), 16, 10).cast("bigint").alias("h"),
     )
-    gram_at = lambda i: F.aggregate(  # noqa: E731
-        F.slice(toks, i, SUBSTR_W),
-        F.lit(0).cast("bigint"),
-        lambda acc, t: (acc * _SUB_BASE + tok_hash(t)) % _SUB_MOD,
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = F.col("h")
+    for j in range(1, SUBSTR_W):
+        g = (g * _SUB_BASE + F.lead("h", j).over(w)) % _SUB_MOD
+    grams_rows = _tracked_cache(
+        hrows.select("doc_id", g.alias("g"))
+        .filter(F.col("g").isNotNull())  # NULL ⇔ window ran off the doc end
+        .dropDuplicates(["doc_id", "g"])
     )
-    grams = F.when(
-        F.size(toks) >= SUBSTR_W,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (SUBSTR_W - 1)),
-                lambda i: gram_at(i.cast("int")),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    base = corpus.select("doc_id", grams.alias("grams"))
-    per_doc = base.select(
-        "doc_id", F.size("grams").cast("bigint").alias("n_grams")
-    )
-    exploded = base.select("doc_id", F.explode("grams").alias("g"))
     shared = (
-        exploded.groupBy("g")
+        grams_rows.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
-        .select("g")
+        .select("g", F.lit(1).alias("is_shared"))
     )
-    shared_per_doc = (
-        exploded.join(shared, "g")
+    per_doc = (
+        grams_rows.join(shared, "g", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
     )
+    ng = F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint"))
     ns = F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint"))
-    return per_doc.join(shared_per_doc, "doc_id", "left").select(
+    return corpus.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
-        "n_grams",
+        ng.alias("n_grams"),
         ns.alias("n_shared"),
-        F.round(
-            ns.cast("double") / F.nullif(F.col("n_grams"), F.lit(0)), 9
-        ).alias("dup_fraction"),
+        F.round(ns.cast("double") / F.nullif(ng, F.lit(0)), 9).alias(
+            "dup_fraction"
+        ),
     )
 
 
 SUBSTRING_SQL = f"""
 WITH corpus AS ({_CORPUS_SQL}),
-tk AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM corpus),
+tk AS (SELECT doc_id,
+  list_transform({tokens_sql("text")},
+    t -> CAST(('0x' || substring(md5(t), 1, 7)) AS BIGINT)) AS th
+  FROM corpus),
 g AS (SELECT doc_id,
-  CASE WHEN len(toks) >= {SUBSTR_W} THEN
-    list_distinct(list_transform(range(1, len(toks) - {SUBSTR_W - 1} + 1),
-      i -> list_reduce(
-             list_transform(toks[i : i + {SUBSTR_W - 1}],
-               t -> CAST(('0x' || substring(md5(t), 1, 7)) AS BIGINT)),
+  CASE WHEN len(th) >= {SUBSTR_W} THEN
+    list_distinct(list_transform(range(1, len(th) - {SUBSTR_W - 1} + 1),
+      i -> list_reduce(th[i : i + {SUBSTR_W - 1}],
              (acc, h) -> (acc * {_SUB_BASE} + h) % {_SUB_MOD})))
   ELSE [] END AS grams FROM tk),
 per_doc AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g),

@@ -565,13 +565,20 @@ def trained_pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     )
     dim = emb.select(F.size("embedding").alias("d")).head()["d"]
     dsub = dim // PQ_M
-    books = []
-    for s in range(PQ_M):
+    # the m trainings are independent tiny jobs — submit them from a
+    # driver thread pool so their stages overlap (measured 5.7 s → ~2 s
+    # at sf0.1; same driver-side overlap trick as survey_column_profile)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(s: int) -> list:
         sub = emb.select(
             "vec_id",
             F.slice(F.col("embedding"), s * dsub + 1, dsub).alias("embedding"),
         )
-        books.append(_train_centroids(sub, PQ_CODES))
+        return _train_centroids(sub, PQ_CODES)
+
+    with ThreadPoolExecutor(max_workers=PQ_M) as pool:
+        books = list(pool.map(_one, range(PQ_M)))
     with _CENTROID_LOCK:
         for k in [k for k in _PQ_CACHE if k[0] == sf_dir and k != key]:
             del _PQ_CACHE[k]
