@@ -168,15 +168,16 @@ def main() -> None:
     steady: dict[str, float] = {}
     passes = [timings] + [dict() for _ in range(STEADY_PASSES)]
     for i, out in enumerate(passes):
-        if i > 0:
-            # Start each timed pass from a quiet JVM: no stale cached
-            # blocks to evict mid-query, old-gen garbage collected now
-            # instead of during someone's timing window.
-            spark.catalog.clearCache()
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
+        # Start every timed pass (including the first — warmup allocates
+        # heavily too) from a quiet JVM: no stale cached blocks to evict
+        # mid-query, old-gen garbage collected now instead of during
+        # someone's timing window. (Observed: a single old-gen pause
+        # lands on whichever query is running — 11 s on a 0.6 s query.)
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         # One-time model state (the IVF coarse quantizer) is timed as its
         # own line item, like any ANN benchmark's build/search split: the
         # first pass pays the training, later passes show ~0 because the

@@ -509,6 +509,46 @@ def cmd_storage(args: argparse.Namespace) -> int:
     return 0
 
 
+# The statistics profile the `profile` verb runs over a lake (each is an
+# oracle-checked registry query; the verb is just presentation).
+PROFILE_QUERIES = (
+    "survey_top_values",
+    "survey_numeric_quantiles",
+    "survey_numeric_moments",
+    "survey_correlation",
+)
+
+
+def cmd_profile(args: argparse.Namespace) -> int:
+    """Data-statistics profile of a lake dir: most-common values, exact
+    quantiles, distribution moments, and the correlation matrix — the
+    deep-dive companion to `collect` (which records schema + quality)."""
+    from .registry import queries as registry_queries
+
+    spark = _get_spark()
+    qs = registry_queries()
+    out: dict[str, list] = {}
+    for key in PROFILE_QUERIES:
+        out[key] = [r.asDict() for r in qs[key](spark, args.lake_dir).collect()]
+    if args.format == "json":
+        _emit(json.dumps(out, indent=2, default=str), args.output)
+    else:
+        lines = []
+        for key, rows in out.items():
+            lines.append(f"## {key}")
+            if rows:
+                cols = list(rows[0])
+                lines.append("| " + " | ".join(cols) + " |")
+                lines.append("|" + "---|" * len(cols))
+                for r in rows:
+                    lines.append(
+                        "| " + " | ".join(str(r[c]) for c in cols) + " |"
+                    )
+            lines.append("")
+        _emit("\n".join(lines), args.output)
+    return 0
+
+
 def cmd_validate(args: argparse.Namespace) -> int:
     from .survey.export import validate_schema_doc
 
@@ -647,6 +687,14 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--format", choices=("markdown", "json"), default="markdown")
     st.add_argument("--output", default=None)
     st.set_defaults(fn=cmd_storage)
+
+    pr = sub.add_parser(
+        "profile", help="data-statistics profile of a lake (values/moments)"
+    )
+    pr.add_argument("lake_dir")
+    pr.add_argument("--format", choices=("markdown", "json"), default="markdown")
+    pr.add_argument("--output", default=None)
+    pr.set_defaults(fn=cmd_profile)
 
     d = sub.add_parser("diff", help="schema drift between two documents")
     d.add_argument("old")

@@ -447,3 +447,102 @@ def pq_adc_mapper(tables: list, query_ids: list, k: int):
             )
 
     return mapper
+
+
+PQ_PARTIAL_SCHEMA = "sub int, cell_id bigint, cnt bigint, sums array<bigint>"
+
+
+def pq_partial_mapper(books: list):
+    """mapInPandas factory for one FUSED Lloyd step across all PQ
+    subspaces: each batch is decimal-quantized ONCE (the same exact
+    DECIMAL(30,9) lattice as :func:`centroid_partial_mapper`), then every
+    subspace assigns its subvectors (cosine, identical fold/tie rule) and
+    accumulates integer unit sums over its slice. One corpus pass trains
+    all m codebooks per iteration instead of m separate passes.
+
+    ``books`` is the current model: list over subspaces of [(code_id,
+    subvector)]. Output rows are (sub, cell_id, cnt, sums-of-units);
+    driver-side, filter per ``sub`` and reuse
+    :func:`merge_centroid_partials` unchanged.
+    """
+    subs = []
+    for cb in books:
+        ids = [int(r[0]) for r in cb]
+        vecs = [[float(x) for x in r[1]] for r in cb]
+        subs.append((ids, vecs))
+
+    def mapper(batches):  # pragma: no cover — runs on executors
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        models = []
+        for ids, vecs in subs:
+            C = np.asarray(vecs, dtype=np.float64)
+            cn = np.zeros(C.shape[0])
+            for i in range(C.shape[1]):
+                cn += C[:, i] * C[:, i]
+            models.append((np.asarray(ids, dtype=np.int64), C, np.sqrt(cn)))
+        m = len(models)
+        dsub = models[0][1].shape[1]
+        S = [
+            np.zeros((mdl[1].shape[0], dsub), dtype=np.int64) for mdl in models
+        ]
+        counts = [np.zeros(mdl[1].shape[0], dtype=np.int64) for mdl in models]
+        quant = Decimal(1).scaleb(-9)
+        for pdf in batches:
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            # -- exact DECIMAL(30,9) units, quantized once for all subspaces
+            sc = A * 1e9
+            u = np.floor(sc + 0.5)
+            risky = np.abs(sc + 0.5 - np.rint(sc + 0.5)) < 1e-4
+            if risky.any():
+                for ri, ci in zip(*np.nonzero(risky)):
+                    u[ri, ci] = int(
+                        Decimal(repr(float(A[ri, ci])))
+                        .quantize(quant, rounding=ROUND_HALF_UP)
+                        .scaleb(9)
+                    )
+            u = u.astype(np.int64)
+            for s, (ids, C, cn) in enumerate(models):
+                Asub = A[:, s * dsub : (s + 1) * dsub]
+                k = C.shape[0]
+                acc = np.zeros((nrows, k))
+                na = np.zeros(nrows)
+                for i in range(dsub):
+                    ai = Asub[:, i]
+                    na += ai * ai
+                    acc += ai[:, None] * C[None, :, i]
+                na = np.sqrt(na)
+                ok = (na[:, None] > 0) & (cn[None, :] > 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(
+                        ok, acc / (na[:, None] * cn[None, :]), 0.0
+                    )
+                best = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+                np.add.at(S[s], best, u[:, s * dsub : (s + 1) * dsub])
+                counts[s] += np.bincount(best, minlength=k)
+        frames = []
+        for s, (ids, _, _) in enumerate(models):
+            live = np.nonzero(counts[s])[0]
+            if live.size:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "sub": np.full(live.size, s, dtype=np.int32),
+                            "cell_id": ids[live],
+                            "cnt": counts[s][live],
+                            "sums": [S[s][i].tolist() for i in live],
+                        }
+                    )
+                )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return mapper

@@ -328,12 +328,49 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def event_time_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (events + distinct
+    users per cell) — the seasonality/load profile behind cron placement
+    and anomaly baselines. One aggregate with map-side partials; state is
+    ≤ 7×24 cells + per-cell distinct-user counting (the distinct forces
+    the usual two-phase expand — bounded by |cells|×|users|).
+
+    dow is normalized to 0=Sunday..6=Saturday (Spark's dayofweek is
+    1-based, DuckDB's EXTRACT(dow) 0-based; the −1 aligns them).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour_of_day"),
+            "user_id",
+            "event_id",
+        )
+        .groupBy("dow", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+HEATMAP_SQL = """
+SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY dow, hour_of_day
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "event_transitions": event_transitions,
     "event_interarrival_stats": event_interarrival_stats,
     "latest_event_per_user": latest_event_per_user,
+    "event_time_heatmap": event_time_heatmap,
 }
 ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
@@ -341,4 +378,5 @@ ORACLES = {
     "event_transitions": TRANSITIONS_SQL,
     "event_interarrival_stats": INTERARRIVAL_SQL,
     "latest_event_per_user": LATEST_EVENT_SQL,
+    "event_time_heatmap": HEATMAP_SQL,
 }

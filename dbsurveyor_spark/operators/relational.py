@@ -572,7 +572,37 @@ FROM orders
 """
 
 
+def window_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: account-balance quartile per customer within each
+    nation (the distribution-bucket window function rank/row_number don't
+    cover — equi-COUNT buckets, not equi-width values). One shuffle on
+    the partition key; deterministic tie-break on c_custkey keeps the
+    bucket boundaries engine-stable.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+    )
+
+
+NTILE_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(NTILE(4) OVER (
+         PARTITION BY c_nationkey
+         ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT)
+         AS balance_quartile
+FROM customer
+"""
+
+
 QUERIES = {
+    "window_ntile_acctbal": window_ntile_acctbal,
     "pivot_sales_by_segment": pivot_sales_by_segment,
     "window_trailing_revenue": window_trailing_revenue,
     "q1_pricing_summary": q1_pricing_summary,
@@ -589,6 +619,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_ntile_acctbal": NTILE_SQL,
     "pivot_sales_by_segment": _pivot_sql(),
     "window_trailing_revenue": TRAILING_SQL,
     "q1_pricing_summary": Q1_SQL,

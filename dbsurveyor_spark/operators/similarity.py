@@ -34,6 +34,7 @@ from ..functions.vectors import (
     CENTROID_PARTIAL_SCHEMA,
     PQ_ADC_SCHEMA,
     PQ_ENCODE_SCHEMA,
+    PQ_PARTIAL_SCHEMA,
     cell_topk_mapper,
     centroid_partial_mapper,
     cosine_rounded_arrow,
@@ -43,6 +44,7 @@ from ..functions.vectors import (
     merge_centroid_partials,
     pq_adc_mapper,
     pq_encode_mapper,
+    pq_partial_mapper,
 )
 
 N_PROBES = 10  # probe set: vec_id < 10
@@ -565,20 +567,43 @@ def trained_pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     )
     dim = emb.select(F.size("embedding").alias("d")).head()["d"]
     dsub = dim // PQ_M
-    # the m trainings are independent tiny jobs — submit them from a
-    # driver thread pool so their stages overlap (measured 5.7 s → ~2 s
-    # at sf0.1; same driver-side overlap trick as survey_column_profile)
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _one(s: int) -> list:
-        sub = emb.select(
-            "vec_id",
-            F.slice(F.col("embedding"), s * dsub + 1, dsub).alias("embedding"),
-        )
-        return _train_centroids(sub, PQ_CODES)
-
-    with ThreadPoolExecutor(max_workers=PQ_M) as pool:
-        books = list(pool.map(_one, range(PQ_M)))
+    # Seeds: the k smallest md5(vec_id) FULL vectors, sliced per subspace —
+    # md5 ordering doesn't depend on the vector, so this equals training
+    # each subspace on its own sliced frame (one collect instead of m).
+    md5_order = F.md5(F.col("vec_id").cast("string")).alias("o")
+    seed_rows = (
+        emb.select(md5_order, F.col("embedding").alias("c_emb"))
+        .orderBy("o")
+        .limit(PQ_CODES)
+        .collect()
+    )
+    books = [
+        [
+            (i + 1, list(r["c_emb"])[s * dsub : (s + 1) * dsub])
+            for i, r in enumerate(seed_rows)
+        ]
+        for s in range(PQ_M)
+    ]
+    # Fused Lloyd: ONE streaming corpus pass per iteration trains all m
+    # codebooks (pq_partial_mapper quantizes each batch once and assigns
+    # every subspace); driver merge reuses merge_centroid_partials per
+    # subspace — identical exact-decimal means, so codebooks are
+    # bit-equal to per-subspace training and to the SQL replay.
+    cached = emb.cache()
+    try:
+        for _ in range(KMEANS_ITERS):
+            partials = cached.select("embedding").mapInPandas(
+                pq_partial_mapper(books), PQ_PARTIAL_SCHEMA
+            )
+            rows = partials.collect()
+            books = [
+                merge_centroid_partials(
+                    [r for r in rows if int(r["sub"]) == s]
+                )
+                for s in range(PQ_M)
+            ]
+    finally:
+        cached.unpersist()
     with _CENTROID_LOCK:
         for k in [k for k in _PQ_CACHE if k[0] == sf_dir and k != key]:
             del _PQ_CACHE[k]

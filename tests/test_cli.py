@@ -278,3 +278,35 @@ class TestJdbcCollectVerb:
         assert "jdbc collect failed" in err
         # credentials never leak into the failure output
         assert "u:p" not in err.replace("jdbc collect failed", "")
+
+
+class TestProfileVerb:
+    def test_profile_json_covers_all_sections(self, tmp_path, capsys):
+        import json as _json
+
+        from dbsurveyor_spark.cli import PROFILE_QUERIES, main
+
+        out = tmp_path / "profile.json"
+        rc = main(
+            [
+                "profile",
+                "/root/testdata/sf0.001",
+                "--format",
+                "json",
+                "--output",
+                str(out),
+            ]
+        )
+        assert rc == 0
+        doc = _json.loads(out.read_text())
+        assert set(doc) == set(PROFILE_QUERIES)
+        assert all(len(v) > 0 for v in doc.values())
+
+    def test_profile_markdown_renders_tables(self, capsys):
+        from dbsurveyor_spark.cli import main
+
+        rc = main(["profile", "/root/testdata/sf0.001"])
+        assert rc == 0
+        text = capsys.readouterr().out
+        assert "## survey_numeric_moments" in text
+        assert "| column_name |" in text
