@@ -572,6 +572,72 @@ FROM orders
 """
 
 
+def groupingsets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — independent (region-only) and (segment-only)
+    marginals in ONE pass (the grouping construct rollup/cube can't express:
+    no cross product, no hierarchy). One Expand of factor 2 feeding a single
+    aggregate; `grouping_id` disambiguates the all-NULL grouping keys.
+    """
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupingSets(
+            [[F.col("r_name")], [F.col("c_mktsegment")]],
+            F.col("r_name"),
+            F.col("c_mktsegment"),
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("grouping_set"),
+            dsum(F.col("o_totalprice"), "total_sales"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .select(
+            "r_name", "c_mktsegment", "grouping_set", "total_sales", "order_count"
+        )
+    )
+
+
+GROUPINGSETS_SQL = f"""
+SELECT r_name, c_mktsegment,
+       CAST(GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS BIGINT)
+         AS grouping_set,
+       {dsum_sql("o_totalprice", "total_sales")},
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
+"""
+
+
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation: customers active in BOTH 1996 and 1997
+    (the companion to set_ops_customers' EXCEPT/anti shape). Planned as
+    two pruned scans → left-semi — distinct-by-construction inputs keep
+    the intersect a plain semi join, no global distinct of the fact table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    a = orders.filter(y == 1996).select("o_custkey").distinct()
+    b = orders.filter(y == 1997).select("o_custkey").distinct()
+    return a.intersect(b).select(F.col("o_custkey").alias("c_custkey"))
+
+
+SET_INTERSECT_SQL = """
+SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
 def window_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE bucketing: account-balance quartile per customer within each
     nation (the distribution-bucket window function rank/row_number don't
@@ -602,6 +668,8 @@ FROM customer
 
 
 QUERIES = {
+    "groupingsets_sales": groupingsets_sales,
+    "set_intersect_customers": set_intersect_customers,
     "window_ntile_acctbal": window_ntile_acctbal,
     "pivot_sales_by_segment": pivot_sales_by_segment,
     "window_trailing_revenue": window_trailing_revenue,
@@ -619,6 +687,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "groupingsets_sales": GROUPINGSETS_SQL,
+    "set_intersect_customers": SET_INTERSECT_SQL,
     "window_ntile_acctbal": NTILE_SQL,
     "pivot_sales_by_segment": _pivot_sql(),
     "window_trailing_revenue": TRAILING_SQL,

@@ -225,3 +225,43 @@ class TestProductQuantization:
         }
         assert len(pq) == len(bf)
         assert pq & bf
+
+
+class TestTrainingDeterminism:
+    def test_pq_codebooks_invariant_under_partitioning(self, spark):
+        # integer-unit partial sums merge exactly, so the trained model
+        # must be bit-identical no matter how the corpus is split.
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.functions.vectors import (
+            PQ_PARTIAL_SCHEMA,
+            merge_centroid_partials,
+            pq_partial_mapper,
+        )
+        from dbsurveyor_spark.operators import similarity
+        from pyspark.sql import functions as F
+
+        books = similarity.trained_pq_codebooks(spark, SF)
+        emb = load_table(spark, SF, "embeddings").select(
+            F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        for parts in (1, 7):
+            cur = [
+                [(cid, list(vec)) for cid, vec in b] for b in books
+            ]
+            rows = (
+                emb.repartition(parts)
+                .mapInPandas(pq_partial_mapper(cur), PQ_PARTIAL_SCHEMA)
+                .collect()
+            )
+            retrained = [
+                merge_centroid_partials(
+                    [r for r in rows if int(r["sub"]) == s]
+                )
+                for s in range(similarity.PQ_M)
+            ]
+            # one extra Lloyd step from the converged model, under two
+            # different partitionings, must agree bit-for-bit
+            if parts == 1:
+                ref = retrained
+            else:
+                assert retrained == ref
