@@ -265,3 +265,44 @@ class TestTrainingDeterminism:
                 ref = retrained
             else:
                 assert retrained == ref
+
+
+class TestSetOpsAndGroupingSets:
+    def test_groupingsets_single_expand_single_scan_pair(self, spark):
+        # one Expand (factor 2), not one aggregate per grouping set
+        plan = formatted_plan(relational.groupingsets_sales(spark, SF))
+        assert plan.count("Expand (") == 1, plan
+
+    def test_groupingsets_marginals_sum_to_total(self, spark):
+        rows = relational.groupingsets_sales(spark, SF).collect()
+        by_set = {}
+        for r in rows:
+            by_set.setdefault(r.grouping_set, []).append(r)
+        assert len(by_set) == 2
+        totals = [
+            round(sum(r.total_sales for r in v), 2) for v in by_set.values()
+        ]
+        assert totals[0] == totals[1]  # both marginals cover every order
+
+    def test_intersect_is_semi_join_not_full_distinct(self, spark):
+        df = relational.set_intersect_customers(spark, SF)
+        rows = {r.c_custkey for r in df.collect()}
+        assert rows  # non-degenerate at sf0.001
+        assert_read_schema_only(
+            df, "orders.parquet", {"o_custkey", "o_orderdate"}
+        )
+
+    def test_ntile_buckets_balanced(self, spark):
+        import collections
+
+        rows = relational.window_ntile_acctbal(spark, SF).collect()
+        per = collections.Counter(
+            (r.c_nationkey, r.balance_quartile) for r in rows
+        )
+        by_nation = collections.defaultdict(list)
+        for (nk, q), n in per.items():
+            by_nation[nk].append((q, n))
+        for nk, qs in by_nation.items():
+            counts = [n for _, n in sorted(qs)]
+            assert len(counts) <= 4
+            assert max(counts) - min(counts) <= 1  # NTILE balance invariant
