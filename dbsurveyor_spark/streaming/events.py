@@ -333,6 +333,92 @@ def stream_stateful_user_totals_job(
     )
 
 
+def stream_user_totals_tws_job(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """The same per-user running totals on Spark 4's transformWithState
+    API (`transformWithStateInPandas` + a StatefulProcessor): typed,
+    named state cells with optional TTL — the successor to
+    applyInPandasWithState's single state tuple, and the surface where
+    multi-cell state, timers, and initial-state bootstrap live. Kept
+    semantically identical to `stream_stateful_user_totals_job` so the
+    two APIs cross-check each other in pytest.
+
+    Requires `protobuf` (the TWS driver worker's control channel) and the
+    RocksDB state store; the pytest gate importorskips protobuf, so on
+    bare containers the applyInPandasWithState job remains the exercised
+    stateful path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, s DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (self._totals.get() or (0, 0.0)) if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [round(s, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _event_stream(spark, sf_dir, checkpoint_dir).select(
+        "user_id", "value"
+    )
+    result = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType="user_id bigint, n_events bigint, value_sum double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB state store (the HDFS-backed
+    # default provider doesn't implement multi-cell typed state); scope the
+    # provider switch to this query's lifetime.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        query = (
+            result.writeStream.format("memory")
+            .queryName("stream_user_totals_tws")
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(600):
+            query.stop()
+            raise TimeoutError("streaming job did not finish within 600s")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    latest = spark.table("stream_user_totals_tws")
+    return latest.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("value_sum", "n_events").alias("value_sum"),
+    )
+
+
 # --------------------------------------------------- at-least-once dedup
 
 

@@ -187,3 +187,28 @@ def test_watermark_drops_late_data_in_append_mode(spark, ckpt, tmp_path):
         .collect()
     )
     assert batch[0]["count"] == 3
+
+
+def test_transform_with_state_matches_batch(spark, ckpt):
+    """transformWithStateInPandas totals == plain batch groupBy totals
+    (the Spark 4 successor API, cross-checked against the same oracle as
+    the applyInPandasWithState job). The TWS driver worker speaks
+    protobuf to the JVM; skip where protobuf isn't installed."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from dbsurveyor_spark.streaming.events import stream_user_totals_tws_job
+
+    streamed = stream_user_totals_tws_job(spark, SF_ORACLE, ckpt)
+    batch = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+    s = {(r.user_id, r.n_events) for r in streamed.collect()}
+    b = {(r.user_id, r.n_events) for r in batch.collect()}
+    assert len(s) > 0
+    assert s == b, f"tws totals diverge: {len(s ^ b)} rows differ"
