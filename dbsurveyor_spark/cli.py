@@ -201,6 +201,27 @@ def cmd_collect(args: argparse.Namespace) -> int:
             databases_filtered=databases_filtered,
         )
     elif _is_lake_dir(args.source):
+        from .catalog import TABLES, table_path
+
+        if not any(
+            os.path.exists(table_path(args.source, t)) for t in TABLES
+        ):
+            # a directory of loose parquet/csv/jsonl files, not the fixed
+            # catalog — the generic file-lake collector handles it
+            from .sources.file_lake import collect_file_lake_schema
+
+            if args.sample or args.enable_quality:
+                print(
+                    "warning: --sample/--enable-quality apply to catalog "
+                    "lakes only; ignored for generic file lakes",
+                    file=sys.stderr,
+                )
+            doc = collect_file_lake_schema(
+                spark,
+                args.source,
+                name=args.name or os.path.basename(args.source.rstrip("/")),
+            )
+            return _emit_collect(doc, args)
         doc = collect_database_schema(
             spark,
             args.source,
@@ -315,6 +336,13 @@ def cmd_collect(args: argparse.Namespace) -> int:
     else:
         print(f"unsupported collect source: {args.source}", file=sys.stderr)
         return 2
+
+    return _emit_collect(doc, args)
+
+
+def _emit_collect(doc: dict, args: argparse.Namespace) -> int:
+    """Shared collect tail: write the document (plain / zstd / encrypted)."""
+    from .survey.export import write_schema_json
 
     out = args.output
     if args.encrypt:
