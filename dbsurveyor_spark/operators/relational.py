@@ -638,6 +638,52 @@ SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1997
 """
 
 
+def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE over the full-partition frame: each
+    customer's first and last order price by date, plus the drift between
+    them — the navigation window functions (value-at-frame-edge) that
+    rank/lead/lag don't cover. The frame must be ROWS UNBOUNDED PRECEDING
+    AND UNBOUNDED FOLLOWING — the default frame stops at CURRENT ROW and
+    silently turns LAST_VALUE into "current value", the classic window
+    bug this query exists to pin. Every row in a partition carries the
+    same values, so one dropDuplicates reduces to a row per customer.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_order_price"),
+            F.last("o_totalprice").over(w).alias("last_order_price"),
+        )
+        .dropDuplicates(["o_custkey"])
+        .select(
+            "o_custkey",
+            "first_order_price",
+            "last_order_price",
+            F.round(
+                F.col("last_order_price") - F.col("first_order_price"), 2
+            ).alias("price_drift"),
+        )
+    )
+
+
+FIRST_LAST_SQL = """
+SELECT DISTINCT o_custkey,
+  FIRST_VALUE(o_totalprice) OVER w AS first_order_price,
+  LAST_VALUE(o_totalprice) OVER w AS last_order_price,
+  ROUND(LAST_VALUE(o_totalprice) OVER w
+        - FIRST_VALUE(o_totalprice) OVER w, 2) AS price_drift
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def window_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE bucketing: account-balance quartile per customer within each
     nation (the distribution-bucket window function rank/row_number don't
@@ -668,6 +714,7 @@ FROM customer
 
 
 QUERIES = {
+    "window_first_last_order": window_first_last_order,
     "groupingsets_sales": groupingsets_sales,
     "set_intersect_customers": set_intersect_customers,
     "window_ntile_acctbal": window_ntile_acctbal,
@@ -687,6 +734,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_first_last_order": FIRST_LAST_SQL,
     "groupingsets_sales": GROUPINGSETS_SQL,
     "set_intersect_customers": SET_INTERSECT_SQL,
     "window_ntile_acctbal": NTILE_SQL,
