@@ -1044,7 +1044,90 @@ FROM j
 """
 
 
+# ----------------------------------------------------------- timeliness
+
+# Recency windows (days) measured back from the dataset's own watermark.
+TIMELINESS_WINDOWS = (1, 7, 30)
+
+
+def quality_timeliness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeliness — the fourth classic data-quality dimension next to
+    completeness/uniqueness/consistency: how fresh is the event stream,
+    and is ingest still flowing? All recency is measured against the
+    DATASET'S OWN max timestamp (its watermark), never the wall clock —
+    deterministic, replayable, and exactly what a batch-lake consumer
+    can actually act on (wall-clock lag belongs to the scheduler).
+
+    One summary row: span, event counts/rates inside trailing 1/7/30-day
+    windows from the watermark, and the recent-vs-lifetime daily-rate
+    ratio (a cold stream scores ≪ 1). Two scan-free-after-first
+    aggregates: the watermark agg is 1 row, then one conditional
+    aggregate over the pruned (ts) column — map-side combinable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    wm = events.agg(F.max("ts").alias("watermark"))
+    e = events.select("ts").join(F.broadcast(wm))
+    day = 86400
+    # fractional epoch seconds: timestamp→double ≡ DuckDB epoch() (same
+    # IEEE expression); long-cast truncation would disagree at boundaries
+    age = F.col("watermark").cast("double") - F.col("ts").cast("double")
+    span_days = (
+        (F.max("watermark").cast("double") - F.min("ts").cast("double"))
+        / float(day)
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.date_format(F.max("watermark"), "yyyy-MM-dd HH:mm:ss").alias(
+            "watermark"
+        ),
+        F.round(span_days, 6).alias("span_days"),
+    ]
+    for d in TIMELINESS_WINDOWS:
+        aggs.append(
+            F.sum((age <= d * day).cast("int"))
+            .cast("bigint")
+            .alias(f"events_last_{d}d")
+        )
+    out = e.agg(*aggs)
+    recent_rate = F.col(f"events_last_{TIMELINESS_WINDOWS[-1]}d") / F.lit(
+        float(TIMELINESS_WINDOWS[-1])
+    )
+    lifetime_rate = F.col("n_events") / F.nullif(
+        F.col("span_days"), F.lit(0.0)
+    )
+    return out.select(
+        "*",
+        F.round(recent_rate / lifetime_rate, 6).alias("recency_rate_ratio"),
+    )
+
+
+def _timeliness_sql() -> str:
+    day = 86400
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN epoch(watermark) - epoch(ts) <= {d * day} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS events_last_{d}d"
+        for d in TIMELINESS_WINDOWS
+    )
+    last = TIMELINESS_WINDOWS[-1]
+    return f"""
+WITH wm AS (SELECT MAX(ts) AS watermark FROM events),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+    strftime(MAX(watermark), '%Y-%m-%d %H:%M:%S') AS watermark,
+    ROUND((epoch(MAX(watermark)) - epoch(MIN(ts))) / {float(day)}, 6)
+      AS span_days,
+    {cols}
+  FROM events, wm
+)
+SELECT *,
+  ROUND((events_last_{last}d / {float(last)})
+        / (n_events / NULLIF(span_days, 0.0)), 6) AS recency_rate_ratio
+FROM agg
+"""
+
+
 QUERIES = {
+    "quality_timeliness": quality_timeliness,
     "quality_balance_check": quality_balance_check,
     "quality_completeness": quality_completeness,
     "quality_uniqueness": quality_uniqueness,
@@ -1057,6 +1140,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_balance_check": BALANCE_SQL,
+    "quality_timeliness": _timeliness_sql(),
     "quality_referential_integrity": _referential_integrity_sql(),
     "quality_anomaly_iqr": _anomaly_iqr_sql(),
     "quality_completeness": _completeness_sql(),

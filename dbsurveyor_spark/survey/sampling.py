@@ -161,7 +161,28 @@ WHERE {portable_hash64_sql("'mix_' || CAST(doc_id AS VARCHAR)")} % 100 < {_MIX_R
 """
 
 
+SYSTEMATIC_K = 50  # sampling interval: every k-th row by PK
+
+
+def sample_systematic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (interval) sampling: every k-th row by primary key —
+    the classic survey design between Random (no order structure kept)
+    and MostRecent (one end of the order only): uniform coverage of the
+    key range at exactly 1/k rate, deterministic and growth-stable.
+    Scan-local (a modulus filter on the PK, pushable and codegen'd);
+    no shuffle, no sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % SYSTEMATIC_K == 0)
+
+
+SYSTEMATIC_SQL = f"""
+SELECT * FROM orders WHERE o_orderkey % {SYSTEMATIC_K} = 0
+"""
+
+
 QUERIES = {
+    "sample_systematic_orders": sample_systematic_orders,
     "sample_most_recent_orders": sample_most_recent_orders,
     "sample_random_orders": sample_random_orders,
     "sample_stratified_events": sample_stratified_events,
@@ -171,6 +192,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_systematic_orders": SYSTEMATIC_SQL,
     "sample_most_recent_orders": MOST_RECENT_SQL,
     "sample_random_orders": RANDOM_SQL,
     "sample_stratified_events": STRATIFIED_SQL,
