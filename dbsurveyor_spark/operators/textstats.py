@@ -376,7 +376,75 @@ FROM (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents) t
 """
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM fluency score per document — the
+    perplexity-proxy quality signal (CCNet-style: docs whose token
+    distribution diverges from the corpus LM are boilerplate/noise
+    candidates). Emits mean token log-probability and the perplexity
+    proxy exp(−mean); unsmoothed MLE is total because the LM is trained
+    on the scored corpus itself.
+
+    Plan: one explode builds token rows; the LM (vocab × count, bounded
+    by vocabulary, not corpus) aggregates map-side-combinably and comes
+    BACK as a broadcast join — token rows never shuffle for the lookup;
+    the only data-sized shuffle is the final groupBy(doc_id). Per-doc
+    log-prob sums accumulate in DECIMAL so the mean is partition-order
+    independent (double summation would hash-drift between engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks_rows = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    vocab = toks_rows.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    lm = vocab.join(F.broadcast(total)).select(
+        "t",
+        F.log(F.col("cnt").cast("double") / F.col("n_total")).alias("logp"),
+    )
+    per_doc = (
+        toks_rows.join(F.broadcast(lm), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.col("logp").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_logp"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+            "n_tokens"
+        ),
+        F.round("mean_logp", 9).alias("mean_logp"),
+        F.round(F.exp(-F.col("mean_logp")), 6).alias("ppl_proxy"),
+    )
+
+
+def _lm_score_sql() -> str:
+    toks = tokens_sql("text")
+    return f"""
+WITH tr AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY t),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+lm AS (SELECT t, ln(CAST(cnt AS DOUBLE) / n_total) AS logp FROM vocab, tot),
+pd AS (
+  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(CAST(logp AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mean_logp
+  FROM tr JOIN lm USING (t) GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(pd.n_tokens, 0) AS n_tokens,
+  ROUND(pd.mean_logp, 9) AS mean_logp,
+  ROUND(exp(-pd.mean_logp), 6) AS ppl_proxy
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN pd ON pd.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
+    "text_lm_score": text_lm_score,
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -388,6 +456,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_lm_score": _lm_score_sql(),
     "text_stats": _stats_sql(),
     "text_langid": _langid_sql(),
     "text_fingerprint": FINGERPRINT_SQL,
