@@ -744,6 +744,61 @@ def _moments_sql() -> str:
     )
 
 
+# ------------------------------------------------------------- string stats
+
+_STRING_STATS_COLS = ("c_name", "c_mktsegment")
+
+
+def survey_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-string-column length profile — min/max/avg length, empties,
+    distinct count (the VARCHAR sizing statistics a live-DB collector
+    reads from the catalog; a lake engine computes them). One aggregate
+    over the pruned columns; the exact-decimal length sum keeps avg_len
+    partitioning-independent.
+    """
+    df = load_table(spark, sf_dir, "customer")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _STRING_STATS_COLS:
+        ln = F.length(F.col(c))
+        aggs += [
+            F.min(ln).cast("bigint").alias(f"{c}__mn"),
+            F.max(ln).cast("bigint").alias(f"{c}__mx"),
+            F.sum(ln.cast(DECIMAL_T)).cast("double").alias(f"{c}__sum"),
+            F.sum((F.col(c) == "").cast("int")).cast("bigint").alias(
+                f"{c}__empty"
+            ),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__nd"),
+        ]
+    one = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__mn").alias("min_len"),
+            F.col(f"{c}__mx").alias("max_len"),
+            F.round(F.col(f"{c}__sum") / F.col("n"), 9).alias("avg_len"),
+            F.col(f"{c}__empty").alias("empty_count"),
+            F.col(f"{c}__nd").alias("distinct_count"),
+        )
+        for c in _STRING_STATS_COLS
+    ]
+    return one.select(F.inline(F.array(*entries)))
+
+
+def _string_stats_sql() -> str:
+    parts = []
+    for c in _STRING_STATS_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+  CAST(MIN(length({c})) AS BIGINT) AS min_len,
+  CAST(MAX(length({c})) AS BIGINT) AS max_len,
+  ROUND(CAST(SUM(CAST(length({c}) AS DECIMAL(30,6))) AS DOUBLE)
+        / COUNT(*), 9) AS avg_len,
+  CAST(SUM(CASE WHEN {c} = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_count,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS distinct_count
+FROM customer""")
+    return "\nUNION ALL\n".join(parts)
+
+
 # --------------------------------------------------------------- top values
 
 # Most-common-values profiling (the pg_stats `most_common_vals` feature a
@@ -827,6 +882,7 @@ WHERE rk <= {TOP_VALUES_K}
 
 
 QUERIES = {
+    "survey_string_stats": survey_string_stats,
     "survey_numeric_moments": survey_numeric_moments,
     "survey_top_values": survey_top_values,
     "survey_schema_overview": survey_schema_overview,
@@ -841,6 +897,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "survey_string_stats": _string_stats_sql(),
     "survey_numeric_moments": _moments_sql(),
     "survey_top_values": _top_values_sql(),
     "survey_fd_inference": _fd_sql(),
