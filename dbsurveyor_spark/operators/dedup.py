@@ -381,18 +381,23 @@ def _bucket_pairs(ids):
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: k=16 permutations, 4 bands × 4 rows.
+def minhash_band_rows(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band-signature rows for the
+    augmented corpus — the shared front half of every MinHash-family query
+    (full dedup, incremental delta dedup, cross-split leakage).
 
-    Plan (one linear pipeline, three shuffles, no self-join):
-    shingle-explode → hash once per row → groupBy doc (16 min aggs) →
-    posexplode band hashes → groupBy (band, hash) collecting doc ids →
-    in-bucket pair expansion → groupBy pair counting shared bands.
+    Plan: shingle-explode → hash ONCE per row (not once per aggregate
+    expression; duplicate shingles within a doc don't change any MIN) →
+    groupBy doc (16 min aggs) → posexplode band hashes.
+
+    ``shingles`` lets a caller that also needs the (doc_id, shingle) rows
+    for verification pass a cached frame so the shingle window runs once.
     """
-    release_caches()
-    # hash projected ONCE per row, not once per aggregate expression;
-    # duplicate shingles within a doc don't change any MIN.
-    exploded = _shingle_rows(spark, sf_dir).select(
+    exploded = (
+        shingles if shingles is not None else _shingle_rows(spark, sf_dir)
+    ).select(
         "doc_id", portable_hash32(F.col("shingle")).alias("h")
     )
     h = F.col("h")
@@ -411,9 +416,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi in range(BANDS)
         ]
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: k=16 permutations, 4 bands × 4 rows.
+
+    Plan (one linear pipeline, three shuffles, no self-join):
+    band rows (minhash_band_rows) → groupBy (band, hash) collecting doc
+    ids → in-bucket pair expansion → groupBy pair counting shared bands.
+    """
+    release_caches()
+    banded = minhash_band_rows(spark, sf_dir)
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -458,28 +474,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual keeps exactly one, so shared-band counts don't double.
     """
     release_caches()
-    exploded = _shingle_rows(spark, sf_dir).select(
-        "doc_id", portable_hash32(F.col("shingle")).alias("h")
-    )
-    h = F.col("h")
-    sig_aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_31).alias(f"m{j}")
-        for j, (a, b) in enumerate(_MH_PARAMS)
-    ]
-    sigs = exploded.groupBy("doc_id").agg(*sig_aggs)
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "_", *[f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-                )
-            )
-            for bi in range(BANDS)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
-    )
+    banded = minhash_band_rows(spark, sf_dir)
     new = banded.filter(_delta_flag(F.col("doc_id"))).select(
         F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
     )
@@ -496,7 +491,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("shared_bands"))
 
 
-def _minhash_incremental_sql() -> str:
+def minhash_bands_ctes() -> str:
+    """The shared `ds/exploded/sigs/bands` oracle CTE chain (after a
+    `corpus` CTE): per-doc MinHash signatures → banded md5 keys. Reused by
+    the full-dedup, incremental, and cross-split-leakage oracles so all
+    three replay bit-identical signatures."""
     h = portable_hash32_sql("shingle")
     sig_cols = ", ".join(
         f"MIN(({a} * {h} + {b}) % {MERSENNE_31}) AS m{j}"
@@ -510,14 +509,18 @@ def _minhash_incremental_sql() -> str:
             f"SELECT doc_id, {bi} AS band_idx, md5({concat}) AS band_hash FROM sigs"
         )
     bands = "\nUNION ALL\n".join(band_selects)
+    return f"""ds AS ({_DOC_SHINGLES_SQL}),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+sigs AS (SELECT doc_id, {sig_cols} FROM exploded GROUP BY doc_id),
+bands AS ({bands})"""
+
+
+def _minhash_incremental_sql() -> str:
     new_flag_x = _DELTA_FLAG_SQL.replace("doc_id", "x.doc_id")
     new_flag_y = _DELTA_FLAG_SQL.replace("doc_id", "y.doc_id")
     return f"""
 WITH corpus AS ({_CORPUS_SQL}),
-ds AS ({_DOC_SHINGLES_SQL}),
-exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
-sigs AS (SELECT doc_id, {sig_cols} FROM exploded GROUP BY doc_id),
-bands AS ({bands})
+{minhash_bands_ctes()}
 SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
        GREATEST(x.doc_id, y.doc_id) AS doc_b,
        COUNT(*) AS shared_bands
@@ -531,25 +534,9 @@ GROUP BY 1, 2
 
 
 def _minhash_sql() -> str:
-    h = portable_hash32_sql("shingle")
-    sig_cols = ", ".join(
-        f"MIN(({a} * {h} + {b}) % {MERSENNE_31}) AS m{j}"
-        for j, (a, b) in enumerate(_MH_PARAMS)
-    )
-    band_selects = []
-    for bi in range(BANDS):
-        cols = [f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-        band_selects.append(
-            f"SELECT doc_id, {bi} AS band_idx, md5({concat}) AS band_hash FROM sigs"
-        )
-    bands = "\nUNION ALL\n".join(band_selects)
     return f"""
 WITH corpus AS ({_CORPUS_SQL}),
-ds AS ({_DOC_SHINGLES_SQL}),
-exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
-sigs AS (SELECT doc_id, {sig_cols} FROM exploded GROUP BY doc_id),
-bands AS ({bands})
+{minhash_bands_ctes()}
 SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared_bands
 FROM bands x JOIN bands y
   ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash

@@ -22,7 +22,16 @@ from ..survey.sampling import (
     SPLIT_VAL_PCT,
     _SPLIT_BUCKET,
 )
-from .dedup import _CORPUS_SQL, _corpus
+from ..plans.cache import release_caches, tracked_cache as _tracked_cache
+from .dedup import (
+    _CORPUS_SQL,
+    _bucket_pairs,
+    _corpus,
+    _shingle_rows,
+    JACCARD_T,
+    minhash_band_rows,
+    minhash_bands_ctes,
+)
 
 # Benchmark membership: deterministic hash-5% of documents stands in for a
 # held-out eval suite (a real pipeline joins its actual benchmark corpus).
@@ -181,6 +190,134 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+def _split_expr(doc_id: Column) -> Column:
+    bucket = portable_hash64(doc_id.cast("string")) % 100
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate leakage across train/val/test: pairs of documents in
+    DIFFERENT hash splits whose word-3-gram Jaccard ≥ τ — the contamination
+    `split_leakage_report` (exact content only) cannot see. A near-copy of
+    a training document sitting in test silently inflates eval exactly like
+    an exact copy does; this is the check public LLM training reports run
+    before trusting held-out numbers.
+
+    Plan (MinHash-LSH candidates + exact verify, no all-pairs stage):
+    shared band-signature rows (dedup.minhash_band_rows over the CACHED
+    shingle frame — the shingle window runs once) → groupBy (band, hash)
+    buckets → in-bucket pair expansion → keep pairs whose doc_ids hash into
+    different splits (split is a pure function of doc_id — recomputed after
+    expansion, never carried through the shuffle) → exact-Jaccard verify.
+    The verify stage set-aggregates shingles ONLY for docs in surviving
+    candidate pairs (semi-join on the pair ids — candidate-sized, not
+    corpus-sized), then filters J ≥ τ. At 100 TB every stage is the
+    minhash_lsh scale shape plus one candidate-bounded join.
+
+    Reference: extends quality/uniqueness.rs row-duplicate detection to the
+    corpus/split level (same charter as split_leakage_report).
+    """
+    release_caches()
+    shingles = _tracked_cache(
+        _shingle_rows(spark, sf_dir).dropDuplicates(["doc_id", "shingle"])
+    )
+    banded = minhash_band_rows(spark, sf_dir, shingles=shingles)
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .withColumn("split_a", _split_expr(F.col("doc_a")))
+        .withColumn("split_b", _split_expr(F.col("doc_b")))
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docsets = (
+        shingles.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh"))
+    )
+    da = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    db = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                common.cast("double") / (F.col("n_a") + F.col("n_b") - common), 9
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "split_a", "doc_b", "split_b", "shared_bands", "jaccard")
+    )
+
+
+def _split_leakage_neardup_sql() -> str:
+    def case(col: str) -> str:
+        b = _SPLIT_BUCKET.replace("doc_id", col)
+        return (
+            f"CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train' "
+            f"WHEN {b} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val' "
+            f"ELSE 'test' END"
+        )
+
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{minhash_bands_ctes()},
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared_bands
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+cross_pairs AS (
+  SELECT doc_a, doc_b, shared_bands,
+         {case("doc_a")} AS split_a, {case("doc_b")} AS split_b
+  FROM pairs
+  WHERE {case("doc_a")} <> {case("doc_b")}
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM ds),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT cp.doc_a, cp.split_a, cp.doc_b, cp.split_b, cp.shared_bands,
+       round(CAST(c.common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.common), 9)
+         AS jaccard
+FROM cross_pairs cp
+JOIN common c ON c.doc_a = cp.doc_a AND c.doc_b = cp.doc_b
+JOIN sizes sa ON sa.doc_id = cp.doc_a
+JOIN sizes sb ON sb.doc_id = cp.doc_b
+WHERE round(CAST(c.common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.common), 9)
+      >= {JACCARD_T}
+"""
 
 
 SPLIT_LEAKAGE_SQL = f"""
@@ -559,6 +696,7 @@ FROM (SELECT doc_id, {_PII_DIRTY_SQL} AS t FROM documents) d
 QUERIES = {
     "corpus_decontamination": corpus_decontamination,
     "split_leakage_report": split_leakage_report,
+    "split_leakage_neardup": split_leakage_neardup,
     "corpus_mix_report": corpus_mix_report,
     "corpus_curation": corpus_curation,
     "text_pii_scan": text_pii_scan,
@@ -569,5 +707,6 @@ ORACLES = {
     "corpus_curation": _curation_sql(),
     "corpus_decontamination": DECONTAMINATION_SQL,
     "split_leakage_report": SPLIT_LEAKAGE_SQL,
+    "split_leakage_neardup": _split_leakage_neardup_sql(),
     "corpus_mix_report": MIX_REPORT_SQL,
 }

@@ -60,6 +60,23 @@ class TestSemantics:
         # 90/5/5 id-hash split some clone pairs MUST straddle splits
         assert len(leaks) > 0
 
+    def test_neardup_leakage_cross_split_and_verified(self, spark):
+        nd = pipeline.split_leakage_neardup(spark, SF).toPandas()
+        # cloned corpus: every 10th doc re-inserted under id+1M, and the
+        # id-hash split assigns the clone independently — some exact-copy
+        # pairs (J = 1.0) MUST straddle splits
+        assert len(nd) > 0
+        assert (nd["split_a"] != nd["split_b"]).all()
+        assert set(nd["split_a"]) | set(nd["split_b"]) <= {"train", "val", "test"}
+        # every reported pair passed the exact verify, not just banding
+        assert (nd["jaccard"] >= pipeline.JACCARD_T).all()
+        assert (nd["jaccard"] <= 1.0).all()
+        assert (nd["shared_bands"] >= 1).all()
+        # exact clones are in there with jaccard exactly 1.0
+        clones = nd[nd["doc_b"] == nd["doc_a"] + 1_000_000]
+        assert len(clones) > 0
+        assert (clones["jaccard"] == 1.0).all()
+
     def test_mix_shares_sum_to_one(self, mix):
         assert abs(mix["token_share"].sum() - 1.0) < 1e-3  # rounding per row
         assert (mix["n_tokens"] >= mix["n_docs"]).all()  # docs are non-empty
@@ -83,6 +100,13 @@ class TestPlans:
 
     def test_mix_report_no_python(self, spark):
         assert_no_python_eval(pipeline.corpus_mix_report(spark, SF))
+
+    def test_neardup_leakage_no_python_and_semi_join(self, spark):
+        # JVM-side end to end; verify stage restricts the set-aggregate to
+        # candidate docs via a semi join (candidate-sized, not corpus-sized)
+        df = pipeline.split_leakage_neardup(spark, SF)
+        assert_no_python_eval(df)
+        assert "LeftSemi" in formatted_plan(df)
 
 
 class TestCuratedCorpusSink:
