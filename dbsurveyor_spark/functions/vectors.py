@@ -327,8 +327,51 @@ def cosine_rounded_sql(a: str, b: str) -> str:
 # of codebook indices; the posting list ships codes, never vectors).
 PQ_ENCODE_SCHEMA = "vec_id bigint, codes array<int>"
 
+# pq_encode_mapper output in residual (IVFADC) mode: the coarse cell rides
+# along with the code word — the posting-list entry of an IVFPQ index.
+PQ_RESID_ENCODE_SCHEMA = "vec_id bigint, cell_id bigint, codes array<int>"
 
-def pq_encode_mapper(codebooks: list):
+
+def _coarse_model(cent_rows: list):
+    """(cell_ids, C, cell_norms) numpy model from centroid rows — executor
+    helper shared by the residual-mode mappers."""
+    import numpy as np
+
+    cids = np.asarray([int(r[0]) for r in cent_rows], dtype=np.int64)
+    C = np.asarray(
+        [[float(x) for x in r[1]] for r in cent_rows], dtype=np.float64
+    )
+    cn = np.zeros(C.shape[0])
+    for i in range(C.shape[1]):
+        cn += C[:, i] * C[:, i]
+    return cids, C, np.sqrt(cn)
+
+
+def _residualize(A, cids, C, cn):  # pragma: no cover — runs on executors
+    """(residuals, assigned_cell_ids): assign each row of ``A`` to its
+    nearest coarse cell (the exact fold/tie rule of :func:`cell_topk_mapper`
+    at nprobe=1) and subtract that centroid. float64 subtraction is exact
+    and order-free, so residuals are bit-identical to the SQL mirror's
+    `embedding[i] - c_emb[i]`."""
+    import numpy as np
+
+    m, dim = A.shape
+    k = C.shape[0]
+    acc = np.zeros((m, k))
+    na = np.zeros(m)
+    for i in range(dim):
+        ai = A[:, i]
+        na += ai * ai
+        acc += ai[:, None] * C[None, :, i]
+    na = np.sqrt(na)
+    ok = (na[:, None] > 0) & (cn[None, :] > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(ok, acc / (na[:, None] * cn[None, :]), 0.0)
+    best = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+    return A - C[best], cids[best]
+
+
+def pq_encode_mapper(codebooks: list, cent_rows: list | None = None):
     """mapInPandas factory: PQ-encode each (vec_id, embedding) batch — for
     every subspace s, the id of the nearest codebook entry (cosine over the
     subvector, the exact scoring/tie rule of :func:`cell_topk_mapper` at
@@ -338,12 +381,22 @@ def pq_encode_mapper(codebooks: list):
 
     One streaming corpus pass encodes all m subspaces (no per-subspace
     rescan); Arrow transfer out is |corpus| rows of m ints.
+
+    With ``cent_rows`` (IVFADC mode) each batch is first assigned to its
+    nearest coarse cell and RESIDUALIZED against that centroid — the codes
+    then quantize x − c(x), and rows carry the coarse cell
+    (:data:`PQ_RESID_ENCODE_SCHEMA`), i.e. the IVFPQ posting-list entry.
     """
     subs = []
     for cb in codebooks:
         ids = [int(r[0]) for r in cb]
         vecs = [[float(x) for x in r[1]] for r in cb]
         subs.append((ids, vecs))
+    coarse = (
+        [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+        if cent_rows is not None
+        else None
+    )
 
     def mapper(batches):  # pragma: no cover — runs on executors
         import numpy as np
@@ -356,6 +409,7 @@ def pq_encode_mapper(codebooks: list):
             for i in range(C.shape[1]):
                 cn += C[:, i] * C[:, i]
             models.append((np.asarray(ids, dtype=np.int64), C, np.sqrt(cn)))
+        cmodel = _coarse_model(coarse) if coarse is not None else None
         dsub = models[0][1].shape[1]
         for pdf in batches:
             mrows = len(pdf)
@@ -364,6 +418,9 @@ def pq_encode_mapper(codebooks: list):
             A = np.stack(pdf["embedding"].to_numpy()).astype(
                 np.float64, copy=False
             )
+            cells = None
+            if cmodel is not None:
+                A, cells = _residualize(A, *cmodel)
             out = np.empty((mrows, len(models)), dtype=np.int32)
             for s, (ids, C, cn) in enumerate(models):
                 Asub = A[:, s * dsub : (s + 1) * dsub]
@@ -380,12 +437,11 @@ def pq_encode_mapper(codebooks: list):
                     cos = np.where(ok, acc / (na[:, None] * cn[None, :]), 0.0)
                 best = np.argsort(-cos, axis=1, kind="stable")[:, 0]
                 out[:, s] = ids[best].astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "codes": [row.tolist() for row in out],
-                }
-            )
+            data = {"vec_id": pdf["vec_id"].to_numpy()}
+            if cells is not None:
+                data["cell_id"] = cells
+            data["codes"] = [row.tolist() for row in out]
+            yield pd.DataFrame(data)
 
     return mapper
 
@@ -449,10 +505,86 @@ def pq_adc_mapper(tables: list, query_ids: list, k: int):
     return mapper
 
 
+def ivfpq_adc_mapper(
+    tables: list,
+    query_ids: list,
+    probe_cells: list,
+    cell_bias: list,
+    k: int,
+):
+    """mapInPandas factory for the IVFADC scan (Jégou et al. IVFPQ): stream
+    the (vec_id, cell_id, codes) posting list once; each probe scores ONLY
+    rows in its ``probe_cells`` (the nprobe inverted lists) by
+    score = ⟨q, c(x)⟩ + Σ_s T[q][s][code_s(x)] — the coarse term plus the
+    residual ADC lookup. Under inner product the residual tables are built
+    from q itself (⟨q, c + r⟩ = ⟨q,c⟩ + ⟨q,r⟩), so one table per probe
+    serves every probed cell; only the scalar bias varies per cell.
+
+    ``probe_cells``/``cell_bias`` align with ``query_ids``: probe_cells[i]
+    is the cell-id list, cell_bias[i] the matching ⟨q, c⟩ list (exact
+    driver-side folds). Batch-local top-``k`` cut exactly like
+    :func:`pq_adc_mapper`; score addition order is bias + t1 + … + tm,
+    matching the SQL's literal left-assoc sum.
+    """
+    qids = [int(q) for q in query_ids]
+    tabs = [[list(map(float, sub)) for sub in t] for t in tables]
+    pcells = [[int(c) for c in cs] for cs in probe_cells]
+    pbias = [[float(b) for b in bs] for bs in cell_bias]
+
+    def mapper(batches):  # pragma: no cover — runs on executors
+        import numpy as np
+        import pandas as pd
+
+        T = np.asarray(tabs, dtype=np.float64)  # probes × m × codes
+        qarr = np.asarray(qids, dtype=np.int64)
+        nq, m, _ = T.shape
+        # per-probe dense bias lookup keyed by cell id
+        bias_maps = [
+            dict(zip(pcells[i], pbias[i])) for i in range(nq)
+        ]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            vids = pdf["vec_id"].to_numpy().astype(np.int64)
+            cells = pdf["cell_id"].to_numpy().astype(np.int64)
+            take = min(k, n)
+            qcol, ncol, scol = [], [], []
+            for qi in range(nq):
+                bmap = bias_maps[qi]
+                mask = np.isin(cells, pcells[qi]) & (vids != qarr[qi])
+                if not mask.any():
+                    continue
+                idx = np.nonzero(mask)[0]
+                # bias first, then t1..tm left-assoc (SQL parity)
+                sc = np.asarray(
+                    [bmap[int(c)] for c in cells[idx]], dtype=np.float64
+                )
+                sc = sc + T[qi, 0, :][codes[idx, 0]]
+                for s in range(1, m):
+                    sc = sc + T[qi, s, :][codes[idx, s]]
+                order = np.lexsort((vids[idx], -sc))[:take]
+                sel = idx[order]
+                qcol.append(np.full(len(sel), qarr[qi], dtype=np.int64))
+                ncol.append(vids[sel])
+                scol.append(sc[order])
+            if qcol:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qcol),
+                        "neighbor_id": np.concatenate(ncol),
+                        "score": np.concatenate(scol),
+                    }
+                )
+
+    return mapper
+
+
 PQ_PARTIAL_SCHEMA = "sub int, cell_id bigint, cnt bigint, sums array<bigint>"
 
 
-def pq_partial_mapper(books: list):
+def pq_partial_mapper(books: list, cent_rows: list | None = None):
     """mapInPandas factory for one FUSED Lloyd step across all PQ
     subspaces: each batch is decimal-quantized ONCE (the same exact
     DECIMAL(30,9) lattice as :func:`centroid_partial_mapper`), then every
@@ -464,12 +596,22 @@ def pq_partial_mapper(books: list):
     subvector)]. Output rows are (sub, cell_id, cnt, sums-of-units);
     driver-side, filter per ``sub`` and reuse
     :func:`merge_centroid_partials` unchanged.
+
+    With ``cent_rows`` (IVFADC mode) batches residualize against the coarse
+    quantizer BEFORE quantization/assignment, so the codebooks train on
+    x − c(x) — the quantization then applies to residual values, exactly
+    as the SQL mirror's decimal cast over its residual relation.
     """
     subs = []
     for cb in books:
         ids = [int(r[0]) for r in cb]
         vecs = [[float(x) for x in r[1]] for r in cb]
         subs.append((ids, vecs))
+    coarse = (
+        [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+        if cent_rows is not None
+        else None
+    )
 
     def mapper(batches):  # pragma: no cover — runs on executors
         from decimal import ROUND_HALF_UP, Decimal
@@ -484,6 +626,7 @@ def pq_partial_mapper(books: list):
             for i in range(C.shape[1]):
                 cn += C[:, i] * C[:, i]
             models.append((np.asarray(ids, dtype=np.int64), C, np.sqrt(cn)))
+        cmodel = _coarse_model(coarse) if coarse is not None else None
         m = len(models)
         dsub = models[0][1].shape[1]
         S = [
@@ -498,6 +641,8 @@ def pq_partial_mapper(books: list):
             A = np.stack(pdf["embedding"].to_numpy()).astype(
                 np.float64, copy=False
             )
+            if cmodel is not None:
+                A, _ = _residualize(A, *cmodel)
             # -- exact DECIMAL(30,9) units, quantized once for all subspaces
             sc = A * 1e9
             u = np.floor(sc + 0.5)

@@ -35,12 +35,14 @@ from ..functions.vectors import (
     PQ_ADC_SCHEMA,
     PQ_ENCODE_SCHEMA,
     PQ_PARTIAL_SCHEMA,
+    PQ_RESID_ENCODE_SCHEMA,
     cell_topk_mapper,
     centroid_partial_mapper,
     cosine_rounded_arrow,
     cosine_rounded_sql,
     cosine_sql,
     dot_sql,
+    ivfpq_adc_mapper,
     merge_centroid_partials,
     pq_adc_mapper,
     pq_encode_mapper,
@@ -727,8 +729,271 @@ SELECT query_id, neighbor_id, ROUND(score, 9) AS score_pq, rank FROM (
 """
 
 
+# ------------------------------------------------------- IVFADC (IVF + PQ)
+
+# Residual PQ codebooks (IVFPQ model state): trained on x − c(x) over the
+# session's coarse quantizer — memoized like the other two models.
+_RESID_PQ_CACHE: dict[tuple, list] = {}
+
+
+def _fold_dot(a: list, b: list) -> float:
+    """Driver-side exact left fold of functions/vectors.dot — bit-identical
+    to the numpy dimension-at-a-time kernels and the DuckDB list_reduce."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _fold_cos(a: list, b: list) -> float:
+    import math
+
+    na = math.sqrt(_fold_dot(a, a))
+    nb = math.sqrt(_fold_dot(b, b))
+    return _fold_dot(a, b) / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+def _nearest_cell(vec: list, cent_rows: list) -> tuple:
+    """(cell_id, centroid) of the nearest coarse cell — exact-fold cosine,
+    ties to the lowest cell_id (cent_rows sorted by cell_id; strict >
+    keeps the earlier winner)."""
+    best = None
+    best_cos = None
+    for cid, cvec in cent_rows:
+        c = _fold_cos(cvec, vec)
+        if best_cos is None or c > best_cos:
+            best, best_cos = (cid, cvec), c
+    return best
+
+
+def trained_residual_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Residual PQ codebooks — the IVFPQ model (Jégou et al. §IV, IVFADC):
+    PQ trained on residuals x − c(x) against the session's coarse
+    quantizer, so codes quantize the DISPLACEMENT within a cell (much
+    lower quantization error than coding raw vectors at equal bits).
+    Memoized per (lake, content fingerprint) like the other model state.
+
+    Seeds are the PQ_CODES smallest-md5(vec_id) RESIDUAL vectors (md5
+    ordering is vector-independent, so the seed ids equal the raw-PQ
+    seeds; residualization happens driver-side with the exact fold).
+    Each Lloyd step is ONE streaming pass: pq_partial_mapper residualizes
+    the batch against the closure-captured coarse model, then trains all
+    m codebooks fused — no materialized residual table, exactly how a
+    production trainer streams x − c(x) on the fly.
+    """
+    key = (sf_dir, _lake_fingerprint(sf_dir))
+    with _CENTROID_LOCK:
+        if key in _RESID_PQ_CACHE:
+            return _RESID_PQ_CACHE[key]
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = emb.select(F.size("embedding").alias("d")).head()["d"]
+    dsub = dim // PQ_M
+    md5_order = F.md5(F.col("vec_id").cast("string")).alias("o")
+    seed_rows = (
+        emb.select(md5_order, F.col("embedding").alias("c_emb"))
+        .orderBy("o")
+        .limit(PQ_CODES)
+        .collect()
+    )
+    seed_resids = []
+    for r in seed_rows:
+        v = [float(x) for x in r["c_emb"]]
+        _cid, cvec = _nearest_cell(v, cent_rows)
+        seed_resids.append([x - float(c) for x, c in zip(v, cvec)])
+    books = [
+        [
+            (i + 1, rv[s * dsub : (s + 1) * dsub])
+            for i, rv in enumerate(seed_resids)
+        ]
+        for s in range(PQ_M)
+    ]
+    cached = emb.cache()
+    try:
+        for _ in range(KMEANS_ITERS):
+            partials = cached.select("embedding").mapInPandas(
+                pq_partial_mapper(books, cent_rows=cent_rows),
+                PQ_PARTIAL_SCHEMA,
+            )
+            rows = partials.collect()
+            books = [
+                merge_centroid_partials(
+                    [r for r in rows if int(r["sub"]) == s]
+                )
+                for s in range(PQ_M)
+            ]
+    finally:
+        cached.unpersist()
+    with _CENTROID_LOCK:
+        for k in [k for k in _RESID_PQ_CACHE if k[0] == sf_dir and k != key]:
+            del _RESID_PQ_CACHE[k]
+        _RESID_PQ_CACHE[key] = books
+    return books
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC search (Jégou et al. IVFPQ — the billion-scale Faiss mode):
+    coarse quantizer restricts each probe to its NPROBE inverted lists,
+    residual PQ codes score candidates by lookup. Under inner product
+    ⟨q, c + r⟩ = ⟨q, c⟩ + ⟨q, r⟩, so the residual ADC tables are built
+    from q once per probe (cell-independent) and only the scalar coarse
+    term ⟨q, c⟩ varies per probed cell.
+
+    Pipeline: ONE fused encode pass (assign cell → residualize → PQ-encode,
+    `pq_encode_mapper(cent_rows=…)`) emits the (vec_id, cell_id, codes)
+    posting list; ONE ADC scan (`ivfpq_adc_mapper`) scores only rows whose
+    cell is probed, with batch-local top-k; a final rank window runs over
+    ≤ batches×probes×k slim rows. The corpus vectors never move after the
+    encode pass — the scan ships m ints + a cell id per vector.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    books = trained_residual_codebooks(spark, sf_dir)
+    codes = emb.mapInPandas(
+        pq_encode_mapper(books, cent_rows=cent_rows), PQ_RESID_ENCODE_SCHEMA
+    )
+    probe_rows = sorted(
+        emb.filter(F.col("vec_id") < N_PROBES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    dsub = len(books[0][0][1])
+    qids, tables, probe_cells, cell_bias = [], [], [], []
+    for r in probe_rows:
+        q = [float(x) for x in r["embedding"]]
+        qids.append(int(r["vec_id"]))
+        ranked = sorted(
+            ((_fold_cos(cvec, q), cid, cvec) for cid, cvec in cent_rows),
+            key=lambda t: (-t[0], t[1]),
+        )[:NPROBE]
+        probe_cells.append([cid for _c, cid, _v in ranked])
+        cell_bias.append([_fold_dot(cvec, q) for _c, _cid, cvec in ranked])
+        t = []
+        for s, cb in enumerate(books):
+            row = [0.0] * (PQ_CODES + 1)
+            qs = q[s * dsub : (s + 1) * dsub]
+            for code_id, cvec in cb:
+                row[int(code_id)] = _fold_dot(qs, cvec)
+            t.append(row)
+        tables.append(t)
+    cand = codes.mapInPandas(
+        ivfpq_adc_mapper(tables, qids, probe_cells, cell_bias, IVF_K),
+        PQ_ADC_SCHEMA,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 9).alias("score_ivfpq"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _ivfpq_sql(dim: int = IVF_SQL_DIM) -> str:
+    """Full IVFADC replay: coarse training → assignment → residual relation
+    → per-subspace residual-codebook training → encode → probed-cell ADC
+    scoring with the literal bias + t1 + … + tm left-assoc sum."""
+    dsub = dim // PQ_M
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
+    parts = [
+        train_ctes,
+        f"""cassign AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {cent} c
+),
+assigned AS (SELECT vec_id, embedding, cell_id FROM cassign WHERE rn = 1),
+resid AS (
+  SELECT a.vec_id, a.cell_id,
+         list_transform(list_zip(a.embedding, c.c_emb), p -> p[1] - p[2])
+           AS embedding
+  FROM assigned a JOIN {cent} c ON c.cell_id = a.cell_id
+)""",
+    ]
+    rcents = []
+    for s in range(PQ_M):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"rsub{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
+            f"FROM resid)"
+        )
+        ctes, rcent = train_sql_ctes(
+            f"rsub{s}", dim=dsub, prefix=f"r{s}_", k_sql=str(PQ_CODES)
+        )
+        parts.append(ctes)
+        ca = cosine_sql("c.c_emb", "e.embedding")
+        parts.append(
+            f"""renc{s} AS (
+  SELECT e.vec_id, c.cell_id AS code,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {ca} DESC, c.cell_id ASC) AS rn
+  FROM rsub{s} e CROSS JOIN {rcent} c
+),
+rcode{s} AS (SELECT vec_id, code FROM renc{s} WHERE rn = 1)"""
+        )
+        rcents.append(rcent)
+    qc = dot_sql("c.c_emb", "p.q")
+    qcos = cosine_sql("c.c_emb", "p.q")
+    parts.append(
+        f"""probes AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+pcells AS (
+  SELECT query_id, cell_id, qc FROM (
+    SELECT p.query_id, c.cell_id, {qc} AS qc,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {qcos} DESC, c.cell_id ASC) AS rn
+    FROM probes p CROSS JOIN {cent} c
+  ) t WHERE rn <= {NPROBE}
+)"""
+    )
+    joins = "\n  ".join(
+        f"JOIN rcode{s} ON rcode{s}.vec_id = a.vec_id "
+        f"JOIN {rcents[s]} rcb{s} ON rcb{s}.cell_id = rcode{s}.code"
+        for s in range(PQ_M)
+    )
+    terms = " + ".join(
+        f"({dot_sql(f'p.q[{s * dsub + 1}:{(s + 1) * dsub}]', f'rcb{s}.c_emb')})"
+        for s in range(PQ_M)
+    )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         pc.qc + {terms} AS score
+  FROM probes p
+  JOIN pcells pc ON pc.query_id = p.query_id
+  JOIN assigned a ON a.cell_id = pc.cell_id AND a.vec_id <> p.query_id
+  {joins}
+)
+SELECT query_id, neighbor_id, ROUND(score, 9) AS score_ivfpq, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT)
+    AS rank
+  FROM scored
+) t WHERE rank <= {IVF_K}
+"""
+
+
 QUERIES = {
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivf_add_batch": ann_ivf_add_batch,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -738,6 +1003,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_pq_topk": _pq_sql(),
+    "ann_ivfpq_topk": _ivfpq_sql(),
     "ann_ivf_add_batch": _add_batch_sql(),
     "ann_bruteforce_topk": _bruteforce_sql(),
     "ann_ivf_topk": _ivf_sql(),

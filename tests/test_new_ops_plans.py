@@ -227,6 +227,84 @@ class TestProductQuantization:
         assert pq & bf
 
 
+class TestIvfPq:
+    def test_posting_list_cells_match_ivf_assignment(self, spark):
+        # the fused encode pass's cell column must equal the IVF rn=1
+        # assignment — one model, two code paths
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.functions.vectors import (
+            PQ_RESID_ENCODE_SCHEMA,
+            pq_encode_mapper,
+        )
+        from dbsurveyor_spark.operators import similarity
+
+        emb = load_table(spark, SF, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        cent = similarity.trained_centroid_rows(spark, SF)
+        books = similarity.trained_residual_codebooks(spark, SF)
+        posting = {
+            r.vec_id: r.cell_id
+            for r in emb.mapInPandas(
+                pq_encode_mapper(books, cent_rows=cent),
+                PQ_RESID_ENCODE_SCHEMA,
+            ).collect()
+        }
+        assigned = {
+            r.vec_id: r.cell_id
+            for r in similarity.rank_cells(emb, cent, 1)
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        assert posting == assigned
+
+    def test_ivfpq_results_within_probed_cells(self, spark):
+        # every reported neighbor must live in one of its query's NPROBE
+        # probed cells (the inverted-list restriction), and ranks are 1..k
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import similarity
+
+        emb = load_table(spark, SF, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        cent = similarity.trained_centroid_rows(spark, SF)
+        cells = {
+            (r.vec_id, r.cell_id)
+            for r in similarity.rank_cells(emb, cent, similarity.NPROBE)
+            .collect()
+        }
+        assigned = {
+            r.vec_id: r.cell_id
+            for r in similarity.rank_cells(emb, cent, 1)
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        res = similarity.ann_ivfpq_topk(spark, SF).collect()
+        assert res
+        by_q = {}
+        for r in res:
+            assert (r.query_id, assigned[r.neighbor_id]) in cells
+            assert r.neighbor_id != r.query_id
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    def test_ivfpq_overlaps_ivf(self, spark):
+        # residual coding refines, not scrambles: the IVFADC top-k must
+        # intersect the uncompressed IVF top-k over the same probed cells
+        from dbsurveyor_spark.operators import similarity
+
+        pq = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_ivfpq_topk(spark, SF).collect()
+        }
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_ivf_topk(spark, SF).collect()
+        }
+        assert pq & ivf
+
+
 class TestTrainingDeterminism:
     def test_pq_codebooks_invariant_under_partitioning(self, spark):
         # integer-unit partial sums merge exactly, so the trained model
