@@ -881,7 +881,82 @@ WHERE rk <= {TOP_VALUES_K}
 """
 
 
+# ---------------------------------------------------------- temporal profile
+
+# (table, column, is_timestamp) — the date/timestamp columns a collector
+# profiles for freshness/retention sizing (the temporal counterpart of the
+# VARCHAR length stats: what's the span, how dense is the calendar?).
+_TEMPORAL_COLS = (
+    ("orders", "o_orderdate", False),
+    ("lineitem", "l_shipdate", False),
+    ("events", "ts", True),
+)
+
+
+def survey_temporal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-date/timestamp-column temporal profile: min/max (ISO), span in
+    days, non-null count, distinct calendar days — the retention/partition
+    sizing statistics a live collector reads from catalogs and a lake
+    engine computes (extension of `batch_collection.rs` statistics,
+    alongside the string/numeric profilers).
+
+    One aggregate per TABLE (columns of the same table share a scan, all
+    map-side combinable; the multi-distinct Expand state is bounded by
+    |distinct days| ≈ a few thousand rows per column at any corpus size).
+    Dates emit as ISO strings (engine-portable), spans via datediff.
+    """
+    by_table: dict[str, list[tuple[str, bool]]] = {}
+    for t, c, is_ts in _TEMPORAL_COLS:
+        by_table.setdefault(t, []).append((c, is_ts))
+    frames = []
+    for t, cols in by_table.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = []
+        for c, is_ts in cols:
+            d = F.to_date(F.col(c)) if is_ts else F.col(c)
+            aggs += [
+                F.date_format(F.min(d), "yyyy-MM-dd").alias(f"{c}__mn"),
+                F.date_format(F.max(d), "yyyy-MM-dd").alias(f"{c}__mx"),
+                F.datediff(F.max(d), F.min(d)).cast("bigint").alias(
+                    f"{c}__span"
+                ),
+                F.count(F.col(c)).alias(f"{c}__n"),
+                F.count_distinct(d).cast("bigint").alias(f"{c}__days"),
+            ]
+        one = df.agg(*aggs)
+        entries = [
+            F.struct(
+                F.lit(t).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__mn").alias("min_value"),
+                F.col(f"{c}__mx").alias("max_value"),
+                F.col(f"{c}__span").alias("span_days"),
+                F.col(f"{c}__n").alias("n_nonnull"),
+                F.col(f"{c}__days").alias("distinct_days"),
+            )
+            for c, _ in cols
+        ]
+        frames.append(one.select(F.inline(F.array(*entries))))
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _temporal_profile_sql() -> str:
+    parts = []
+    for t, c, is_ts in _TEMPORAL_COLS:
+        d = f"CAST({c} AS DATE)" if is_ts else c
+        parts.append(f"""
+SELECT '{t}' AS table_name, '{c}' AS column_name,
+  strftime(MIN({d}), '%Y-%m-%d') AS min_value,
+  strftime(MAX({d}), '%Y-%m-%d') AS max_value,
+  CAST(date_diff('day', MIN({d}), MAX({d})) AS BIGINT) AS span_days,
+  CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+  CAST(COUNT(DISTINCT {d}) AS BIGINT) AS distinct_days
+FROM {t}""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
+    "survey_temporal_profile": survey_temporal_profile,
     "survey_string_stats": survey_string_stats,
     "survey_numeric_moments": survey_numeric_moments,
     "survey_top_values": survey_top_values,
@@ -897,6 +972,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "survey_temporal_profile": _temporal_profile_sql(),
     "survey_string_stats": _string_stats_sql(),
     "survey_numeric_moments": _moments_sql(),
     "survey_top_values": _top_values_sql(),

@@ -1126,7 +1126,172 @@ FROM agg
 """
 
 
+# ------------------------------------------------- distribution drift (PSI)
+
+# Population Stability Index between a reference period and the current
+# period — the standard train/serve (or month-over-month) drift gate a data
+# pipeline runs before trusting a refreshed feed. (PSI over fixed equi-width
+# buckets: Σ (p_cur − p_ref)·ln(p_cur/p_ref); ≥0.2 = action threshold —
+# classic credit-scoring monitoring practice, public literature.)
+PSI_BUCKETS = 10
+PSI_DRIFT_T = 0.2
+# (table, value column, period column, period col is timestamp, split date —
+# chosen inside each table's own span so both periods are non-empty: events
+# cover one month of 2024, orders span 1995..2001)
+# Last element: deterministic drift injected into the CURRENT period (the
+# synthetic lake is drift-free, so — like the dirtied completeness view —
+# one monitored column is shifted in-query in BOTH engines to keep the
+# detector non-vacuous: events.value + 100 post-split must trip the flag).
+PSI_COLS = (
+    ("events", "value", "ts", True, "2024-01-16", 100.0),
+    ("orders", "o_totalprice", "o_orderdate", False, "1999-01-01", 0.0),
+)
+
+
+def quality_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift per monitored column: rows before the split date are the
+    reference distribution, rows at/after it the current one; both
+    histogram into PSI_BUCKETS equi-width buckets over the GLOBAL min/max.
+
+    Plan per column: one pruned scan → 1-row bounds aggregate broadcast
+    back (cross join) → bucket index → ≤B-row conditional-count aggregate
+    (map-side combinable; shuffle carries partitions×B partial rows) → the
+    PSI arithmetic runs on the B-row metadata frame joined to a generated
+    bucket spine (empty buckets participate via Laplace smoothing
+    (cnt+0.5)/(n+B/2), so ln never sees zero). Per-bucket terms round to
+    9 decimals then sum in DECIMAL — order-free, engine-identical.
+    """
+    frames = []
+    for t, vc, pc, is_ts, psi_split, shift in PSI_COLS:
+        split = (
+            F.lit(psi_split + " 00:00:00").cast("timestamp")
+            if is_ts
+            else F.lit(psi_split).cast("date")
+        )
+        base = (
+            load_table(spark, sf_dir, t)
+            .select(
+                (
+                    F.col(vc).cast("double")
+                    + F.when(F.col(pc) < split, F.lit(0.0)).otherwise(
+                        F.lit(float(shift))
+                    )
+                ).alias("v"),
+                (F.col(pc) < split).alias("is_ref"),
+            )
+            .filter(F.col("v").isNotNull())
+        )
+        bounds = base.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        binned = base.crossJoin(F.broadcast(bounds)).select(
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.least(
+                    F.lit(PSI_BUCKETS - 1),
+                    F.floor(
+                        (F.col("v") - F.col("mn"))
+                        / ((F.col("mx") - F.col("mn")) / F.lit(float(PSI_BUCKETS)))
+                    ).cast("bigint"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("bucket"),
+            "is_ref",
+        )
+        counts = binned.groupBy("bucket").agg(
+            F.sum(F.col("is_ref").cast("bigint")).alias("ref_cnt"),
+            F.sum((~F.col("is_ref")).cast("bigint")).alias("cur_cnt"),
+        )
+        spine = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+        filled = spine.join(counts, "bucket", "left").select(
+            "bucket",
+            F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+        )
+        tot = filled.agg(
+            F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
+        )
+        sm = F.lit(PSI_BUCKETS / 2.0)
+        pr = (F.col("ref_cnt") + F.lit(0.5)) / (F.col("n_ref") + sm)
+        pcur = (F.col("cur_cnt") + F.lit(0.5)) / (F.col("n_cur") + sm)
+        term = F.round((pcur - pr) * F.log(pcur / pr), 9)
+        frames.append(
+            filled.crossJoin(F.broadcast(tot))
+            .select(
+                term.cast("decimal(30,9)").alias("term"), "n_ref", "n_cur"
+            )
+            .groupBy()
+            .agg(
+                F.lit(t).alias("table_name"),
+                F.lit(vc).alias("column_name"),
+                F.first("n_ref").cast("bigint").alias("n_ref"),
+                F.first("n_cur").cast("bigint").alias("n_cur"),
+                F.round(F.sum("term").cast("double"), 9).alias("psi"),
+                (
+                    F.round(F.sum("term").cast("double"), 9)
+                    >= F.lit(PSI_DRIFT_T)
+                )
+                .cast("int")
+                .alias("drift_flag"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _distribution_psi_sql() -> str:
+    parts = []
+    for t, vc, pc, is_ts, psi_split, shift in PSI_COLS:
+        split = (
+            f"TIMESTAMP '{psi_split} 00:00:00'" if is_ts else f"DATE '{psi_split}'"
+        )
+        vexpr = (
+            f"CAST({vc} AS DOUBLE) + "
+            f"(CASE WHEN {pc} < {split} THEN 0.0 ELSE {float(shift)} END)"
+        )
+        parts.append(f"""
+SELECT '{t}' AS table_name, '{vc}' AS column_name, n_ref, n_cur,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(30,9))) AS DOUBLE), 9) AS psi,
+       CAST(ROUND(CAST(SUM(CAST(term AS DECIMAL(30,9))) AS DOUBLE), 9)
+            >= {PSI_DRIFT_T} AS INT) AS drift_flag
+FROM (
+  SELECT f.bucket, f.ref_cnt, f.cur_cnt, tt.n_ref, tt.n_cur,
+         ROUND(((f.cur_cnt + 0.5) / (tt.n_cur + {PSI_BUCKETS / 2.0})
+                - (f.ref_cnt + 0.5) / (tt.n_ref + {PSI_BUCKETS / 2.0}))
+               * ln(((f.cur_cnt + 0.5) / (tt.n_cur + {PSI_BUCKETS / 2.0}))
+                    / ((f.ref_cnt + 0.5) / (tt.n_ref + {PSI_BUCKETS / 2.0}))),
+               9) AS term
+  FROM (
+    SELECT s.bucket,
+           COALESCE(c.ref_cnt, 0) AS ref_cnt,
+           COALESCE(c.cur_cnt, 0) AS cur_cnt
+    FROM (SELECT unnest(range({PSI_BUCKETS})) AS bucket) s
+    LEFT JOIN (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+      FROM (
+        SELECT CASE WHEN b.mx > b.mn THEN LEAST({PSI_BUCKETS - 1},
+                 CAST(FLOOR((v.v - b.mn) / ((b.mx - b.mn) / {float(PSI_BUCKETS)}))
+                      AS BIGINT))
+               ELSE 0 END AS bucket, v.is_ref
+        FROM (SELECT {vexpr} AS v, ({pc} < {split}) AS is_ref
+              FROM {t} WHERE {vc} IS NOT NULL) v,
+             (SELECT MIN({vexpr}) AS mn,
+                     MAX({vexpr}) AS mx
+              FROM {t} WHERE {vc} IS NOT NULL) b
+      ) bb GROUP BY bucket
+    ) c ON c.bucket = s.bucket
+  ) f,
+  (SELECT CAST(SUM(CASE WHEN {pc} < {split} THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ref,
+          CAST(SUM(CASE WHEN {pc} < {split} THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_cur
+   FROM {t} WHERE {vc} IS NOT NULL) tt
+) z GROUP BY n_ref, n_cur""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
+    "quality_distribution_psi": quality_distribution_psi,
     "quality_timeliness": quality_timeliness,
     "quality_balance_check": quality_balance_check,
     "quality_completeness": quality_completeness,
@@ -1139,6 +1304,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_distribution_psi": _distribution_psi_sql(),
     "quality_balance_check": BALANCE_SQL,
     "quality_timeliness": _timeliness_sql(),
     "quality_referential_integrity": _referential_integrity_sql(),
