@@ -644,7 +644,192 @@ FROM stats WHERE ABS(ROUND(z, 9)) > {VOLUME_Z}
 """
 
 
+# -------------------------------------------------------- SCD2 state history
+
+# The events table read as a changelog: each event sets its user's current
+# "state" (event_type). scd2_user_state reconstructs the type-2 dimension
+# history a warehouse keeps for such a feed.
+
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history per user: consecutive
+    same-state events collapse, each CHANGE opens a validity interval
+    [valid_from, valid_to) closed by the next change (valid_to NULL +
+    is_current=1 for the open row) — the standard warehouse
+    state-reconstruction over a changelog.
+
+    Plan: one shuffle on user_id; change detection (lag), interval close
+    (lead over the filtered change rows), and the current flag are all
+    windows over that same partitioning — no second exchange, no
+    driver-side iteration, partition size bounded by per-user history.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
+    )
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = events.withColumn(
+        "prev_state", F.lag("state").over(order_w)
+    ).filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    return changed.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(order_w).alias("valid_to"),
+        F.lead("ts").over(order_w).isNull().cast("int").alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         lag(event_type) OVER w AS prev_state
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, ts, event_id, state FROM ordered
+  WHERE prev_state IS NULL OR prev_state <> state
+)
+SELECT user_id, state, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ----------------------------------------------------- late-data accounting
+
+# Arrival order is the event_id sequence (the ingest log's own order); the
+# watermark before each event is the max event-time already ingested. The
+# lateness histogram is what you read to size a streaming job's watermark
+# delay / allowed lateness. The synthetic feed arrives exactly in event-time
+# order, so — like every dirtied-in-query check here — deterministic
+# ARRIVAL DISORDER is injected in both engines: selected events are pushed
+# N positions later in the arrival sequence (_LATE_DELAYS), making their
+# event-times older than the watermark by N inter-event gaps.
+LATE_BLOCK = 4096  # two-level prefix-max block size (see docstring)
+_LATE_DELAYS = ((31, 200), (17, 5), (23, 1))  # (event_id modulus, delay)
+_ARRIVAL_SQL = "event_id + (CASE " + " ".join(
+    f"WHEN event_id % {m} = 0 THEN {d}" for m, d in _LATE_DELAYS
+) + " ELSE 0 END)"
+LATE_BUCKETS = (
+    ("on_time", 0.0),
+    ("lt_1m", 60.0),
+    ("lt_5m", 300.0),
+    ("lt_30m", 1800.0),
+    ("gte_30m", None),
+)
+
+
+def stream_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness accounting: for each event, lateness = (max
+    event-time among earlier-ARRIVING events) − its own event-time, bucketed
+    into the delay histogram that sizes `withWatermark` / allowed-lateness.
+
+    A global running max over arrival order is inherently sequential, so it
+    computes as a TWO-LEVEL prefix max (the scan-friendly parallel-prefix
+    shape): per-block max (one map-side aggregate, |blocks| rows) → running
+    max over the metadata-sized block frame (single-partition window over
+    |n|/B rows, like every other aggregate-level window here) → broadcast
+    back → within-block running max (window partitioned by block, ≤B rows
+    per partition). No data-sized single-partition window anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(_ARRIVAL_SQL).alias("arrival_key"),
+        "event_id",
+        F.col("ts").cast("double").alias("t"),
+    )
+    ev = ev.select(
+        F.expr(f"arrival_key div {LATE_BLOCK}").alias("block"),
+        "arrival_key",
+        "event_id",
+        "t",
+    )
+    bmax = ev.groupBy("block").agg(F.max("t").alias("bm"))
+    prev_w = Window.orderBy("block").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = bmax.select(
+        "block", F.max("bm").over(prev_w).alias("prev_blocks_max")
+    )
+    in_w = (
+        Window.partitionBy("block")
+        .orderBy("arrival_key", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_wm = (
+        ev.join(F.broadcast(prefix), "block")
+        .withColumn("in_block_prev", F.max("t").over(in_w))
+        .withColumn(
+            "wm", F.greatest(F.col("prev_blocks_max"), F.col("in_block_prev"))
+        )
+    )
+    late = F.when(
+        F.col("wm").isNotNull() & (F.col("wm") > F.col("t")),
+        F.col("wm") - F.col("t"),
+    ).otherwise(F.lit(0.0))
+    bucket = F.when(late <= F.lit(0.0), F.lit("on_time"))
+    for name, ub in LATE_BUCKETS[1:]:
+        bucket = (
+            bucket.when(late <= F.lit(ub), F.lit(name))
+            if ub is not None
+            else bucket.otherwise(F.lit(name))
+        )
+    agg = with_wm.select(bucket.alias("bucket"), late.alias("late_sec")).groupBy(
+        "bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("late_sec"), 6).alias("max_late_sec"),
+    )
+    tot_w = Window.partitionBy()
+    return agg.select(
+        "bucket",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(tot_w), 9
+        ).alias("share"),
+        "max_late_sec",
+    )
+
+
+def _late_data_sql() -> str:
+    cases = ["WHEN late <= 0.0 THEN 'on_time'"]
+    for name, ub in LATE_BUCKETS[1:]:
+        if ub is not None:
+            cases.append(f"WHEN late <= {ub} THEN '{name}'")
+        else:
+            cases.append(f"ELSE '{name}'")
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH wm AS (
+  SELECT epoch(ts) AS t,
+         MAX(epoch(ts)) OVER (ORDER BY {_ARRIVAL_SQL}, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS w
+  FROM events
+),
+lateness AS (
+  SELECT CASE WHEN w IS NOT NULL AND w > t THEN w - t ELSE 0.0 END AS late
+  FROM wm
+),
+agg AS (
+  SELECT {case} AS bucket, COUNT(*) AS n_events,
+         ROUND(MAX(late), 6) AS max_late_sec
+  FROM lateness GROUP BY 1
+)
+SELECT bucket, n_events,
+       ROUND(CAST(n_events AS DOUBLE) / SUM(n_events) OVER (), 9) AS share,
+       max_late_sec
+FROM agg
+"""
+
+
 QUERIES = {
+    "scd2_user_state": scd2_user_state,
+    "stream_late_data_report": stream_late_data_report,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_topk_trending": stream_topk_trending,
     "stream_volume_anomaly": stream_volume_anomaly,
@@ -654,6 +839,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scd2_user_state": SCD2_SQL,
+    "stream_late_data_report": _late_data_sql(),
     "stream_tumbling_counts": TUMBLING_SQL,
     "stream_topk_trending": TRENDING_SQL,
     "stream_volume_anomaly": VOLUME_ANOMALY_SQL,
