@@ -37,9 +37,11 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "dedup_substring",
     "dedup_embedding_cosine",
+    "split_leakage_neardup",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "ann_recall_report",
     "text_stats",
     "text_repetition",
@@ -48,6 +50,8 @@ HEADLINE = [
     "survey_numeric_histogram",
     "stream_sessionization",
     "stream_dedup_events",
+    "stream_late_data_report",
+    "quality_distribution_psi",
     "asof_join_events_orders",
     "funnel_conversion",
     "event_transitions",
@@ -162,6 +166,7 @@ def main() -> None:
     from dbsurveyor_spark.operators.similarity import (
         trained_centroid_rows,
         trained_pq_codebooks,
+        trained_residual_codebooks,
     )
 
     timings: dict[str, float] = {}
@@ -188,6 +193,9 @@ def main() -> None:
         t0 = time.perf_counter()
         trained_pq_codebooks(spark, sf_dir)
         out["pq_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        trained_residual_codebooks(spark, sf_dir)
+        out["ivfpq_index_build"] = round(time.perf_counter() - t0, 3)
         for key in HEADLINE:
             if key not in qs:
                 continue

@@ -729,6 +729,67 @@ SELECT query_id, neighbor_id, ROUND(score, 9) AS score_pq, rank FROM (
 """
 
 
+# --------------------------------------------------- embedding outlier scan
+
+# Vectors whose cosine to their own (nearest) trained centroid falls below
+# this are far from EVERY cluster — embedding-space noise. On this corpus
+# the threshold sits at ≈ the 5th percentile of the distance-to-centroid
+# distribution (measured; min 0.156, p5 0.229, median 0.348).
+OUTLIER_COS_T = 0.23
+
+
+def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space noise detection for corpus curation: vectors whose
+    similarity to their ASSIGNED (nearest) IVF centroid is below
+    OUTLIER_COS_T — by definition of the assignment, these are far from
+    every cluster center, i.e. the mis-embedded/garbage rows an
+    embedding-based curation pass quarantines before training.
+
+    Plan: the memoized coarse quantizer's ONE streaming assignment pass
+    (`rank_cells`, rn=1), a slim join to re-attach the vector, a broadcast
+    k-row centroid join, one Arrow cosine per vector, filter. No shuffle
+    beyond the vec_id join; model state rides in closures/broadcast.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+        "cell_id bigint, c_emb array<double>",
+    )
+    assigned = (
+        rank_cells(emb, cent_rows, 1)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    cos = cosine_rounded_arrow(F.col("embedding"), F.col("c_emb"))
+    return (
+        assigned.join(emb, "vec_id")
+        .join(F.broadcast(cdf), "cell_id")
+        .select("vec_id", "cell_id", cos.alias("cos_to_centroid"))
+        .filter(F.col("cos_to_centroid") < OUTLIER_COS_T)
+    )
+
+
+def _embedding_outlier_sql(dim: int = IVF_SQL_DIM) -> str:
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    cos_out = cosine_rounded_sql("c.c_emb", "e.embedding")
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
+    return f"""
+WITH {train_ctes},
+final AS (
+  SELECT e.vec_id, c.cell_id, {cos_out} AS cos_to_centroid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {cent} c
+)
+SELECT vec_id, cell_id, cos_to_centroid
+FROM final WHERE rn = 1 AND cos_to_centroid < {OUTLIER_COS_T}
+"""
+
+
 # ------------------------------------------------------- IVFADC (IVF + PQ)
 
 # Residual PQ codebooks (IVFPQ model state): trained on x − c(x) over the
@@ -997,6 +1058,7 @@ QUERIES = {
     "ann_ivf_add_batch": ann_ivf_add_batch,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_outlier_report": embedding_outlier_report,
     "embed_cluster_report": embed_cluster_report,
     "ann_recall_report": ann_recall_report,
 }
@@ -1007,6 +1069,7 @@ ORACLES = {
     "ann_ivf_add_batch": _add_batch_sql(),
     "ann_bruteforce_topk": _bruteforce_sql(),
     "ann_ivf_topk": _ivf_sql(),
+    "embedding_outlier_report": _embedding_outlier_sql(),
     "embed_cluster_report": _cluster_report_sql(),
     "ann_recall_report": _recall_sql(),
 }
