@@ -378,6 +378,89 @@ FROM agg
 """
 
 
+# Temperature for exponentiated (temperature) sampling of language shares:
+# target share w_g ∝ T_g^(1/τ) — the mT5/XLM-R multilingual rebalancing
+# rule (τ=2 → sqrt weighting: big languages damped, small ones boosted,
+# but never upsampled past their data under the downsample-only planner).
+MIX_PLAN_TAU = 2.0
+
+
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture PLAN as an auditable query: per language, available
+    tokens, temperature-sampled target share (τ=MIX_PLAN_TAU), the
+    downsample-only keep rate (binding group pinned at 1.0 — same math as
+    `plan_corpus_mix`), expected kept tokens, and the achieved share.
+
+    Everything after the one groupBy(lang) token aggregate is window
+    arithmetic over the |langs|-row metadata frame: w_g = T_g^(1/τ)/Σ,
+    r_g = (w_g/T_g)/max(w/T), expected = floor(T_g·r_g). The resulting
+    rates feed the same hash-Bernoulli filters as sample_weighted_mix.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    avail = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("avail")
+    )
+    w = Window.partitionBy()
+    weight = F.pow(F.col("avail").cast("double"), 1.0 / MIX_PLAN_TAU)
+    planned = (
+        avail.withColumn("weight", weight)
+        .withColumn("target_share", F.col("weight") / F.sum("weight").over(w))
+        .withColumn("ratio", F.col("target_share") / F.col("avail"))
+        .withColumn("keep_rate", F.col("ratio") / F.max("ratio").over(w))
+        .withColumn(
+            "expected_tokens",
+            F.floor(F.col("avail") * F.col("keep_rate")).cast("bigint"),
+        )
+        .withColumn(
+            "achieved_share",
+            F.col("expected_tokens")
+            / F.sum("expected_tokens").over(w).cast("double"),
+        )
+    )
+    return planned.select(
+        "lang",
+        F.col("avail").alias("available_tokens"),
+        F.round("target_share", 9).alias("target_share"),
+        F.round("keep_rate", 9).alias("keep_rate"),
+        "expected_tokens",
+        F.round("achieved_share", 6).alias("achieved_share"),
+    )
+
+
+MIX_PLAN_SQL = f"""
+WITH avail AS (
+  SELECT lang, CAST(SUM(len({tokens_sql("text")})) AS BIGINT) AS avail
+  FROM documents GROUP BY lang
+),
+weighted AS (
+  SELECT lang, avail,
+         pow(CAST(avail AS DOUBLE), 1.0 / {MIX_PLAN_TAU}) AS weight
+  FROM avail
+),
+shares AS (
+  SELECT lang, avail, weight / SUM(weight) OVER () AS target_share
+  FROM weighted
+),
+rates AS (
+  SELECT lang, avail, target_share, ratio,
+         ratio / MAX(ratio) OVER () AS keep_rate
+  FROM (SELECT *, target_share / avail AS ratio FROM shares) t
+),
+expected AS (
+  SELECT lang, avail, target_share, keep_rate,
+         CAST(FLOOR(avail * keep_rate) AS BIGINT) AS expected_tokens
+  FROM rates
+)
+SELECT lang, avail AS available_tokens,
+       ROUND(target_share, 9) AS target_share,
+       ROUND(keep_rate, 9) AS keep_rate,
+       expected_tokens,
+       ROUND(expected_tokens / CAST(SUM(expected_tokens) OVER () AS DOUBLE), 6)
+         AS achieved_share
+FROM expected
+"""
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: the composed decision pipeline an LLM data team
     runs before training, as ONE declarative plan —
@@ -698,6 +781,7 @@ QUERIES = {
     "split_leakage_report": split_leakage_report,
     "split_leakage_neardup": split_leakage_neardup,
     "corpus_mix_report": corpus_mix_report,
+    "corpus_mix_plan": corpus_mix_plan,
     "corpus_curation": corpus_curation,
     "text_pii_scan": text_pii_scan,
 }
@@ -709,4 +793,5 @@ ORACLES = {
     "split_leakage_report": SPLIT_LEAKAGE_SQL,
     "split_leakage_neardup": _split_leakage_neardup_sql(),
     "corpus_mix_report": MIX_REPORT_SQL,
+    "corpus_mix_plan": MIX_PLAN_SQL,
 }

@@ -881,6 +881,74 @@ WHERE rk <= {TOP_VALUES_K}
 """
 
 
+# --------------------------------------------------------- join cardinality
+
+
+def survey_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FK-edge join fan-out statistics: child rows, distinct keys,
+    avg/max children per key, and the skew ratio (max/avg) — the numbers
+    that decide a join strategy at 100 TB (broadcast vs shuffle, whether a
+    key needs salting, what AQE's skew threshold will see). A live-DB
+    collector reads these from planner statistics; a lake engine computes
+    them.
+
+    Plan per edge: ONE pruned scan → groupBy(key) count (map-side
+    combinable) → a single-row aggregate over the per-key counts. Nothing
+    data-sized crosses a second exchange; the parent side is only counted
+    (row count via its own 1-row agg).
+    """
+    frames = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        per_key = (
+            load_table(spark, sf_dir, ct)
+            .select(F.col(cc).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        stats = per_key.agg(
+            F.sum("n").cast("bigint").alias("child_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_keys"),
+            F.max("n").cast("bigint").alias("max_per_key"),
+        )
+        parent_rows = (
+            load_table(spark, sf_dir, pt)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("parent_rows"))
+        )
+        avg = F.col("child_rows").cast("double") / F.col("distinct_keys")
+        frames.append(
+            stats.crossJoin(parent_rows).select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_column"),
+                F.lit(pt).alias("parent_table"),
+                "child_rows",
+                "parent_rows",
+                "distinct_keys",
+                F.round(avg, 6).alias("avg_per_key"),
+                "max_per_key",
+                F.round(F.col("max_per_key") / avg, 6).alias("skew_ratio"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _join_cardinality_sql() -> str:
+    parts = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        parts.append(f"""
+SELECT '{ct}' AS child_table, '{cc}' AS child_column,
+       '{pt}' AS parent_table,
+       CAST(SUM(n) AS BIGINT) AS child_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {pt}) AS parent_rows,
+       CAST(COUNT(*) AS BIGINT) AS distinct_keys,
+       ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS avg_per_key,
+       CAST(MAX(n) AS BIGINT) AS max_per_key,
+       ROUND(MAX(n) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6) AS skew_ratio
+FROM (SELECT {cc} AS k, COUNT(*) AS n FROM {ct}
+      WHERE {cc} IS NOT NULL GROUP BY {cc}) t""")
+    return "\nUNION ALL\n".join(parts)
+
+
 # ---------------------------------------------------------- temporal profile
 
 # (table, column, is_timestamp) — the date/timestamp columns a collector
@@ -956,6 +1024,7 @@ FROM {t}""")
 
 
 QUERIES = {
+    "survey_join_cardinality": survey_join_cardinality,
     "survey_temporal_profile": survey_temporal_profile,
     "survey_string_stats": survey_string_stats,
     "survey_numeric_moments": survey_numeric_moments,
@@ -972,6 +1041,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "survey_join_cardinality": _join_cardinality_sql(),
     "survey_temporal_profile": _temporal_profile_sql(),
     "survey_string_stats": _string_stats_sql(),
     "survey_numeric_moments": _moments_sql(),
