@@ -713,7 +713,39 @@ FROM customer
 """
 
 
+def window_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST distribution windows: each customer's
+    account-balance standing within its nation — the relative-position
+    family (rank normalized to [0,1]; share of peers at-or-below) that
+    rank/ntile don't express. One shuffle on the partition key, both
+    functions over the same sort; deterministic c_custkey tie-break.
+    Ranks round to 9 so the double division is engine-stable.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 9).alias("balance_pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("balance_cume_dist"),
+    )
+
+
+PERCENT_RANK_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       ROUND(PERCENT_RANK() OVER w, 9) AS balance_pct_rank,
+       ROUND(CUME_DIST() OVER w, 9) AS balance_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 QUERIES = {
+    "window_percentile_rank": window_percentile_rank,
     "window_first_last_order": window_first_last_order,
     "groupingsets_sales": groupingsets_sales,
     "set_intersect_customers": set_intersect_customers,
@@ -734,6 +766,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_percentile_rank": PERCENT_RANK_SQL,
     "window_first_last_order": FIRST_LAST_SQL,
     "groupingsets_sales": GROUPINGSETS_SQL,
     "set_intersect_customers": SET_INTERSECT_SQL,

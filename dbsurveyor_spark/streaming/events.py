@@ -827,8 +827,83 @@ FROM agg
 """
 
 
+# ------------------------------------------------------------ path analysis
+
+PATH_LEN = 3
+PATH_TOP_K = 10
+
+
+def event_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most common PATH_LEN-step event-type sequences (product
+    analytics "path analysis" — the generalization of the fixed funnel to
+    discovered journeys): consecutive event triples per user, counted
+    corpus-wide with the distinct-user reach of each path.
+
+    Plan: one shuffle on user_id; lead() windows build the step sequence
+    in-scan (same codegen shape as the shingle pipeline — never an
+    interpreted array lambda); the (path) aggregate's state is bounded by
+    \\|event types\\|^PATH_LEN, and ranking runs over that metadata-sized
+    frame only. distinct-user reach dedups (path, user) BEFORE counting —
+    a two-level aggregate instead of count_distinct's Expand.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s2, s3 = F.lead("event_type", 1).over(w), F.lead("event_type", 2).over(w)
+    paths = (
+        ev.select(
+            "user_id",
+            F.concat_ws(">", F.col("event_type"), s2, s3).alias("path"),
+            s3.alias("_s3"),
+        )
+        .filter(F.col("_s3").isNotNull())
+        .select("user_id", "path")
+    )
+    per_user = paths.groupBy("path", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = per_user.groupBy("path").agg(
+        F.sum("n").cast("bigint").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    rank_w = Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return (
+        agg.withColumn("rank", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rank") <= PATH_TOP_K)
+        .select("rank", "path", "n_occurrences", "n_users")
+    )
+
+
+PATH_SQL = f"""
+WITH steps AS (
+  SELECT user_id,
+         event_type || '>' || lead(event_type, 1) OVER w
+                    || '>' || lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per_user AS (
+  SELECT path, user_id, COUNT(*) AS n
+  FROM steps WHERE s3 IS NOT NULL GROUP BY path, user_id
+),
+agg AS (
+  SELECT path, CAST(SUM(n) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per_user GROUP BY path
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path ASC)
+            AS BIGINT) AS rank,
+       path, n_occurrences, n_users
+FROM agg
+QUALIFY rank <= {PATH_TOP_K}
+"""
+
+
 QUERIES = {
     "scd2_user_state": scd2_user_state,
+    "event_path_analysis": event_path_analysis,
     "stream_late_data_report": stream_late_data_report,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_topk_trending": stream_topk_trending,
@@ -840,6 +915,7 @@ QUERIES = {
 
 ORACLES = {
     "scd2_user_state": SCD2_SQL,
+    "event_path_analysis": PATH_SQL,
     "stream_late_data_report": _late_data_sql(),
     "stream_tumbling_counts": TUMBLING_SQL,
     "stream_topk_trending": TRENDING_SQL,
