@@ -169,20 +169,25 @@ def main() -> None:
         trained_residual_codebooks,
     )
 
+    def _gc() -> None:
+        # Old-gen pauses land on whichever query happens to be running
+        # (observed: 11-21 s on queries that steadily time ~2 s). A GC at
+        # every query BOUNDARY costs ~0.1 s outside all timing windows and
+        # keeps multi-second pauses out of individual numbers — including
+        # the first-pass "queries" totals the round record keeps.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     passes = [timings] + [dict() for _ in range(STEADY_PASSES)]
     for i, out in enumerate(passes):
         # Start every timed pass (including the first — warmup allocates
-        # heavily too) from a quiet JVM: no stale cached blocks to evict
-        # mid-query, old-gen garbage collected now instead of during
-        # someone's timing window. (Observed: a single old-gen pause
-        # lands on whichever query is running — 11 s on a 0.6 s query.)
+        # heavily too) with no stale cached blocks to evict mid-query.
         spark.catalog.clearCache()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+        _gc()
         # One-time model state (the IVF coarse quantizer) is timed as its
         # own line item, like any ANN benchmark's build/search split: the
         # first pass pays the training, later passes show ~0 because the
@@ -199,6 +204,7 @@ def main() -> None:
         for key in HEADLINE:
             if key not in qs:
                 continue
+            _gc()
             t0 = time.perf_counter()
             qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[key] = round(time.perf_counter() - t0, 3)
