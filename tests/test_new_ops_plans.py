@@ -384,3 +384,138 @@ class TestSetOpsAndGroupingSets:
             counts = [n for _, n in sorted(qs)]
             assert len(counts) <= 4
             assert max(counts) - min(counts) <= 1  # NTILE balance invariant
+
+
+class TestRound4Additions:
+    """Plan discipline + invariants for the later round-4 operators."""
+
+    def test_scd2_single_exchange_no_python(self, spark):
+        from dbsurveyor_spark.streaming import events as ev
+
+        df = ev.scd2_user_state(spark, SF)
+        assert_no_python_eval(df)
+        # change detect + interval close + current flag share ONE shuffle
+        assert formatted_plan(df).count("Exchange (") == 1
+
+    def test_scd2_intervals_are_well_formed(self, spark):
+        from dbsurveyor_spark.streaming import events as ev
+
+        rows = ev.scd2_user_state(spark, SF).collect()
+        assert rows
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for user, ivs in by_user.items():
+            ivs.sort(key=lambda r: r.valid_from)
+            # exactly one open (current) interval per user, and it's last
+            currents = [r for r in ivs if r.is_current]
+            assert len(currents) == 1 and ivs[-1].is_current
+            for a, b in zip(ivs, ivs[1:]):
+                assert a.valid_to == b.valid_from  # contiguous history
+                assert a.state != b.state  # consecutive same-state collapsed
+
+    def test_late_data_no_global_window(self, spark):
+        from dbsurveyor_spark.streaming import events as ev
+
+        df = ev.stream_late_data_report(spark, SF)
+        assert_no_python_eval(df)
+        rows = {r.bucket: r for r in df.collect()}
+        # injected disorder must produce at least one late bucket
+        assert set(rows) - {"on_time"}
+        assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-6
+        assert rows["on_time"].max_late_sec == 0.0
+
+    def test_late_data_two_level_equals_global(self, spark):
+        # the two-level prefix max must reproduce the single-partition
+        # global-window reference bucket-for-bucket
+        from pyspark.sql import Window as W
+
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.streaming import events as ev
+
+        raw = load_table(spark, SF, "events").select(
+            F.expr(ev._ARRIVAL_SQL).alias("ak"),
+            "event_id",
+            F.col("ts").cast("double").alias("t"),
+        )
+        gw = W.orderBy("ak", "event_id").rowsBetween(W.unboundedPreceding, -1)
+        late = F.when(
+            F.col("wm").isNotNull() & (F.col("wm") > F.col("t")),
+            F.col("wm") - F.col("t"),
+        ).otherwise(F.lit(0.0))
+        bucket = F.when(F.col("late") <= 0.0, F.lit("on_time"))
+        for name, ub in ev.LATE_BUCKETS[1:]:
+            bucket = (
+                bucket.when(F.col("late") <= ub, F.lit(name))
+                if ub is not None
+                else bucket.otherwise(F.lit(name))
+            )
+        direct = {
+            r.bucket: (r.n, r.mx)
+            for r in raw.withColumn("wm", F.max("t").over(gw))
+            .withColumn("late", late)
+            .groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.max("late"), 6).alias("mx"),
+            )
+            .collect()
+        }
+        got = {
+            r.bucket: (r.n_events, r.max_late_sec)
+            for r in ev.stream_late_data_report(spark, SF).collect()
+        }
+        assert got == direct
+
+    def test_psi_no_python_flags_only_injected(self, spark):
+        from dbsurveyor_spark.survey import quality as q
+
+        df = q.quality_distribution_psi(spark, SF)
+        assert_no_python_eval(df)
+        rows = {r.column_name: r for r in df.collect()}
+        assert rows["value"].drift_flag == 1  # injected drift fires
+        assert rows["o_totalprice"].drift_flag == 0  # clean column quiet
+        for r in rows.values():
+            assert r.n_ref > 0 and r.n_cur > 0
+
+    def test_join_cardinality_invariants(self, spark):
+        from dbsurveyor_spark.survey import profile as p
+
+        df = p.survey_join_cardinality(spark, SF)
+        assert_no_python_eval(df)
+        for r in df.collect():
+            assert r.child_rows >= r.distinct_keys >= 1
+            assert r.max_per_key >= 1
+            assert r.skew_ratio >= 1.0 - 1e-9
+            assert abs(r.avg_per_key * r.distinct_keys - r.child_rows) < 1
+
+    def test_mix_plan_binding_group_and_shares(self, spark):
+        rows = pipeline.corpus_mix_plan(spark, SF).collect()
+        assert rows
+        rates = [r.keep_rate for r in rows]
+        assert max(rates) == 1.0  # binding group pinned
+        assert all(0.0 < r <= 1.0 for r in rates)
+        assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-6
+        assert abs(sum(r.achieved_share for r in rows) - 1.0) < 1e-3
+        for r in rows:
+            assert r.expected_tokens <= r.available_tokens
+
+    def test_path_analysis_bounded_rank_frame(self, spark):
+        from dbsurveyor_spark.streaming import events as ev
+
+        rows = ev.event_path_analysis(spark, SF).collect()
+        assert 0 < len(rows) <= ev.PATH_TOP_K
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+            range(1, len(rows) + 1)
+        )
+        for r in rows:
+            assert r.path.count(">") == ev.PATH_LEN - 1
+            assert 1 <= r.n_users <= r.n_occurrences
+
+    def test_embedding_outliers_below_threshold(self, spark):
+        from dbsurveyor_spark.operators import similarity as sim
+
+        rows = sim.embedding_outlier_report(spark, SF).collect()
+        assert rows  # p5-calibrated threshold is non-vacuous
+        for r in rows:
+            assert r.cos_to_centroid < sim.OUTLIER_COS_T
