@@ -544,6 +544,10 @@ PROFILE_QUERIES = (
     "survey_numeric_quantiles",
     "survey_numeric_moments",
     "survey_correlation",
+    "survey_string_stats",
+    "survey_temporal_profile",
+    "survey_join_cardinality",
+    "quality_distribution_psi",
 )
 
 

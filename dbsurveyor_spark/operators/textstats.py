@@ -331,6 +331,66 @@ SELECT doc_id,
 FROM documents
 """
 
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility table: BPE-ish pieces per
+    whitespace word and chars per piece, aggregated by language — the
+    multilingual budgeting numbers (fertility > ~2 pieces/word means the
+    tokenizer fragments that language; its documents cost more sequence
+    length per unit text, the standard argument for vocab/mixture
+    rebalancing in multilingual training reports).
+
+    One map-side projection (both token counts in-scan, no shuffle before
+    the |langs|-row aggregate); ratios derive from exact-decimal sums so
+    the per-language division is engine-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PIECE_RE), 0)
+    )
+    dec = "decimal(30,6)"
+    agg = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).alias("ws"),
+        pieces.alias("bp"),
+        F.length("text").alias("ch"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ws").cast(dec)).cast("bigint").alias("ws_tokens"),
+        F.sum(F.col("bp").cast(dec)).cast("bigint").alias("bpe_pieces"),
+        F.sum(F.col("ch").cast(dec)).cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_pieces",
+        "n_chars",
+        F.round(
+            F.col("bpe_pieces").cast("double") / F.col("ws_tokens"), 9
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("bpe_pieces"), 9
+        ).alias("chars_per_piece"),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len({tokens_sql("text")}) AS DECIMAL(30,6)))
+              AS BIGINT) AS ws_tokens,
+         CAST(SUM(CAST(len(regexp_extract_all(text, '{BPE_PIECE_RE}'))
+                       AS DECIMAL(30,6))) AS BIGINT) AS bpe_pieces,
+         CAST(SUM(CAST(length(text) AS DECIMAL(30,6))) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, ws_tokens, bpe_pieces, n_chars,
+       ROUND(CAST(bpe_pieces AS DOUBLE) / ws_tokens, 9) AS fertility,
+       ROUND(CAST(n_chars AS DOUBLE) / bpe_pieces, 9) AS chars_per_piece
+FROM agg
+"""
+
+
 # Rabin–Karp-style rolling hash: base-31 polynomial over per-token md5
 # hashes, mod 2^31−1. Intermediates stay < 2^36 (31·(2^31−1) + 2^28), so
 # the fold is exact in int64 on both engines.
@@ -452,6 +512,7 @@ QUERIES = {
     "text_quality_filter": text_quality_filter,
     "text_repetition": text_repetition,
     "text_token_count_bpe": text_token_count_bpe,
+    "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_rolling_fingerprint": text_rolling_fingerprint,
 }
 
@@ -464,5 +525,6 @@ ORACLES = {
     "text_quality_filter": _quality_filter_sql(),
     "text_repetition": _repetition_sql(),
     "text_token_count_bpe": TOKEN_COUNT_BPE_SQL,
+    "text_tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "text_rolling_fingerprint": ROLLING_FP_SQL,
 }

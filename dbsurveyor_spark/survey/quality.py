@@ -1290,7 +1290,87 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+# ------------------------------------------------ declarative rule checks
+
+# Deequ/dbt-test-style declarative constraint suite: (table, rule name,
+# boolean SQL predicate that must hold per row). The predicate strings are
+# the single source of truth — Spark evaluates them via F.expr and the
+# oracle embeds them verbatim, so the two engines can't drift. The suite
+# mixes invariants that hold on this lake (regression tripwires) with
+# deliberately TIGHT business SLAs that real rows violate, so both the
+# pass and fail paths are exercised end-to-end.
+QUALITY_RULES = (
+    ("orders", "totalprice_positive", "o_totalprice > 0"),
+    ("orders", "status_in_domain", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("orders", "orderdate_in_range",
+     "o_orderdate BETWEEN DATE '1990-01-01' AND DATE '2005-12-31'"),
+    ("lineitem", "quantity_in_range", "l_quantity BETWEEN 1 AND 50"),
+    ("lineitem", "discount_in_contract_band", "l_discount <= 0.05"),
+    ("lineitem", "price_positive", "l_extendedprice > 0"),
+    ("customer", "acctbal_above_floor", "c_acctbal >= -1000"),
+    ("events", "value_nonnegative", "value >= 0"),
+    ("events", "value_under_cap", "value <= 400"),
+)
+
+
+def quality_rule_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative row-level constraint validation (the Deequ / dbt-test
+    check family the reference's fixed analyzers don't cover): every rule
+    is a boolean predicate over its table; output one row per rule with
+    row/violation counts, violation rate, and the pass flag.
+
+    Plan: ONE pruned scan per table evaluates all of that table's rules as
+    conditional sums in a single map-side-combinable aggregate — adding a
+    rule adds an expression, never a scan. NULL predicate results count as
+    violations (a rule that cannot be evaluated did not pass — SQL
+    three-valued logic would silently skip them).
+    """
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for t, name, pred in QUALITY_RULES:
+        by_table.setdefault(t, []).append((name, pred))
+    frames = []
+    for t, rules in by_table.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for name, pred in rules:
+            holds = F.coalesce(F.expr(pred), F.lit(False))
+            aggs.append(
+                F.sum((~holds).cast("bigint")).alias(f"{name}__viol")
+            )
+        one = df.agg(*aggs)
+        entries = [
+            F.struct(
+                F.lit(t).alias("table_name"),
+                F.lit(name).alias("rule_name"),
+                F.col("__rows").alias("n_rows"),
+                F.col(f"{name}__viol").alias("violations"),
+                F.round(
+                    F.col(f"{name}__viol").cast("double") / F.col("__rows"), 9
+                ).alias("violation_rate"),
+                (F.col(f"{name}__viol") == 0).cast("int").alias("passed"),
+            )
+            for name, _ in rules
+        ]
+        frames.append(one.select(F.inline(F.array(*entries))))
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _rule_checks_sql() -> str:
+    parts = []
+    for t, name, pred in QUALITY_RULES:
+        viol = f"SUM(CASE WHEN COALESCE({pred}, FALSE) THEN 0 ELSE 1 END)"
+        parts.append(f"""
+SELECT '{t}' AS table_name, '{name}' AS rule_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST({viol} AS BIGINT) AS violations,
+       ROUND(CAST({viol} AS DOUBLE) / COUNT(*), 9) AS violation_rate,
+       CAST({viol} = 0 AS INT) AS passed
+FROM {t}""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
+    "quality_rule_checks": quality_rule_checks,
     "quality_distribution_psi": quality_distribution_psi,
     "quality_timeliness": quality_timeliness,
     "quality_balance_check": quality_balance_check,
@@ -1304,6 +1384,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_rule_checks": _rule_checks_sql(),
     "quality_distribution_psi": _distribution_psi_sql(),
     "quality_balance_check": BALANCE_SQL,
     "quality_timeliness": _timeliness_sql(),
