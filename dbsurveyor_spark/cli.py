@@ -581,6 +581,44 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_check(args: argparse.Namespace) -> int:
+    """Run the declarative constraint suite (quality_rule_checks) over a
+    lake dir; with --fail-on-violation exits 1 when any rule fails — the
+    data-contract CI gate, symmetric with `diff --fail-on-change`."""
+    from .survey.quality import quality_rule_checks
+
+    spark = _get_spark()
+    rows = [
+        r.asDict()
+        for r in quality_rule_checks(spark, args.lake_dir)
+        .orderBy("table_name", "rule_name")
+        .collect()
+    ]
+    failed = [r for r in rows if not r["passed"]]
+    if args.format == "json":
+        _emit(
+            json.dumps(
+                {"rules": rows, "failed": len(failed)}, indent=2, default=str
+            ),
+            args.output,
+        )
+    else:
+        lines = ["| table | rule | rows | violations | rate | passed |",
+                 "|---|---|---|---|---|---|"]
+        for r in rows:
+            lines.append(
+                f"| {r['table_name']} | {r['rule_name']} | {r['n_rows']} "
+                f"| {r['violations']} | {r['violation_rate']} "
+                f"| {'yes' if r['passed'] else 'NO'} |"
+            )
+        lines.append("")
+        lines.append(f"{len(failed)} rule(s) failed")
+        _emit("\n".join(lines), args.output)
+    if failed and getattr(args, "fail_on_violation", False):
+        return 1
+    return 0
+
+
 def cmd_validate(args: argparse.Namespace) -> int:
     from .survey.export import validate_schema_doc
 
@@ -727,6 +765,19 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--format", choices=("markdown", "json"), default="markdown")
     pr.add_argument("--output", default=None)
     pr.set_defaults(fn=cmd_profile)
+
+    ck = sub.add_parser(
+        "check", help="run the declarative rule suite (exit 1 on violations)"
+    )
+    ck.add_argument("lake_dir")
+    ck.add_argument("--format", choices=("markdown", "json"), default="markdown")
+    ck.add_argument("--output", default=None)
+    ck.add_argument(
+        "--fail-on-violation",
+        action="store_true",
+        help="exit 1 when any rule fails (CI gate, like diff --fail-on-change)",
+    )
+    ck.set_defaults(fn=cmd_check)
 
     d = sub.add_parser("diff", help="schema drift between two documents")
     d.add_argument("old")

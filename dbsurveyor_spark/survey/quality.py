@@ -1369,7 +1369,84 @@ FROM {t}""")
     return "\nUNION ALL\n".join(parts)
 
 
+# ------------------------------------------------------ sequence gap scan
+
+# Ingest-sequence completeness: event_id is the ingest log's dense sequence;
+# a gap means dropped events. The synthetic feed is perfectly dense, so —
+# the dirtied-in-query convention again — deterministic DROPS are injected
+# in both engines: every id ≡ 13 (mod 97) vanishes (isolated single-row
+# gaps) and ids ≡ 7,8,9 (mod 499) vanish together (3-wide burst gaps).
+_GAP_DROP_SQL = (
+    "NOT (event_id % 97 = 13 OR event_id % 499 IN (7, 8, 9))"
+)
+_GAP_BLOCK = 4096
+
+
+def quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection over the ingest log: every maximal run of
+    missing event_ids as (gap_start, gap_end, missing) — the dropped-event
+    audit a pipeline runs against an at-least-once feed's dense sequence.
+
+    A global lag() over the id order would be a data-sized single-partition
+    window; like stream_late_data_report, the predecessor computes as a
+    TWO-LEVEL structure instead: within-block lag (bounded partitions) +
+    each block's first row takes the previous non-empty block's max via a
+    lag over the metadata-sized per-block frame, broadcast back. Every
+    stage is partition-parallel.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .filter(F.expr(_GAP_DROP_SQL))
+        .select(
+            F.expr(f"event_id div {_GAP_BLOCK}").alias("block"), "event_id"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    bstats = ev.groupBy("block").agg(F.max("event_id").alias("bmax"))
+    prev_block = bstats.select(
+        "block",
+        F.lag("bmax").over(Window.orderBy("block")).alias("prev_block_max"),
+    )
+    in_w = Window.partitionBy("block").orderBy("event_id")
+    with_prev = (
+        ev.join(F.broadcast(prev_block), "block")
+        .withColumn("in_prev", F.lag("event_id").over(in_w))
+        .withColumn("prev_id", F.coalesce("in_prev", "prev_block_max"))
+    )
+    return (
+        with_prev.filter(
+            F.col("prev_id").isNotNull()
+            & (F.col("event_id") - F.col("prev_id") > 1)
+        )
+        .select(
+            (F.col("prev_id") + 1).alias("gap_start"),
+            (F.col("event_id") - 1).alias("gap_end"),
+            (F.col("event_id") - F.col("prev_id") - 1).alias("missing"),
+        )
+    )
+
+
+SEQUENCE_GAPS_SQL = f"""
+WITH feed AS (
+  SELECT event_id FROM events WHERE {_GAP_DROP_SQL}
+),
+lagged AS (
+  SELECT event_id,
+         lag(event_id) OVER (ORDER BY event_id) AS prev_id
+  FROM feed
+)
+SELECT prev_id + 1 AS gap_start,
+       event_id - 1 AS gap_end,
+       event_id - prev_id - 1 AS missing
+FROM lagged
+WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+"""
+
+
 QUERIES = {
+    "quality_sequence_gaps": quality_sequence_gaps,
     "quality_rule_checks": quality_rule_checks,
     "quality_distribution_psi": quality_distribution_psi,
     "quality_timeliness": quality_timeliness,
@@ -1384,6 +1461,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_sequence_gaps": SEQUENCE_GAPS_SQL,
     "quality_rule_checks": _rule_checks_sql(),
     "quality_distribution_psi": _distribution_psi_sql(),
     "quality_balance_check": BALANCE_SQL,

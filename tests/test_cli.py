@@ -310,3 +310,43 @@ class TestProfileVerb:
         text = capsys.readouterr().out
         assert "## survey_numeric_moments" in text
         assert "| column_name |" in text
+
+
+class TestCheckVerb:
+    def test_check_json_and_ci_gate(self, tmp_path, capsys):
+        import json as _json
+
+        from dbsurveyor_spark.cli import main
+        from dbsurveyor_spark.survey.quality import QUALITY_RULES
+
+        out = tmp_path / "check.json"
+        rc = main(
+            [
+                "check",
+                "/root/testdata/sf0.001",
+                "--format",
+                "json",
+                "--output",
+                str(out),
+            ]
+        )
+        # without --fail-on-violation the verb reports but exits 0
+        assert rc == 0
+        doc = _json.loads(out.read_text())
+        assert len(doc["rules"]) == len(QUALITY_RULES)
+        assert doc["failed"] >= 1  # the tight SLA rules fail by design
+        # the CI gate flips the exit code
+        rc2 = main(
+            ["check", "/root/testdata/sf0.001", "--fail-on-violation",
+             "--output", str(tmp_path / "check.md")]
+        )
+        assert rc2 == 1
+
+    def test_check_markdown_summary(self, capsys):
+        from dbsurveyor_spark.cli import main
+
+        rc = main(["check", "/root/testdata/sf0.001"])
+        assert rc == 0
+        text = capsys.readouterr().out
+        assert "| table | rule |" in text
+        assert "rule(s) failed" in text

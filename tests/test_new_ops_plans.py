@@ -519,3 +519,41 @@ class TestRound4Additions:
         assert rows  # p5-calibrated threshold is non-vacuous
         for r in rows:
             assert r.cos_to_centroid < sim.OUTLIER_COS_T
+
+    def test_sequence_gaps_two_level_equals_global(self, spark):
+        # the blocked predecessor must reproduce the single-partition
+        # global-lag reference gap-for-gap
+        from pyspark.sql import Window as W
+
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.survey import quality as q
+
+        feed = (
+            load_table(spark, SF, "events")
+            .select("event_id")
+            .filter(F.expr(q._GAP_DROP_SQL))
+        )
+        lagged = feed.withColumn(
+            "prev_id", F.lag("event_id").over(W.orderBy("event_id"))
+        )
+        direct = {
+            (r.gap_start, r.gap_end, r.missing)
+            for r in lagged.filter(
+                F.col("prev_id").isNotNull()
+                & (F.col("event_id") - F.col("prev_id") > 1)
+            )
+            .select(
+                (F.col("prev_id") + 1).alias("gap_start"),
+                (F.col("event_id") - 1).alias("gap_end"),
+                (F.col("event_id") - F.col("prev_id") - 1).alias("missing"),
+            )
+            .collect()
+        }
+        got = {
+            (r.gap_start, r.gap_end, r.missing)
+            for r in q.quality_sequence_gaps(spark, SF).collect()
+        }
+        assert got == direct and got
+        # burst gaps (width 3) and isolated gaps (width 1) both present
+        widths = {m for _s, _e, m in got}
+        assert {1, 3} <= widths
