@@ -790,6 +790,78 @@ FROM final WHERE rn = 1 AND cos_to_centroid < {OUTLIER_COS_T}
 """
 
 
+# -------------------------------------------------- embedding dimension QA
+
+# A dimension whose population std falls below this is "collapsed" — it
+# carries no signal (a dead ReLU column, a truncated export, a zero-padded
+# tail), wastes index bytes, and distorts nothing-but-noise distances.
+DIM_COLLAPSED_STD = 1e-6
+
+
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health: mean, population std, min/max, and
+    the collapsed flag — the embedding-table QA pass (dead or constant
+    dimensions indicate a broken encoder export and shrink effective
+    dimensionality for every ANN structure built on the table).
+
+    Plan: posexplode → groupBy(dim) with exact-decimal sums — the explode
+    is collapsed by map-side partial aggregation before the exchange, so
+    the shuffle carries ≤ partitions×dim partial rows, never corpus×dim.
+    Std derives from the decimal power sums with the same expression tree
+    in both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+    dec = "decimal(30,9)"
+    agg = emb.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(dec)).cast("double").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).cast("double").alias("s2"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    std = F.sqrt(F.greatest(F.lit(0.0), var))
+    return agg.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean, 9).alias("mean"),
+        F.round(std, 9).alias("std_pop"),
+        F.round("mn", 9).alias("min_v"),
+        F.round("mx", 9).alias("max_v"),
+        (std < DIM_COLLAPSED_STD).cast("int").alias("collapsed"),
+    )
+
+
+EMBED_DIM_STATS_SQL = f"""
+WITH ex AS (
+  SELECT u.dim - 1 AS dim, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                       unnest(CAST(embedding AS DOUBLE[])) AS v) u
+),
+agg AS (
+  SELECT dim, COUNT(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(30,9))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v * v AS DECIMAL(30,9))) AS DOUBLE) AS s2,
+         MIN(v) AS mn, MAX(v) AS mx
+  FROM ex GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+       ROUND(s1 / n, 9) AS mean,
+       ROUND(SQRT(GREATEST(0.0, s2 / n - (s1 / n) * (s1 / n))), 9) AS std_pop,
+       ROUND(mn, 9) AS min_v,
+       ROUND(mx, 9) AS max_v,
+       CAST(SQRT(GREATEST(0.0, s2 / n - (s1 / n) * (s1 / n)))
+            < {DIM_COLLAPSED_STD} AS INT) AS collapsed
+FROM agg
+"""
+
+
 # ------------------------------------------------------- IVFADC (IVF + PQ)
 
 # Residual PQ codebooks (IVFPQ model state): trained on x − c(x) over the
@@ -1059,6 +1131,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_outlier_report": embedding_outlier_report,
+    "embed_dim_stats": embed_dim_stats,
     "embed_cluster_report": embed_cluster_report,
     "ann_recall_report": ann_recall_report,
 }
@@ -1070,6 +1143,7 @@ ORACLES = {
     "ann_bruteforce_topk": _bruteforce_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "embedding_outlier_report": _embedding_outlier_sql(),
+    "embed_dim_stats": EMBED_DIM_STATS_SQL,
     "embed_cluster_report": _cluster_report_sql(),
     "ann_recall_report": _recall_sql(),
 }
