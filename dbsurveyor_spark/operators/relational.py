@@ -744,7 +744,101 @@ WINDOW w AS (PARTITION BY c_nationkey
 """
 
 
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP_K = 25
+
+
+def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis (association-rule mining, pairwise): part
+    pairs co-occurring in the same order with support and lift
+    (P(a,b)/(P(a)·P(b)) — >1 means the pair attaches more often than
+    independence predicts), top-K by support.
+
+    Plan: distinct (order, part) lines → groupBy(order) collects each
+    basket ONCE and expands pairs with JVM array ops (dedup._bucket_pairs;
+    pair fan-out bounded by basket size, ≤7 lines at TPC-H ratios — never
+    a corpus self-join that recomputes the scan per side) → pair groupBy →
+    per-part order counts join as a broadcast (the part dimension is
+    bounded) → rank over the aggregate only.
+    """
+    from .dedup import _bucket_pairs
+
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = lines.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(F.explode(_bucket_pairs(F.col("parts"))).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    part_orders = lines.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("n_orders_part")
+    )
+    n_orders = lines.select("l_orderkey").distinct().count()
+    na = F.broadcast(
+        part_orders.select(
+            F.col("l_partkey").alias("part_a"),
+            F.col("n_orders_part").alias("n_a"),
+        )
+    )
+    nb = F.broadcast(
+        part_orders.select(
+            F.col("l_partkey").alias("part_b"),
+            F.col("n_orders_part").alias("n_b"),
+        )
+    )
+    lift = (F.col("support").cast("double") * F.lit(float(n_orders))) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    w = Window.orderBy(
+        F.desc("support"), F.asc("part_a"), F.asc("part_b")
+    )
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .withColumn("lift", F.round(lift, 9))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BASKET_TOP_K)
+        .select("rank", "part_a", "part_b", "support", "n_a", "n_b", "lift")
+    )
+
+
+BASKET_SQL = f"""
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+),
+pcount AS (
+  SELECT l_partkey, COUNT(*) AS n FROM lines GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+        FROM lines)
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY support DESC, part_a ASC, part_b ASC) AS BIGINT) AS rank,
+       part_a, part_b, support,
+       pa.n AS n_a, pb.n AS n_b,
+       ROUND(CAST(support AS DOUBLE) * n_orders
+             / (CAST(pa.n AS DOUBLE) * pb.n), 9) AS lift
+FROM pairs
+JOIN pcount pa ON pa.l_partkey = part_a
+JOIN pcount pb ON pb.l_partkey = part_b
+CROSS JOIN tot
+QUALIFY rank <= {BASKET_TOP_K}
+"""
+
+
 QUERIES = {
+    "basket_copurchase_lift": basket_copurchase_lift,
     "window_percentile_rank": window_percentile_rank,
     "window_first_last_order": window_first_last_order,
     "groupingsets_sales": groupingsets_sales,
@@ -766,6 +860,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "basket_copurchase_lift": BASKET_SQL,
     "window_percentile_rank": PERCENT_RANK_SQL,
     "window_first_last_order": FIRST_LAST_SQL,
     "groupingsets_sales": GROUPINGSETS_SQL,
