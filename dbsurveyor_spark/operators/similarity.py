@@ -790,6 +790,91 @@ FROM final WHERE rn = 1 AND cos_to_centroid < {OUTLIER_COS_T}
 """
 
 
+# ---------------------------------------------------------- range search
+
+# Radius: report every neighbor at least this similar. Calibrated to ≈ the
+# p90 of in-cell pair similarity on this synthetic lake (near-uniform random
+# vectors top out around cos 0.36-0.49 between distinct rows) so the result
+# set is non-vacuous at every SF; a real embedding corpus sets a semantic
+# threshold here the same way.
+RANGE_COS_T = 0.2
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the Faiss `range_search` mode next to
+    top-k: ALL neighbors with cosine ≥ RANGE_COS_T for each probe, not a
+    fixed k. The right query when the caller needs "everything this
+    similar" (dedup candidates, recall-complete retrieval) and result
+    cardinality is data-dependent.
+
+    Plan: identical scale shape to ann_ivf_topk — shared cached cell
+    assignment, NPROBE probed cells, slim-first candidate join, exact
+    Arrow cosine — but the filter is a radius, not a rank window (no sort
+    at all: the similarity threshold is a scan-local predicate).
+    """
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    cells = tracked_cache(rank_cells(emb, cent_rows, NPROBE))
+    assigned = cells.filter(F.col("rn") == 1).select("vec_id", "cell_id")
+    probes = (
+        cells.filter((F.col("vec_id") < N_PROBES) & (F.col("rn") <= NPROBE))
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cell_id").alias("q_cell"),
+        )
+    )
+    cos = cosine_rounded_arrow(
+        F.col("q_emb").cast("array<double>"),
+        F.col("embedding").cast("array<double>"),
+    )
+    return (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("cell_id") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .join(emb, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_COS_T)
+    )
+
+
+def _range_search_sql(dim: int = IVF_SQL_DIM) -> str:
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
+    cos = cosine_rounded_sql("p.q_emb", "a.embedding")
+    return f"""
+WITH {train_ctes},
+final AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {cent} c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM final WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell_id AS q_cell
+  FROM final WHERE vec_id < {N_PROBES} AND rn <= {NPROBE}
+)
+SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cos_sim
+FROM probes p JOIN assigned a
+  ON a.cell_id = p.q_cell AND a.vec_id <> p.query_id
+WHERE {cos} >= {RANGE_COS_T}
+"""
+
+
 # -------------------------------------------------- embedding dimension QA
 
 # A dimension whose population std falls below this is "collapsed" — it
@@ -1132,6 +1217,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_outlier_report": embedding_outlier_report,
     "embed_dim_stats": embed_dim_stats,
+    "ann_range_search": ann_range_search,
     "embed_cluster_report": embed_cluster_report,
     "ann_recall_report": ann_recall_report,
 }
@@ -1144,6 +1230,7 @@ ORACLES = {
     "ann_ivf_topk": _ivf_sql(),
     "embedding_outlier_report": _embedding_outlier_sql(),
     "embed_dim_stats": EMBED_DIM_STATS_SQL,
+    "ann_range_search": _range_search_sql(),
     "embed_cluster_report": _cluster_report_sql(),
     "ann_recall_report": _recall_sql(),
 }

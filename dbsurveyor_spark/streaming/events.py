@@ -827,6 +827,82 @@ FROM agg
 """
 
 
+# ---------------------------------------------------- seasonal anomalies
+
+SEASONAL_Z = 1.8
+
+
+def stream_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomaly: each HOUR's event count compared
+    to the baseline of its own (day-of-week, hour-of-day) cell — the
+    upgrade over stream_volume_anomaly's flat daily mean, which a weekly
+    traffic pattern would swamp (Monday 9am is only anomalous relative to
+    other Monday 9ams).
+
+    Plan: the scan reduces immediately to one (hour → count) aggregate
+    (map-side combinable, ≤ |hours| rows); the per-(dow,hour) baseline is
+    a ≤168-row aggregate broadcast back; everything after the first
+    aggregate is metadata-scale arithmetic. Baseline mean/σ derive from
+    exact integer sums, so the z comparison is engine-stable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour_start"),
+        (F.dayofweek(F.col("ts")) - 1).alias("dow"),
+        F.hour(F.col("ts")).alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = hourly.groupBy("dow", "hr").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.sum(F.col("n") * F.col("n")).cast("double")
+                / F.count(F.lit(1))
+                - (F.sum("n").cast("double") / F.count(F.lit(1)))
+                * (F.sum("n").cast("double") / F.count(F.lit(1))),
+            )
+        ).alias("sd"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        hourly.join(F.broadcast(base), ["dow", "hr"])
+        .filter(F.col("sd") > 0)
+        .select(
+            "hour_start",
+            "dow",
+            "hr",
+            F.col("n").alias("n_events"),
+            F.round("mu", 9).alias("baseline_mean"),
+            F.round(z, 9).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) >= SEASONAL_Z)
+    )
+
+
+SEASONAL_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         dayofweek(ts) AS dow, hour(ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT dow, hr,
+         CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+         SQRT(GREATEST(0.0,
+              CAST(SUM(n * n) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(n) AS DOUBLE) / COUNT(*)))) AS sd
+  FROM hourly GROUP BY 1, 2
+)
+SELECT hour_start, dow, hr, n AS n_events,
+       ROUND(mu, 9) AS baseline_mean,
+       ROUND((n - mu) / sd, 9) AS z_score
+FROM hourly JOIN base USING (dow, hr)
+WHERE sd > 0 AND ABS(ROUND((n - mu) / sd, 9)) >= {SEASONAL_Z}
+"""
+
+
 # ------------------------------------------------------------ path analysis
 
 PATH_LEN = 3
@@ -904,6 +980,7 @@ QUALIFY rank <= {PATH_TOP_K}
 QUERIES = {
     "scd2_user_state": scd2_user_state,
     "event_path_analysis": event_path_analysis,
+    "stream_seasonal_anomaly": stream_seasonal_anomaly,
     "stream_late_data_report": stream_late_data_report,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_topk_trending": stream_topk_trending,
@@ -916,6 +993,7 @@ QUERIES = {
 ORACLES = {
     "scd2_user_state": SCD2_SQL,
     "event_path_analysis": PATH_SQL,
+    "stream_seasonal_anomaly": SEASONAL_ANOMALY_SQL,
     "stream_late_data_report": _late_data_sql(),
     "stream_tumbling_counts": TUMBLING_SQL,
     "stream_topk_trending": TRENDING_SQL,
