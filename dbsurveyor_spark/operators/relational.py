@@ -837,7 +837,88 @@ QUALIFY rank <= {BASKET_TOP_K}
 """
 
 
+FUZZY_MAX_DIST = 2
+FUZZY_TOP_K = 5
+FUZZY_N_PROBES = 10
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by fuzzy string match: a probe directory of
+    TYPO'D customer names (3rd character corrupted in-query, both engines
+    — the dirty-input convention) is matched back against the clean
+    customer table via Levenshtein distance ≤ FUZZY_MAX_DIST, top-K
+    candidates per probe ranked by distance. The true entity surfaces at
+    distance 1; near-key neighbors trail at 2 — the ranked candidate list
+    a record-linkage reviewer sees.
+
+    Plan: probes are broadcast; the candidate space is BLOCKED before any
+    edit-distance evaluates (equal length + equal first character — a
+    single-char typo preserves both), so comparisons per probe are bounded
+    by block size, not table size; the rank window runs over the
+    distance-filtered candidate frame only.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    typo = F.concat(
+        F.substring(F.col("c_name"), 1, 2),
+        F.lit("x"),
+        F.expr("substring(c_name, 4)"),
+    )
+    probes = (
+        cust.filter(F.col("c_custkey") < FUZZY_N_PROBES)
+        .select(
+            F.col("c_custkey").alias("probe_key"),
+            typo.alias("probe_name"),
+        )
+    )
+    cand = cust.join(
+        F.broadcast(probes),
+        (F.length("c_name") == F.length("probe_name"))
+        & (F.substring("c_name", 1, 1) == F.substring("probe_name", 1, 1)),
+    )
+    dist = F.levenshtein(F.col("c_name"), F.col("probe_name"))
+    w = Window.partitionBy("probe_key").orderBy(
+        F.asc("distance"), F.asc("match_key")
+    )
+    return (
+        cand.select(
+            "probe_key",
+            "probe_name",
+            F.col("c_custkey").alias("match_key"),
+            F.col("c_name").alias("match_name"),
+            dist.cast("bigint").alias("distance"),
+        )
+        .filter(F.col("distance") <= FUZZY_MAX_DIST)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= FUZZY_TOP_K)
+    )
+
+
+FUZZY_SQL = f"""
+WITH probes AS (
+  SELECT c_custkey AS probe_key,
+         substr(c_name, 1, 2) || 'x' || substr(c_name, 4) AS probe_name
+  FROM customer WHERE c_custkey < {FUZZY_N_PROBES}
+),
+cand AS (
+  SELECT p.probe_key, p.probe_name,
+         c.c_custkey AS match_key, c.c_name AS match_name,
+         CAST(levenshtein(c.c_name, p.probe_name) AS BIGINT) AS distance
+  FROM customer c JOIN probes p
+    ON length(c.c_name) = length(p.probe_name)
+   AND substr(c.c_name, 1, 1) = substr(p.probe_name, 1, 1)
+  WHERE levenshtein(c.c_name, p.probe_name) <= {FUZZY_MAX_DIST}
+)
+SELECT probe_key, probe_name, match_key, match_name, distance,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY probe_key
+         ORDER BY distance ASC, match_key ASC) AS BIGINT) AS rank
+FROM cand
+QUALIFY rank <= {FUZZY_TOP_K}
+"""
+
+
 QUERIES = {
+    "fuzzy_name_match": fuzzy_name_match,
     "basket_copurchase_lift": basket_copurchase_lift,
     "window_percentile_rank": window_percentile_rank,
     "window_first_last_order": window_first_last_order,
@@ -860,6 +941,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fuzzy_name_match": FUZZY_SQL,
     "basket_copurchase_lift": BASKET_SQL,
     "window_percentile_rank": PERCENT_RANK_SQL,
     "window_first_last_order": FIRST_LAST_SQL,
