@@ -917,7 +917,100 @@ QUALIFY rank <= {FUZZY_TOP_K}
 """
 
 
+def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value matrix by acquisition cohort: customers
+    cohort on their FIRST order year; each (cohort, years-since-first)
+    cell reports period revenue and the running cumulative LTV per
+    acquired customer — the orders-side companion of the events-based
+    retention matrix.
+
+    Plan: first-order year per customer is one groupBy(o_custkey) min;
+    orders re-join on the same key (co-partitioned — one shuffle feeds
+    both); the (cohort × offset) aggregate is metadata-sized, so the
+    cumulative window and per-customer division run on ≤ years² rows.
+    Exact-decimal revenue sums keep every cell partitioning-stable.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    cohort_sizes = first.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    cells = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year")).alias("offset_years"),
+        )
+        .agg(
+            dsum(F.col("o_totalprice"), "period_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    cum_w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("offset_years")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_year")
+        .withColumn(
+            "cum_revenue",
+            F.round(
+                F.sum(F.col("period_revenue").cast(DECIMAL_T)).over(cum_w)
+                .cast("double"),
+                2,
+            ),
+        )
+        .select(
+            "cohort_year",
+            "offset_years",
+            "n_customers",
+            "n_orders",
+            F.round("period_revenue", 2).alias("period_revenue"),
+            "cum_revenue",
+            F.round(
+                F.col("cum_revenue") / F.col("n_customers"), 6
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+COHORT_LTV_SQL = f"""
+WITH first AS (
+  SELECT o_custkey, MIN(year(o_orderdate)) AS cohort_year
+  FROM orders GROUP BY o_custkey
+),
+sizes AS (
+  SELECT cohort_year, COUNT(*) AS n_customers FROM first GROUP BY 1
+),
+cells AS (
+  SELECT f.cohort_year,
+         year(o.o_orderdate) - f.cohort_year AS offset_years,
+         {dsum_sql("o.o_totalprice", "period_revenue")},
+         COUNT(*) AS n_orders
+  FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_year, offset_years, period_revenue, n_orders,
+         ROUND(CAST(SUM(CAST(period_revenue AS DECIMAL(30,6))) OVER (
+           PARTITION BY cohort_year ORDER BY offset_years
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS cum_revenue
+  FROM cells
+)
+SELECT c.cohort_year, c.offset_years, s.n_customers, c.n_orders,
+       ROUND(c.period_revenue, 2) AS period_revenue, c.cum_revenue,
+       ROUND(c.cum_revenue / s.n_customers, 6) AS ltv_per_customer
+FROM cum c JOIN sizes s ON s.cohort_year = c.cohort_year
+"""
+
+
 QUERIES = {
+    "cohort_revenue_ltv": cohort_revenue_ltv,
     "fuzzy_name_match": fuzzy_name_match,
     "basket_copurchase_lift": basket_copurchase_lift,
     "window_percentile_rank": window_percentile_rank,
@@ -941,6 +1034,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cohort_revenue_ltv": COHORT_LTV_SQL,
     "fuzzy_name_match": FUZZY_SQL,
     "basket_copurchase_lift": BASKET_SQL,
     "window_percentile_rank": PERCENT_RANK_SQL,
