@@ -52,6 +52,9 @@ HEADLINE = [
     "stream_dedup_events",
     "stream_late_data_report",
     "quality_distribution_psi",
+    "survey_join_cardinality",
+    "scd2_user_state",
+    "basket_copurchase_lift",
     "asof_join_events_orders",
     "funnel_conversion",
     "event_transitions",

@@ -1290,6 +1290,103 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+# ------------------------------------------------------- MAD anomaly scan
+
+# Median-absolute-deviation outlier rule: |x − median| > K · 1.4826 · MAD.
+# 1.4826 scales MAD to σ under normality (the standard consistency
+# constant); K=3 mirrors the classic "3-sigma" rule but with BOTH location
+# and scale estimated robustly — unlike the z-score (whose own σ the
+# outliers contaminate) and complementary to the IQR fence (which breaks
+# down past 25% contamination vs MAD's 50%).
+MAD_K = 3.0
+MAD_SIGMA = 1.4826
+
+
+def quality_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD (median absolute deviation) outlier counts per monitored numeric
+    column — the maximally-robust member of the anomaly triad
+    (z-score / IQR fence / MAD).
+
+    Plan: pass 1 computes each column's exact median (one aggregate);
+    medians broadcast back; pass 2 computes the median of |x − med| the
+    same way; pass 3 counts threshold crossings — three map-side-combinable
+    aggregates over pruned scans, fences derived with identical double
+    expressions in both engines.
+    """
+    df = load_table(spark, sf_dir, ANOMALY_TABLE)
+    med_aggs = [
+        F.percentile(F.col(c).cast("double"), F.lit(0.5)).alias(f"{c}__med")
+        for c in ANOMALY_COLS
+    ]
+    meds = df.agg(*med_aggs)
+    joined = df.crossJoin(F.broadcast(meds))
+    mad_aggs = [
+        F.percentile(
+            F.abs(F.col(c).cast("double") - F.col(f"{c}__med")), F.lit(0.5)
+        ).alias(f"{c}__mad")
+        for c in ANOMALY_COLS
+    ]
+    for c in ANOMALY_COLS:
+        mad_aggs.append(F.first(f"{c}__med").alias(f"{c}__med"))
+    stats = joined.agg(*mad_aggs)
+    scored = df.crossJoin(F.broadcast(stats))
+    cnt_aggs = []
+    for c in ANOMALY_COLS:
+        fence = F.lit(MAD_K) * F.lit(MAD_SIGMA) * F.col(f"{c}__mad")
+        out = F.when(
+            (F.col(f"{c}__mad") > 0)
+            & (
+                F.abs(F.col(c).cast("double") - F.col(f"{c}__med")) > fence
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        cnt_aggs += [
+            F.sum(out.cast("bigint")).alias(f"{c}__outliers"),
+            F.first(f"{c}__med").alias(f"{c}__med"),
+            F.first(f"{c}__mad").alias(f"{c}__mad"),
+            F.count(F.col(c)).alias(f"{c}__n"),
+        ]
+    one = scored.agg(*cnt_aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__outliers").alias("outlier_count"),
+            F.round(F.col(f"{c}__med"), 9).alias("median"),
+            F.round(F.col(f"{c}__mad"), 9).alias("mad"),
+            F.col(f"{c}__n").alias("n_values"),
+        )
+        for c in ANOMALY_COLS
+    ]
+    return one.select(F.inline(F.array(*entries))).filter(
+        F.col("n_values") >= MIN_VALUES
+    )
+
+
+def _anomaly_mad_sql() -> str:
+    parts = []
+    for c in ANOMALY_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(SUM(CASE WHEN mad > 0
+                      AND ABS(v - med) > {MAD_K} * {MAD_SIGMA} * mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count,
+       ROUND(ANY_VALUE(med), 9) AS median,
+       ROUND(ANY_VALUE(mad), 9) AS mad,
+       CAST(COUNT(v) AS BIGINT) AS n_values
+FROM (
+  SELECT CAST({c} AS DOUBLE) AS v, m.med, m.mad
+  FROM {ANOMALY_TABLE},
+       (SELECT med,
+               quantile_cont(ABS(CAST({c} AS DOUBLE) - med), 0.5) AS mad
+        FROM {ANOMALY_TABLE},
+             (SELECT quantile_cont(CAST({c} AS DOUBLE), 0.5) AS med
+              FROM {ANOMALY_TABLE}) mm
+        GROUP BY med) m
+) t
+HAVING COUNT(v) >= {MIN_VALUES}""")
+    return "\nUNION ALL\n".join(parts)
+
+
 # ------------------------------------------------ declarative rule checks
 
 # Deequ/dbt-test-style declarative constraint suite: (table, rule name,
@@ -1446,6 +1543,7 @@ WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
 
 
 QUERIES = {
+    "quality_anomaly_mad": quality_anomaly_mad,
     "quality_sequence_gaps": quality_sequence_gaps,
     "quality_rule_checks": quality_rule_checks,
     "quality_distribution_psi": quality_distribution_psi,
@@ -1461,6 +1559,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_anomaly_mad": _anomaly_mad_sql(),
     "quality_sequence_gaps": SEQUENCE_GAPS_SQL,
     "quality_rule_checks": _rule_checks_sql(),
     "quality_distribution_psi": _distribution_psi_sql(),
