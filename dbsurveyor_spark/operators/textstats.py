@@ -331,6 +331,76 @@ SELECT doc_id,
 FROM documents
 """
 
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction via TF-IDF: each document's top-K
+    terms by tf · ln(N/df) — the classic salience score (raw counts rank
+    boilerplate; idf suppresses corpus-wide terms without a stopword
+    list). The per-doc keyword set is the cheap document representation
+    for tagging/routing/weak topic labels.
+
+    Plan: ONE token explode → (doc, token) tf counts (map-side
+    combinable); document frequency is a count window over that SAME tf
+    frame partitioned by token (tf has one row per (doc, token), so rows
+    per token = df) — the corpus is scanned and tokenized exactly once,
+    where a tf↔df aggregate join would re-run scan+explode for the second
+    branch (measured: two Generate subtrees, no exchange reuse). N comes
+    from parquet row-group statistics. The rank window partitions by
+    doc_id — partition size = per-doc vocabulary, never the corpus.
+    Scores round at 9 so the ln product is engine-stable.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    score = F.round(
+        F.col("tf")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        9,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+    )
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({tokens_sql("text")}) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         ROUND(tf.tf * ln(n.n_docs / CAST(dfreq.df AS DOUBLE)), 9) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, rank, token, tf, df, score FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS BIGINT) AS rank
+  FROM scored
+) t WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility table: BPE-ish pieces per
     whitespace word and chars per piece, aggregated by language — the
@@ -513,6 +583,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_token_count_bpe": text_token_count_bpe,
     "text_tokenizer_fertility": text_tokenizer_fertility,
+    "text_tfidf_keywords": text_tfidf_keywords,
     "text_rolling_fingerprint": text_rolling_fingerprint,
 }
 
@@ -526,5 +597,6 @@ ORACLES = {
     "text_repetition": _repetition_sql(),
     "text_token_count_bpe": TOKEN_COUNT_BPE_SQL,
     "text_tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
+    "text_tfidf_keywords": _tfidf_sql(),
     "text_rolling_fingerprint": ROLLING_FP_SQL,
 }

@@ -827,6 +827,126 @@ FROM agg
 """
 
 
+# --------------------------------------------------------- CUSUM drift
+
+# Two-sided CUSUM control chart (Page 1954): slack k·σ absorbs noise,
+# alarm at h·σ — the standard tuning (k=0.5, h=4) detects a sustained
+# ~1σ mean shift fast while z-score/MAD point tests (which compare each
+# DAY alone) miss it entirely: drift accumulates, points don't.
+CUSUM_K = 0.5
+CUSUM_H = 4.0
+# The synthetic feed is drift-free, so (dirtied-in-query convention) a
+# sustained volume DROP is injected in both engines: from Jan 24 on, every
+# third event vanishes — a ≈33% mean shift the negative-side CUSUM must
+# accumulate past the alarm threshold.
+_CUSUM_DRIFT_SQL = (
+    "NOT (event_id % 3 = 0 AND ts >= TIMESTAMP '2024-01-24 00:00:00')"
+)
+
+
+def stream_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM over daily ingest volume: per day the accumulated
+    positive/negative drift statistics and alarm flags — the
+    change-point/drift detector that complements the POINT anomaly suite.
+
+    The CUSUM recursion S_t = max(0, S_{t-1} + d_t) is not a plain window
+    aggregate, but it equals P_t − min(0, min_{i≤t} P_i) over the prefix
+    sums P of the slack-adjusted deviations — two windows over the |days|
+    METADATA frame (the scan reduces to day counts immediately; nothing
+    data-sized is windowed).
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.expr(_CUSUM_DRIFT_SQL)
+    )
+    daily = events.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))
+    all_w = Window.partitionBy()
+    mu = F.sum("n").over(all_w).cast("double") / F.count(F.lit(1)).over(all_w)
+    var = (
+        F.sum(F.col("n") * F.col("n")).over(all_w).cast("double")
+        / F.count(F.lit(1)).over(all_w)
+        - mu * mu
+    )
+    sd = F.sqrt(F.greatest(F.lit(0.0), var))
+    scored = daily.select(
+        "day",
+        "n",
+        (F.col("n") - mu - F.lit(CUSUM_K) * sd).alias("d_pos"),
+        (-(F.col("n") - mu) - F.lit(CUSUM_K) * sd).alias("d_neg"),
+        (F.lit(CUSUM_H) * sd).alias("h"),
+    )
+    run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        scored.withColumn("p_pos", F.sum("d_pos").over(run))
+        .withColumn("p_neg", F.sum("d_neg").over(run))
+        .withColumn("m_pos", F.least(F.lit(0.0), F.min("p_pos").over(run)))
+        .withColumn("m_neg", F.least(F.lit(0.0), F.min("p_neg").over(run)))
+        .select(
+            "day",
+            F.col("n").alias("n_events"),
+            F.round(F.col("p_pos") - F.col("m_pos"), 6).alias("cusum_pos"),
+            F.round(F.col("p_neg") - F.col("m_neg"), 6).alias("cusum_neg"),
+            (
+                F.round(F.col("p_pos") - F.col("m_pos"), 6) > F.col("h")
+            ).cast("int").alias("alarm_pos"),
+            (
+                F.round(F.col("p_neg") - F.col("m_neg"), 6) > F.col("h")
+            ).cast("int").alias("alarm_neg"),
+        )
+    )
+
+
+CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) AS n
+  FROM events WHERE {_CUSUM_DRIFT_SQL}
+  GROUP BY 1
+),
+scored AS (
+  SELECT day, n,
+         (n - mu - {CUSUM_K} * sd) AS d_pos,
+         (-(n - mu) - {CUSUM_K} * sd) AS d_neg,
+         ({CUSUM_H} * sd) AS h
+  FROM (
+    SELECT day, n,
+           CAST(SUM(n) OVER () AS DOUBLE) / COUNT(*) OVER () AS mu,
+           SQRT(GREATEST(0.0,
+                CAST(SUM(n * n) OVER () AS DOUBLE) / COUNT(*) OVER ()
+                - (CAST(SUM(n) OVER () AS DOUBLE) / COUNT(*) OVER ())
+                  * (CAST(SUM(n) OVER () AS DOUBLE) / COUNT(*) OVER ())))
+             AS sd
+    FROM daily
+  ) t
+),
+pre AS (
+  SELECT day, n, h,
+         SUM(d_pos) OVER w AS p_pos,
+         SUM(d_neg) OVER w AS p_neg
+  FROM scored
+  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+),
+mins AS (
+  SELECT day, n, h, p_pos, p_neg,
+         LEAST(0.0, MIN(p_pos) OVER w) AS m_pos,
+         LEAST(0.0, MIN(p_neg) OVER w) AS m_neg
+  FROM pre
+  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+)
+SELECT day, n AS n_events,
+       ROUND(p_pos - m_pos, 6) AS cusum_pos,
+       ROUND(p_neg - m_neg, 6) AS cusum_neg,
+       CAST(ROUND(p_pos - m_pos, 6) > h AS INT) AS alarm_pos,
+       CAST(ROUND(p_neg - m_neg, 6) > h AS INT) AS alarm_neg
+FROM mins
+"""
+
+
 # ---------------------------------------------------- seasonal anomalies
 
 SEASONAL_Z = 1.8
@@ -981,6 +1101,7 @@ QUERIES = {
     "scd2_user_state": scd2_user_state,
     "event_path_analysis": event_path_analysis,
     "stream_seasonal_anomaly": stream_seasonal_anomaly,
+    "stream_volume_cusum": stream_volume_cusum,
     "stream_late_data_report": stream_late_data_report,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_topk_trending": stream_topk_trending,
@@ -994,6 +1115,7 @@ ORACLES = {
     "scd2_user_state": SCD2_SQL,
     "event_path_analysis": PATH_SQL,
     "stream_seasonal_anomaly": SEASONAL_ANOMALY_SQL,
+    "stream_volume_cusum": CUSUM_SQL,
     "stream_late_data_report": _late_data_sql(),
     "stream_tumbling_counts": TUMBLING_SQL,
     "stream_topk_trending": TRENDING_SQL,

@@ -881,6 +881,142 @@ WHERE rk <= {TOP_VALUES_K}
 """
 
 
+# ----------------------------------------------------- equi-depth histogram
+
+EDH_BUCKETS = 8
+EDH_COLS = QUANTILE_COLS
+
+
+def survey_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram per numeric column: bucket bounds at the
+    1/8..7/8 quantiles so each bucket holds ≈ n/8 rows — the histogram
+    form DB optimizers actually store (equal-frequency beats equal-width
+    under skew: wide sparse tails get wide buckets, dense regions get
+    narrow ones). Complements `survey_numeric_histogram` (equi-width).
+
+    Plan: one quantile aggregate (exact percentile; fences rounded to 6
+    decimals in BOTH engines so bucket comparisons can't flip on a
+    last-ulp interpolation difference) broadcast back over one unpivoted
+    codegen scan; bucket = Σ (v > fence_i), counts map-side combinable
+    with |cols|×|buckets| agg state; empty buckets (heavy ties) surface
+    via the bounds spine built from the same 1-row fences frame.
+
+    All 7 fences per column come from ONE array-probs `percentile` call
+    (one value buffer per column, the `survey_numeric_quantiles` shape)
+    — per-prob calls each buffer the whole column and OOM'd the 1 GiB
+    verify heap at sf0.1 with 28 concurrent exact-percentile states. The
+    1-row fences result is collected driver-side (metadata scale) and
+    re-injected as literals: referencing the fences FRAME from both the
+    spine and the bucket-count branches re-ran the full percentile scan
+    per branch (no exchange reuse across a 1-row aggregate).
+    """
+    df = load_table(spark, sf_dir, PROFILE_TABLE)
+    probs = [i / EDH_BUCKETS for i in range(1, EDH_BUCKETS)]
+    parr = F.array(*[F.lit(p) for p in probs])
+    aggs = []
+    for c in EDH_COLS:
+        v = F.col(c).cast("double")
+        aggs.append(F.percentile(v, parr).alias(f"{c}__qa"))
+        aggs.append(F.round(F.min(v), 6).alias(f"{c}__mn"))
+        aggs.append(F.round(F.max(v), 6).alias(f"{c}__mx"))
+    fr = df.agg(*aggs).first()
+    fences = {
+        c: (
+            [round(q, 6) for q in fr[f"{c}__qa"]],
+            fr[f"{c}__mn"],
+            fr[f"{c}__mx"],
+        )
+        for c in EDH_COLS
+    }
+
+    def bucket_expr(c: str):
+        v = F.col(c).cast("double")
+        b = F.lit(0)
+        for q in fences[c][0]:
+            b = b + (v > F.lit(q)).cast("int")
+        return b
+
+    pairs = df.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        bucket_expr(c).cast("bigint").alias("bucket"),
+                    )
+                    for c in EDH_COLS
+                ]
+            )
+        )
+    )
+    counts = pairs.groupBy("column_name", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine_rows = []
+    for c in EDH_COLS:
+        qs, mn, mx = fences[c]
+        bounds = [mn] + qs + [mx]
+        for b in range(EDH_BUCKETS):
+            spine_rows.append((c, b, bounds[b], bounds[b + 1]))
+    spine = spark.createDataFrame(
+        spine_rows, "column_name string, bucket bigint, lo double, hi double"
+    )
+    return spine.join(
+        counts.hint("broadcast"), ["column_name", "bucket"], "left"
+    ).select(
+        "column_name",
+        "bucket",
+        "lo",
+        "hi",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+
+
+def _equidepth_sql() -> str:
+    probs = [i / EDH_BUCKETS for i in range(1, EDH_BUCKETS)]
+    parts = []
+    for c in EDH_COLS:
+        qs = ", ".join(
+            f"round(quantile_cont(CAST({c} AS DOUBLE), {p}), 6) AS q{i}"
+            for i, p in enumerate(probs)
+        )
+        bucket = " + ".join(
+            f"CASE WHEN CAST({c} AS DOUBLE) > f.q{i} THEN 1 ELSE 0 END"
+            for i in range(len(probs))
+        )
+        spine_rows = []
+        for b in range(EDH_BUCKETS):
+            lo = "f.mn" if b == 0 else f"f.q{b - 1}"
+            hi = "f.mx" if b == EDH_BUCKETS - 1 else f"f.q{b}"
+            spine_rows.append(
+                f"SELECT {b} AS bucket, {lo} AS lo, {hi} AS hi "
+                f"FROM fences_{c} f"
+            )
+        spine = "\nUNION ALL\n".join(spine_rows)
+        parts.append(f"""
+SELECT '{c}' AS column_name, CAST(s.bucket AS BIGINT) AS bucket,
+       s.lo, s.hi, CAST(COALESCE(k.n, 0) AS BIGINT) AS n
+FROM ({spine}) s
+LEFT JOIN (
+  SELECT ({bucket}) AS bucket, COUNT(*) AS n
+  FROM {PROFILE_TABLE}, fences_{c} f
+  GROUP BY 1
+) k ON k.bucket = s.bucket""")
+    ctes = ",\n".join(
+        f"""fences_{c} AS (
+  SELECT {", ".join(
+      f"round(quantile_cont(CAST({c} AS DOUBLE), {p}), 6) AS q{i}"
+      for i, p in enumerate(probs)
+  )},
+         round(MIN(CAST({c} AS DOUBLE)), 6) AS mn,
+         round(MAX(CAST({c} AS DOUBLE)), 6) AS mx
+  FROM {PROFILE_TABLE}
+)"""
+        for c in EDH_COLS
+    )
+    return f"WITH {ctes}\n" + "\nUNION ALL\n".join(parts)
+
+
 # --------------------------------------------------------- join cardinality
 
 
@@ -1024,6 +1160,7 @@ FROM {t}""")
 
 
 QUERIES = {
+    "survey_equidepth_histogram": survey_equidepth_histogram,
     "survey_join_cardinality": survey_join_cardinality,
     "survey_temporal_profile": survey_temporal_profile,
     "survey_string_stats": survey_string_stats,
@@ -1041,6 +1178,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "survey_equidepth_histogram": _equidepth_sql(),
     "survey_join_cardinality": _join_cardinality_sql(),
     "survey_temporal_profile": _temporal_profile_sql(),
     "survey_string_stats": _string_stats_sql(),

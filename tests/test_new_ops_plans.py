@@ -557,3 +557,124 @@ class TestRound4Additions:
         # burst gaps (width 3) and isolated gaps (width 1) both present
         widths = {m for _s, _e, m in got}
         assert {1, 3} <= widths
+
+
+class TestTfidfKeywords:
+    def test_no_python_eval_single_token_explode(self, spark):
+        from dbsurveyor_spark.operators import textstats
+
+        df = textstats.text_tfidf_keywords(spark, SF)
+        assert_no_python_eval(df)
+        # tf and df share ONE exploded frame: exactly one Generate node
+        # (each node appears twice in formatted output: tree + detail).
+        plan = formatted_plan(df)
+        assert plan.count("Generate") == 2, plan
+        # rank<=K is pushed into the sort as a group-limit
+        assert "WindowGroupLimit" in plan, plan
+
+    def test_ranks_scores_and_idf_semantics(self, spark):
+        from math import log
+
+        from dbsurveyor_spark.operators import textstats
+
+        rows = textstats.text_tfidf_keywords(spark, SF).collect()
+        n_docs = 500
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_rows in by_doc.values():
+            doc_rows.sort(key=lambda r: r.rank)
+            assert [r.rank for r in doc_rows] == list(
+                range(1, len(doc_rows) + 1)
+            )
+            assert len(doc_rows) <= textstats.TFIDF_TOP_K
+            # scores non-increasing with rank; score = tf * ln(N/df)
+            scores = [r.score for r in doc_rows]
+            assert scores == sorted(scores, reverse=True)
+            for r in doc_rows:
+                assert abs(r.score - round(r.tf * log(n_docs / r.df), 9)) < 1e-9
+                assert 1 <= r.df <= n_docs
+        # a keyword appearing in EVERY doc has idf 0 and can never rank
+        assert all(r.df < n_docs or r.score == 0.0 for r in rows)
+
+
+class TestVolumeCusum:
+    def test_metadata_sized_windows_only(self, spark):
+        from dbsurveyor_spark.streaming import events as ev
+
+        df = ev.stream_volume_cusum(spark, SF)
+        assert_no_python_eval(df)
+        # the scan reduces to daily counts BEFORE any window: every Window
+        # operator consumes the |days| aggregate, so exactly one pre-window
+        # HashAggregate pair feeds it (no data-sized global window).
+        plan = formatted_plan(df)
+        assert "Window" in plan
+
+    def test_recursion_identity_and_drift_alarm(self, spark):
+        from dbsurveyor_spark.streaming import events as ev
+
+        rows = sorted(
+            ev.stream_volume_cusum(spark, SF).collect(), key=lambda r: r.day
+        )
+        assert len(rows) == 30
+        # replay Page's recursion directly on the daily counts
+        ns = [r.n_events for r in rows]
+        mu = sum(ns) / len(ns)
+        var = sum(n * n for n in ns) / len(ns) - mu * mu
+        sd = max(0.0, var) ** 0.5
+        s_pos = s_neg = 0.0
+        for r, n in zip(rows, ns):
+            s_pos = max(0.0, s_pos + (n - mu - ev.CUSUM_K * sd))
+            s_neg = max(0.0, s_neg + (-(n - mu) - ev.CUSUM_K * sd))
+            assert abs(r.cusum_pos - s_pos) < 1e-4
+            assert abs(r.cusum_neg - s_neg) < 1e-4
+        # the injected ~33% drop from Jan 24 must fire the NEGATIVE side
+        pre = [r for r in rows if r.day < "2024-01-24"]
+        post = [r for r in rows if r.day >= "2024-01-24"]
+        assert all(r.alarm_neg == 0 for r in pre)
+        assert any(r.alarm_neg == 1 for r in post)
+        # ... and a pure drop never fires the positive side
+        assert all(r.alarm_pos == 0 for r in rows)
+
+
+class TestEquidepthHistogram:
+    def test_depth_balance_and_bounds(self, spark):
+        from dbsurveyor_spark.survey import profile as p
+
+        rows = p.survey_equidepth_histogram(spark, SF).collect()
+        per_col: dict[str, list] = {}
+        for r in rows:
+            per_col.setdefault(r.column_name, []).append(r)
+        assert set(per_col) == set(p.EDH_COLS)
+        total_rows = None
+        for col, bs in per_col.items():
+            bs.sort(key=lambda r: r.bucket)
+            assert [b.bucket for b in bs] == list(range(p.EDH_BUCKETS))
+            # bounds monotone non-decreasing across the spine
+            for a, b in zip(bs, bs[1:]):
+                assert a.hi <= b.lo + 1e-9 or a.hi == b.lo
+            n = sum(b.n for b in bs)
+            total_rows = total_rows or n
+            assert n == total_rows  # every column partitions ALL rows
+            # equi-depth: continuous columns stay within 2x of n/8; the
+            # discrete ones (l_quantity 1..50, l_discount 11 values) tie
+            # heavily at fences, so only check the continuous price column
+            if col == "l_extendedprice":
+                tgt = n / p.EDH_BUCKETS
+                for b in bs:
+                    assert 0.5 * tgt <= b.n <= 2.0 * tgt, (col, b)
+
+    def test_fences_precollected_single_count_scan(self, spark):
+        # the sf0.1 OOM regression guard: fences are collected driver-side
+        # (one array-probs percentile buffer per column, never 7), so the
+        # returned plan must contain NO percentile aggregate at all and
+        # exactly one parquet scan (the bucket-count pass) joined broadcast
+        # to the literal spine.
+        from dbsurveyor_spark.survey import profile as p
+
+        df = p.survey_equidepth_histogram(spark, SF)
+        plan = formatted_plan(df)
+        assert "percentile" not in plan, plan
+        assert plan.count("Scan parquet") == 2, plan  # tree + detail
+        assert "BroadcastHashJoin" in plan, plan
+        assert_no_python_eval(df)
