@@ -733,14 +733,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_sql() -> str:
+def _embedding_pair_ctes() -> str:
+    """Shared CTE body: vec corpus → trained-quantizer replay → NPROBE-cell
+    ranking → verified cosine pairs (named ``pairs``). Reused by the pair
+    query's oracle and the SemDeDup corpus oracle so both replay the exact
+    same candidate generation."""
     from .similarity import train_sql_ctes
 
     train_ctes, cent = train_sql_ctes("embeddings")
     cos_assign = cosine_sql("c.c_emb", "e.embedding")
     cos = cosine_rounded_sql("x.embedding", "y.embedding")
-    return f"""
-WITH corpus AS ({_VEC_CORPUS_SQL}),
+    return f"""corpus AS ({_VEC_CORPUS_SQL}),
 {train_ctes},
 ranked AS (
   SELECT vec_id, embedding, cell_id FROM (
@@ -750,11 +753,19 @@ ranked AS (
              ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
     FROM corpus e CROSS JOIN {cent} c
   ) t WHERE rn <= {DEDUP_NPROBE}
-)
-SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, {cos} AS cos_sim
-FROM ranked x JOIN ranked y
-  ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
-WHERE {cos} >= {COSINE_T}
+),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b, {cos} AS cos_sim
+  FROM ranked x JOIN ranked y
+    ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+  WHERE {cos} >= {COSINE_T}
+)"""
+
+
+def _embedding_sql() -> str:
+    return f"""
+WITH {_embedding_pair_ctes()}
+SELECT vec_a, vec_b, cos_sim FROM pairs
 """
 
 
@@ -975,6 +986,77 @@ WHERE l.doc_id = l.cluster_id
 """
 
 
+# ------------------------------------------------------------- SemDeDup
+
+
+def dedup_semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    the EMBEDDING space — the survivor set after removing cosine-near
+    duplicates that share no surface text (paraphrases, templated rewrites,
+    re-encodings), which every string-based dedup above is blind to.
+
+    Same shape as the paper: cluster the corpus (here: the trained IVF
+    quantizer's cells play k-means, as in the paper's first stage), verify
+    cosine ≥ τ inside cells only (`dedup_embedding_cosine` — candidate pairs
+    never leave a cell, so work is Σ|cell|², not n²), take connected
+    components over the verified pairs (O(log n) star contraction), keep
+    the min-id representative per semantic group. Emits (vec_id, n_members)
+    per surviving vector; singletons survive with n_members = 1.
+
+    Reference analog: none — dbsurveyor has no embedding ops; this extends
+    §2.E/F for the LLM-pipeline story. Scale: both inputs reuse cached
+    model state (quantizer) and metadata-slim frames; the only data-sized
+    work is the one assignment pass inside the pair query.
+    """
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    labels = star_contraction_labels(pairs)
+    full = (
+        _vec_corpus(spark, sf_dir)
+        .select("vec_id")
+        .join(labels, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+    sizes = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        full.filter(F.col("vec_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select("vec_id", "n_members")
+    )
+
+
+def _semantic_corpus_sql() -> str:
+    return f"""
+WITH RECURSIVE {_embedding_pair_ctes()},
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM corpus
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.vec_id
+),
+labels AS (
+  SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM labels GROUP BY cluster_id
+)
+SELECT l.vec_id, s.n_members
+FROM labels l JOIN sizes s USING (cluster_id)
+WHERE l.vec_id = l.cluster_id
+"""
+
+
 # ----------------------------------------------------- substring repetition
 
 # Token-window width for cross-document substring detection. Production
@@ -1089,6 +1171,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_neardup_clusters": dedup_neardup_clusters,
+    "dedup_semantic_corpus": dedup_semantic_corpus,
 }
 
 ORACLES = {
@@ -1102,4 +1185,5 @@ ORACLES = {
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": _embedding_sql(),
     "dedup_neardup_clusters": CLUSTERS_SQL,
+    "dedup_semantic_corpus": _semantic_corpus_sql(),
 }

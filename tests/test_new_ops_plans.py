@@ -678,3 +678,39 @@ class TestEquidepthHistogram:
         assert plan.count("Scan parquet") == 2, plan  # tree + detail
         assert "BroadcastHashJoin" in plan, plan
         assert_no_python_eval(df)
+
+
+class TestSemanticDedup:
+    """SemDeDup survivor-corpus invariants (dedup.dedup_semantic_corpus)."""
+
+    def test_partition_and_group_accounting(self, spark):
+        surv = dedup.dedup_semantic_corpus(spark, SF).collect()
+        corpus_n = dedup._vec_corpus(spark, SF).count()
+        # survivors partition the corpus: group sizes sum to corpus size
+        assert sum(r.n_members for r in surv) == corpus_n
+        # every injected duplicate (vec_id >= ID_OFFSET) has a lower-id
+        # original, so no duplicate row ever survives as a representative
+        assert all(r.vec_id < dedup.ID_OFFSET for r in surv)
+
+    def test_survivors_are_component_minima(self, spark):
+        pairs = dedup.dedup_embedding_cosine(spark, SF)
+        edges = pairs.select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+        )
+        labels = {
+            r.node: r.label
+            for r in dedup.star_contraction_labels(edges).collect()
+        }
+        surv = {r.vec_id: r.n_members for r in
+                dedup.dedup_semantic_corpus(spark, SF).collect()}
+        # every edge-incident component min survives with the right size.
+        # star_contraction_labels emits (node, label) for NON-root members
+        # only (the root has no self-edge), so true size = count + root.
+        import collections
+
+        sizes = collections.Counter(labels.values())
+        for lbl, n in sizes.items():
+            assert surv[lbl] == n + 1
+        # nodes that lost their component are gone
+        for node in labels:
+            assert node not in surv
