@@ -23,12 +23,13 @@ from .operators import (
     tpch_extra,
 )
 from .streaming import events as streaming_events
-from .survey import jsonschema, profile, quality, sampling
+from .survey import infostats, jsonschema, profile, quality, sampling
 
 _MODULES = [
     relational,
     tpch_extra,
     profile,
+    infostats,
     jsonschema,
     sampling,
     quality,

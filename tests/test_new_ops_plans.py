@@ -714,3 +714,62 @@ class TestSemanticDedup:
         # nodes that lost their component are gone
         for node in labels:
             assert node not in surv
+
+
+class TestInfoStats:
+    """Entropy / MI / Benford invariants (survey/infostats.py)."""
+
+    def test_entropy_bounds_and_gini(self, spark):
+        from dbsurveyor_spark.survey import infostats
+
+        rows = infostats.survey_column_entropy(spark, SF).collect()
+        assert len(rows) == sum(len(v) for v in infostats._ENTROPY_COLS.values())
+        import math
+
+        for r in rows:
+            # 0 <= H <= ln(distinct); normalized in [0,1]; gini in [0,1)
+            assert -1e-9 <= r.entropy_nats <= math.log(r.distinct_vals) + 1e-9
+            assert -1e-9 <= r.norm_entropy <= 1 + 1e-9
+            assert 0 <= r.gini_impurity < 1
+            assert r.n_rows > 0
+
+    def test_mi_bounds(self, spark):
+        from dbsurveyor_spark.survey import infostats
+
+        rows = infostats.survey_mutual_information(spark, SF).collect()
+        assert len(rows) == len(infostats._MI_PAIRS)
+        for r in rows:
+            # 0 <= I(X;Y) <= min(H(X), H(Y)); SU in [0,1]
+            assert r.mi_nats >= -1e-9
+            assert r.mi_nats <= min(r.entropy_x, r.entropy_y) + 1e-9
+            assert -1e-9 <= r.symmetric_uncertainty <= 1 + 1e-9
+
+    def test_benford_shares_and_uniform_nonconformity(self, spark):
+        from dbsurveyor_spark.survey import infostats
+
+        rows = {
+            (r.table_name, r.column_name): r
+            for r in infostats.quality_benford(spark, SF).collect()
+        }
+        assert len(rows) == len(infostats._BENFORD_COLS)
+        for r in rows.values():
+            assert r.n_values > 0 and r.chi_square >= 0 and r.mad >= 0
+            assert r.conforms == (r.mad < infostats.BENFORD_MAD_MAX)
+        # narrow uniform-ish synthetic prices genuinely do not conform —
+        # the detector must flag them, not rubber-stamp
+        assert not rows[("orders", "o_totalprice")].conforms
+
+    def test_no_python_eval_anywhere(self, spark):
+        from dbsurveyor_spark.survey import infostats
+
+        for fn in infostats.QUERIES.values():
+            assert_no_python_eval(fn(spark, SF))
+
+    def test_benford_agg_state_is_bounded(self, spark):
+        from dbsurveyor_spark.survey import infostats
+
+        # the only data-sized operation is the 9-bucket digit groupBy:
+        # every aggregate keys on the digit, never a data-sized key
+        plan = formatted_plan(infostats.quality_benford(spark, SF))
+        assert "HashAggregate" in plan
+        assert_no_python_eval(infostats.quality_benford(spark, SF))
