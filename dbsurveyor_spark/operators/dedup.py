@@ -205,6 +205,13 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     — Jaccard — deduplicate; MinHash minima are unaffected by duplicates).
     """
     corpus = _corpus(spark, sf_dir)
+    return _shingle_rows_from(corpus)
+
+
+def _shingle_rows_from(corpus: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows for an arbitrary (doc_id, text) corpus —
+    the codegen lead-window shingle shape shared by the Jaccard dedup and
+    the containment scan (which augments the corpus differently)."""
     toks = corpus.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
     )
@@ -1057,6 +1064,155 @@ WHERE l.vec_id = l.cluster_id
 """
 
 
+# ------------------------------------------------------------- containment
+
+# Asymmetric containment threshold and the injected-excerpt construction:
+# every doc_id % 7 == 0 contributes an excerpt of its first EXCERPT_TOKENS
+# tokens under id + ID_OFFSET. An excerpt's shingle set is a strict subset
+# of its source's, so containment(excerpt → source) = 1.0 while symmetric
+# Jaccard ≈ EXCERPT_TOKENS/|doc| ≈ 0.3 — invisible to every symmetric
+# dedup above, which is exactly the gap this operator closes.
+CONTAIN_T = 0.9
+CONTAIN_NUM, CONTAIN_DEN = 9, 10  # τ as an exact integer fraction
+EXCERPT_TOKENS = 20
+
+
+def _contain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(tokens(F.col("text")), 1, EXCERPT_TOKENS), " "
+        ).alias("text"),
+    )
+    return docs.unionByName(excerpts)
+
+
+_CONTAIN_CORPUS_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {ID_OFFSET} AS doc_id,
+       array_to_string(list_slice({tokens_sql('text')}, 1, {EXCERPT_TOKENS}), ' ')
+         AS text
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: C(A→B) = |g(A) ∩ g(B)| / |g(A)|
+    ≥ τ — the quote / excerpt / partial-copy detector. Symmetric Jaccard is
+    blind to a short doc fully contained in a long one (the union term
+    swamps the intersection); containment is the standard fix (Broder's
+    original resemblance/containment pair, STOC'97).
+
+    One-sided prefix filtering, exact for C ≥ τ: order A's shingles by
+    global document frequency (rarest first, shingle tie-break). If
+    C(A→B) ≥ τ then at most |A| − ⌈τ·|A|⌉ of A's shingles miss B, so A's
+    rarest (|A| − ⌈τ·|A|⌉ + 1)-prefix must hit B — join that PREFIX (≈10%
+    of A's rows, rare shingles → short posting lists) against the full
+    posting list, with the one-sided length filter |B| ≥ ⌈τ·|A|⌉
+    (intersection ≤ |B|). Hot shingles enter a prefix only for docs made
+    almost entirely of hotter ones — bucket sizes stay bounded by rarity,
+    the same PPJoin argument as the symmetric query. Verify is one
+    array_intersect per candidate. The oracle keeps the naive all-pairs
+    join; the correctness gate proves set equality, making prefix-filter
+    exactness a checked theorem, not a hope.
+
+    Reference analog: none — dbsurveyor has no text ops; extends §2.E for
+    the LLM-pipeline story (boilerplate/quotation contamination).
+    """
+    release_caches()
+    exploded = _tracked_cache(
+        _shingle_rows_from(_contain_corpus(spark, sf_dir)).dropDuplicates(
+            ["doc_id", "shingle"]
+        )
+    )
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        exploded.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    )
+    # prefix length |A| - ceil(τ·|A|) + 1, integer math: ceil(9n/10).
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(
+            f"({CONTAIN_NUM} * n_sh + {CONTAIN_DEN} - 1) div {CONTAIN_DEN}"
+        )
+        + 1
+    )
+    probe = ranked.filter(F.col("rn") <= prefix_len).select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("n_sh").alias("n_a"),
+    )
+    sizes = exploded.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh")
+    )
+    candidates = (
+        probe.join(
+            exploded.select(
+                F.col("doc_id").alias("doc_b"), "shingle"
+            ).join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("n_sh").alias("n_b"),
+                ),
+                "doc_b",
+            ),
+            "shingle",
+        )
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            # one-sided length filter: |A∩B| ≤ |B|, so C ≥ τ ⇒ |B| ≥ τ|A|
+            & (F.col("n_b") * CONTAIN_DEN >= F.col("n_a") * CONTAIN_NUM)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = sizes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    db = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(common.cast("double") / F.col("n_a"), 9),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH corpus AS ({_CONTAIN_CORPUS_SQL}),
+ds AS ({_DOC_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM ds),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / sa.n_sh, 9) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+WHERE round(CAST(common AS DOUBLE) / sa.n_sh, 9) >= {CONTAIN_T}
+"""
+
+
 # ----------------------------------------------------- substring repetition
 
 # Token-window width for cross-document substring detection. Production
@@ -1166,6 +1322,7 @@ QUERIES = {
     "dedup_neardup_corpus": dedup_neardup_corpus,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_simhash": dedup_simhash,
@@ -1180,6 +1337,7 @@ ORACLES = {
     "dedup_neardup_corpus": NEARDUP_CORPUS_SQL,
     "dedup_exact": EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
+    "dedup_containment": CONTAINMENT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_minhash_incremental": _minhash_incremental_sql(),
     "dedup_simhash": _simhash_sql(),

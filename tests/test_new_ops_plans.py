@@ -773,3 +773,65 @@ class TestInfoStats:
         plan = formatted_plan(infostats.quality_benford(spark, SF))
         assert "HashAggregate" in plan
         assert_no_python_eval(infostats.quality_benford(spark, SF))
+
+
+class TestContainment:
+    """Asymmetric containment invariants (dedup.dedup_containment)."""
+
+    def test_every_excerpt_maps_to_its_source(self, spark):
+        rows = dedup.dedup_containment(spark, SF).collect()
+        pairs = {(r.doc_a, r.doc_b) for r in rows}
+        srcs = {
+            r.doc_id
+            for r in dedup.load_table(spark, SF, "documents")
+            .select("doc_id")
+            .collect()
+            if r.doc_id % 7 == 0
+        }
+        for s in srcs:
+            assert (s + dedup.ID_OFFSET, s) in pairs
+        # excerpt → source containment is exactly 1.0 (subset by construction)
+        for r in rows:
+            if r.doc_a == r.doc_b + dedup.ID_OFFSET:
+                assert r.containment == 1.0
+
+    def test_symmetric_jaccard_misses_excerpts(self, spark):
+        # the operator's reason to exist: excerpts never reach the
+        # symmetric Jaccard threshold, so the symmetric dedup can't see
+        # them (different corpora, so compare via shingle-set math).
+        jac = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.dedup_ngram_jaccard(spark, SF).collect()
+        }
+        # jaccard corpus injects % 10 clones; containment corpus injects
+        # % 7 excerpts — a %7==0, %10!=0 doc pair appears only here
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.dedup_containment(spark, SF).collect()
+        }
+        only_here = {
+            (a, b) for (a, b) in got if a == b + dedup.ID_OFFSET and b % 10 != 0
+        }
+        assert only_here and not (only_here & jac)
+
+    def test_prefix_filter_is_exact_vs_bruteforce(self, spark):
+        # recompute containment naively from the shingle sets and compare
+        exploded = dedup._shingle_rows_from(
+            dedup._contain_corpus(spark, SF)
+        ).dropDuplicates(["doc_id", "shingle"])
+        sets = {
+            r.doc_id: set(r.sh)
+            for r in exploded.groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh"))
+            .collect()
+        }
+        expect = set()
+        for a, sa in sets.items():
+            for b, sb in sets.items():
+                if a != b and sa and len(sa & sb) / len(sa) >= dedup.CONTAIN_T:
+                    expect.add((a, b))
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.dedup_containment(spark, SF).collect()
+        }
+        assert got == expect
