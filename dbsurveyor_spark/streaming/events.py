@@ -1097,6 +1097,112 @@ QUALIFY rank <= {PATH_TOP_K}
 """
 
 
+
+
+# --------------------------------------------------- click attribution
+
+# Last-touch lookback window (purchases attribute to the latest click at
+# most this many seconds earlier). 24 h keeps the sf-synthetic feed mixed:
+# ~1/3 of purchases attribute, the rest report organic.
+ATTRIBUTION_WINDOW_S = 24 * 3600
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch click attribution — the batch equivalent of a
+    stream-stream INTERVAL JOIN (clicks ⟕ purchases on user_id with
+    purchase.ts − click.ts ∈ [0, W]): each purchase is attributed to the
+    user's LATEST click within the lookback window, else marked organic.
+    In Structured Streaming this exact shape is the watermarked
+    stream-stream join whose state retention is W; here the same semantics
+    compute as ONE union + ONE window on the shared user_id partitioning
+    (the scalable as-of construction, `operators/asof.py`) — no per-row
+    probes, no data-sized single-partition stage, and a bounded-interval
+    residual instead of the naive range self-join's fan-out.
+
+    Tie discipline: clicks sort before purchases at equal ts (side 0 < 1),
+    so a click at exactly purchase time attributes; among equal-ts clicks
+    the highest event_id wins (last in window order). Lag is computed in
+    integer MICROSECONDS (unix_micros ↔ epoch_us) — double epoch seconds
+    would round differently across engines.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("event_id"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.col("event_id"),
+        F.lit(None).cast("bigint").alias("c_id"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lag_us = F.unix_micros(F.col("t")) - F.unix_micros(F.col("last_c_ts"))
+    within = F.col("last_c_ts").isNotNull() & (
+        lag_us <= F.lit(ATTRIBUTION_WINDOW_S * 1_000_000)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_c_id", F.last("c_id", ignorenulls=True).over(w))
+        .withColumn("last_c_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("k").alias("user_id"),
+            F.col("t").alias("purchase_ts"),
+            F.when(within, F.col("last_c_id")).alias("attributed_click_id"),
+            F.when(within, F.col("last_c_ts")).alias("click_ts"),
+            F.when(within, (lag_us / F.lit(1_000_000)).cast("bigint")).alias(
+                "lag_seconds"
+            ),
+            within.alias("attributed"),
+        )
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH u AS (
+  SELECT user_id AS k, ts AS t, 0 AS side, event_id,
+         event_id AS c_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id AS k, ts AS t, 1 AS side, event_id,
+         CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS TIMESTAMP) AS c_ts
+  FROM events WHERE event_type = 'purchase'
+),
+lastc AS (
+  SELECT k, t, side, event_id,
+         last_value(c_id IGNORE NULLS) OVER win AS last_c_id,
+         last_value(c_ts IGNORE NULLS) OVER win AS last_c_ts
+  FROM u
+  WINDOW win AS (PARTITION BY k ORDER BY t, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, k AS user_id, t AS purchase_ts,
+  CASE WHEN ok THEN last_c_id END AS attributed_click_id,
+  CASE WHEN ok THEN last_c_ts END AS click_ts,
+  CASE WHEN ok THEN (epoch_us(t) - epoch_us(last_c_ts)) // 1000000
+  END AS lag_seconds,
+  ok AS attributed
+FROM (
+  SELECT *, last_c_ts IS NOT NULL AND epoch_us(t) - epoch_us(last_c_ts)
+         <= {ATTRIBUTION_WINDOW_S} * CAST(1000000 AS BIGINT) AS ok
+  FROM lastc
+) WHERE side = 1
+"""
+
 QUERIES = {
     "scd2_user_state": scd2_user_state,
     "event_path_analysis": event_path_analysis,
@@ -1109,6 +1215,7 @@ QUERIES = {
     "stream_sliding_counts": stream_sliding_counts,
     "stream_sessionization": stream_sessionization,
     "stream_dedup_events": stream_dedup_events,
+    "stream_click_attribution": stream_click_attribution,
 }
 
 ORACLES = {
@@ -1123,4 +1230,5 @@ ORACLES = {
     "stream_sliding_counts": SLIDING_SQL,
     "stream_sessionization": SESSION_SQL,
     "stream_dedup_events": DEDUP_EVENTS_SQL,
+    "stream_click_attribution": ATTRIBUTION_SQL,
 }

@@ -835,3 +835,63 @@ class TestContainment:
             for r in dedup.dedup_containment(spark, SF).collect()
         }
         assert got == expect
+
+
+class TestClickAttribution:
+    """Interval-join attribution invariants (streaming.events)."""
+
+    def test_every_purchase_reported_once(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.streaming import events as se
+
+        df = se.stream_click_attribution(spark, SF)
+        n_purch = (
+            load_table(spark, SF, "events")
+            .filter(F.col("event_type") == "purchase")
+            .count()
+        )
+        rows = df.collect()
+        assert len(rows) == n_purch
+        assert len({r.purchase_id for r in rows}) == n_purch
+
+    def test_attribution_matches_exists_recount(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.streaming import events as se
+
+        ev = load_table(spark, SF, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+        )
+        purch = ev.filter(F.col("event_type") == "purchase")
+        with_click = (
+            purch.join(
+                clicks,
+                (F.col("user_id") == F.col("cu"))
+                & (F.col("cts") <= F.col("ts"))
+                & (
+                    F.unix_micros(F.col("ts")) - F.unix_micros(F.col("cts"))
+                    <= se.ATTRIBUTION_WINDOW_S * 1_000_000
+                ),
+                "left_semi",
+            )
+            .count()
+        )
+        df = se.stream_click_attribution(spark, SF)
+        attributed = df.filter(F.col("attributed")).collect()
+        assert len(attributed) == with_click
+        for r in attributed:
+            assert r.attributed_click_id is not None
+            assert 0 <= r.lag_seconds <= se.ATTRIBUTION_WINDOW_S
+            assert r.click_ts <= r.purchase_ts
+        organic = df.filter(~F.col("attributed")).collect()
+        for r in organic:
+            assert r.attributed_click_id is None and r.lag_seconds is None
+
+    def test_single_user_shuffle(self, spark):
+        from dbsurveyor_spark.streaming import events as se
+
+        plan = formatted_plan(se.stream_click_attribution(spark, SF))
+        assert plan.count("Exchange (") == 1, plan
+        assert_no_python_eval(se.stream_click_attribution(spark, SF))
