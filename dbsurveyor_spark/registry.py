@@ -16,6 +16,7 @@ from .operators import (
     asof,
     dedup,
     funnel,
+    graph,
     pipeline,
     relational,
     similarity,
@@ -35,6 +36,7 @@ _MODULES = [
     quality,
     textstats,
     dedup,
+    graph,
     pipeline,
     similarity,
     asof,

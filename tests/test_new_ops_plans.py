@@ -895,3 +895,60 @@ class TestClickAttribution:
         plan = formatted_plan(se.stream_click_attribution(spark, SF))
         assert plan.count("Exchange (") == 1, plan
         assert_no_python_eval(se.stream_click_attribution(spark, SF))
+
+
+class TestPageRank:
+    """Fixed-point PageRank invariants (operators/graph.py)."""
+
+    def test_mass_and_teleport_floor(self, spark):
+        from dbsurveyor_spark.operators import graph
+
+        rows = graph.graph_pagerank_parts(spark, SF).collect()
+        n = len(rows)
+        assert n > 0
+        teleport = (graph.TELE_NUM * graph.PR_SCALE) // (graph.DAMP_DEN * n)
+        total = sum(r.rank_scaled for r in rows)
+        # floor divisions only ever LOSE mass: total ≤ SCALE, and every
+        # node keeps at least the teleport term
+        assert total <= graph.PR_SCALE
+        assert total >= graph.PR_SCALE * 0.98
+        assert all(r.rank_scaled >= teleport for r in rows)
+
+    def test_hub_ranks_above_isolated(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import graph
+
+        ranks = {
+            r.part_id: r.rank_scaled
+            for r in graph.graph_pagerank_parts(spark, SF).collect()
+        }
+        lines = (
+            load_table(spark, SF, "lineitem")
+            .select("l_partkey")
+            .groupBy("l_partkey")
+            .count()
+            .collect()
+        )
+        ordered_parts = {r.l_partkey for r in lines}
+        isolated = set(ranks) - ordered_parts
+        n = len(ranks)
+        teleport = (graph.TELE_NUM * graph.PR_SCALE) // (graph.DAMP_DEN * n)
+        # isolated parts sit exactly at the teleport floor
+        for p in isolated:
+            assert ranks[p] == teleport
+        # the most-ordered part outranks every isolated one
+        hub = max(lines, key=lambda r: r["count"]).l_partkey
+        assert ranks[hub] > teleport
+
+    def test_lineage_truncated_no_python(self, spark):
+        from dbsurveyor_spark.operators import graph
+
+        df = graph.graph_pagerank_parts(spark, SF)
+        plan = formatted_plan(df)
+        # each iteration ends in a localCheckpoint, so the FINAL plan reads
+        # the last checkpoint, not a 5-iteration join tree (the §6
+        # iterative-lineage doctrine; also keeps every per-round broadcast
+        # a materialized |V|-row frame instead of a deepening subplan)
+        assert "Scan ExistingRDD" in plan, plan
+        assert plan.count("Join") == 0, plan
+        assert_no_python_eval(df)
