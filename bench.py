@@ -43,6 +43,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_recall_report",
+    "knn_graph",
     "text_stats",
     "text_repetition",
     "corpus_decontamination",
@@ -56,6 +57,10 @@ HEADLINE = [
     "scd2_user_state",
     "basket_copurchase_lift",
     "asof_join_events_orders",
+    "dedup_containment",
+    "dedup_semantic_corpus",
+    "graph_pagerank_parts",
+    "stream_click_attribution",
     "funnel_conversion",
     "event_transitions",
 ]

@@ -55,10 +55,10 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node")
     )
-    lines = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # no distinct before the groupBy: collect_set dedupes parts within an
+    # order anyway, so the pre-distinct would only add a shuffle.
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
     baskets = lines.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
@@ -72,7 +72,14 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(half.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = _tracked_cache(edges.join(deg, "src"))
+    # repartition the cached frame to full parallelism: AQE coalesces the
+    # slim edge shuffle to a handful of partitions, which would serialize
+    # every iteration's scan onto a few cores (measured at sf0.1).
+    edges_deg = _tracked_cache(
+        edges.join(deg, "src").repartition(
+            spark.sparkContext.defaultParallelism, "src"
+        )
+    )
     n_nodes = nodes.count()  # metadata-scale driver scalar
     teleport = (TELE_NUM * PR_SCALE) // (DAMP_DEN * n_nodes)
     ranks = nodes.select("node", F.lit(PR_SCALE // n_nodes).alias("r"))

@@ -1209,12 +1209,95 @@ SELECT query_id, neighbor_id, ROUND(score, 9) AS score_ivfpq, rank FROM (
 """
 
 
+
+
+# -------------------------------------------------------------- k-NN graph
+
+KNN_K = 5  # neighbors kept per vector
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-NN GRAPH over the trained IVF index: every vector's
+    top-K cosine neighbors among vectors assigned to its NPROBE nearest
+    cells — the input artifact for graph clustering, SemDeDup refinement,
+    label propagation, and kNN-LM retrieval. `ann_ivf_topk` answers a
+    probe SET; this materializes the all-vectors self-search, which is the
+    expensive production variant (Σ|cell|² ≈ n·√n candidate pairs, never
+    n²).
+
+    Plan: ONE cached streaming assignment pass (rank_cells) serves both
+    sides; candidates are slim (src, dst) id pairs from the cell match
+    (each dst has exactly one assignment cell, so pairs are unique by
+    construction — no dedup shuffle); vectors re-attach by two
+    co-partitioned joins on vec_id; rank window partitions per src over
+    the candidate frame only. Exactly `ann_ivf_topk`'s shape with the
+    probe broadcast replaced by a shuffle join — the right strategy when
+    the probe side IS the corpus.
+    """
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    cells = tracked_cache(rank_cells(emb, cent_rows, NPROBE))
+    assigned = cells.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("dst_id"), "cell_id"
+    )
+    queries = cells.select(F.col("vec_id").alias("src_id"), "cell_id")
+    cand = queries.join(assigned, "cell_id").filter(
+        F.col("src_id") != F.col("dst_id")
+    )
+    qe = emb.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("q_emb"))
+    ne = emb.select(F.col("vec_id").alias("dst_id"), F.col("embedding").alias("n_emb"))
+    cos = cosine_rounded_arrow(
+        F.col("q_emb").cast("array<double>"),
+        F.col("n_emb").cast("array<double>"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("dst_id"))
+    return (
+        cand.join(qe, "src_id")
+        .join(ne, "dst_id")
+        .select("src_id", "dst_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src_id", "dst_id", "cos_sim", "rank")
+    )
+
+
+def _knn_graph_sql(dim: int = IVF_SQL_DIM) -> str:
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    cos = cosine_rounded_sql("q.embedding", "a.embedding")
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
+    return f"""
+WITH {train_ctes},
+final AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {cent} c
+),
+assigned AS (SELECT vec_id, embedding, cell_id FROM final WHERE rn = 1),
+queries AS (SELECT vec_id, embedding, cell_id FROM final WHERE rn <= {NPROBE}),
+scored AS (
+  SELECT q.vec_id AS src_id, a.vec_id AS dst_id, {cos} AS cos_sim
+  FROM queries q JOIN assigned a
+    ON a.cell_id = q.cell_id AND a.vec_id <> q.vec_id
+)
+SELECT src_id, dst_id, cos_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY src_id ORDER BY cos_sim DESC, dst_id ASC) AS BIGINT) AS rank
+  FROM scored
+) t WHERE rank <= {KNN_K}
+"""
+
 QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivf_add_batch": ann_ivf_add_batch,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "knn_graph": knn_graph,
     "embedding_outlier_report": embedding_outlier_report,
     "embed_dim_stats": embed_dim_stats,
     "ann_range_search": ann_range_search,
@@ -1228,6 +1311,7 @@ ORACLES = {
     "ann_ivf_add_batch": _add_batch_sql(),
     "ann_bruteforce_topk": _bruteforce_sql(),
     "ann_ivf_topk": _ivf_sql(),
+    "knn_graph": _knn_graph_sql(),
     "embedding_outlier_report": _embedding_outlier_sql(),
     "embed_dim_stats": EMBED_DIM_STATS_SQL,
     "ann_range_search": _range_search_sql(),

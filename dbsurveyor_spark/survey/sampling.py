@@ -181,8 +181,48 @@ SELECT * FROM orders WHERE o_orderkey % {SYSTEMATIC_K} = 0
 """
 
 
+
+
+FIXED_N = 200  # exact sample size
+
+
+def sample_fixed_size_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size uniform sample without replacement — the reservoir-sample
+    guarantee (Vitter's Algorithm R gives the same distribution) expressed
+    scale-stably: keep the N rows with the smallest portable hash of the
+    PK. Hash-Bernoulli (`sample_random_orders`) yields a BINOMIAL size;
+    pipelines that contractually need "exactly N rows" (eval sets, quota
+    sampling) need this operator instead.
+
+    Plan: TakeOrderedAndProject — per-partition top-N then a driver merge
+    of N·partitions candidates; no global sort, no full shuffle. Unlike a
+    true reservoir it is also DETERMINISTIC and rerun-stable: the sample
+    only changes where the underlying keys do.
+
+    Reference parity: SamplingStrategy::Random{limit} (`models.rs`,
+    `postgres/sampling.rs:599` ORDER BY RANDOM() LIMIT n) — same contract,
+    portable-hash order instead of engine RNG.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "sample_key", portable_hash64(F.col("o_orderkey"))
+        )
+        .orderBy("sample_key", "o_orderkey")
+        .limit(FIXED_N)
+        .drop("sample_key")
+    )
+
+
+FIXED_SIZE_SQL = f"""
+SELECT * EXCLUDE (sample_key) FROM (
+  SELECT *, {portable_hash64_sql("o_orderkey")} AS sample_key FROM orders
+) ORDER BY sample_key, o_orderkey LIMIT {FIXED_N}
+"""
+
 QUERIES = {
     "sample_systematic_orders": sample_systematic_orders,
+    "sample_fixed_size_orders": sample_fixed_size_orders,
     "sample_most_recent_orders": sample_most_recent_orders,
     "sample_random_orders": sample_random_orders,
     "sample_stratified_events": sample_stratified_events,
@@ -193,6 +233,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_systematic_orders": SYSTEMATIC_SQL,
+    "sample_fixed_size_orders": FIXED_SIZE_SQL,
     "sample_most_recent_orders": MOST_RECENT_SQL,
     "sample_random_orders": RANDOM_SQL,
     "sample_stratified_events": STRATIFIED_SQL,

@@ -952,3 +952,79 @@ class TestPageRank:
         assert "Scan ExistingRDD" in plan, plan
         assert plan.count("Join") == 0, plan
         assert_no_python_eval(df)
+
+
+class TestKnnGraphAndFixedSample:
+    def test_knn_graph_shape_and_symmetrizable(self, spark):
+        from dbsurveyor_spark.operators import similarity
+
+        rows = similarity.knn_graph(spark, SF).collect()
+        assert rows
+        by_src = {}
+        for r in rows:
+            assert r.src_id != r.dst_id
+            assert -1.0 <= r.cos_sim <= 1.0
+            by_src.setdefault(r.src_id, []).append(r)
+        for src, nbrs in by_src.items():
+            ranks = sorted(n.rank for n in nbrs)
+            assert ranks == list(range(1, len(nbrs) + 1))
+            assert len(nbrs) <= similarity.KNN_K
+            # ranks ordered by descending cosine
+            ordered = sorted(nbrs, key=lambda n: n.rank)
+            sims = [n.cos_sim for n in ordered]
+            assert sims == sorted(sims, reverse=True)
+
+    def test_knn_graph_agrees_with_probe_search(self, spark):
+        # for the probe vectors, knn_graph must contain ann_ivf_topk's
+        # neighbors (same index, same nprobe; knn keeps more per src)
+        from dbsurveyor_spark.operators import similarity
+
+        ivf = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.ann_ivf_topk(spark, SF).collect()
+        }
+        knn = {
+            (r.src_id, r.dst_id, r.rank)
+            for r in similarity.knn_graph(spark, SF).collect()
+        }
+        assert similarity.IVF_K <= similarity.KNN_K
+        assert ivf <= knn
+
+    def test_fixed_size_sample_exact_n_and_stable(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.survey import sampling
+
+        df = sampling.sample_fixed_size_orders(spark, SF)
+        rows = df.collect()
+        n_orders = load_table(spark, SF, "orders").count()
+        assert len(rows) == min(sampling.FIXED_N, n_orders)
+        assert df.columns == load_table(spark, SF, "orders").columns
+        # deterministic: second run identical
+        again = sampling.sample_fixed_size_orders(spark, SF).collect()
+        assert {r.o_orderkey for r in rows} == {r.o_orderkey for r in again}
+        # plan: TakeOrderedAndProject, not a global Sort
+        plan = formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_fixed_size_sample_growth_overlap(self, spark):
+        # adding rows only displaces a bounded fraction of the sample —
+        # the hash-order property (vs ORDER BY RANDOM(), which reshuffles
+        # everything): sample at sf0.001 ∩ sample over the half-corpus
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.functions.hashing import portable_hash64
+        from dbsurveyor_spark.survey import sampling
+
+        full = {
+            r.o_orderkey
+            for r in sampling.sample_fixed_size_orders(spark, SF).collect()
+        }
+        orders = load_table(spark, SF, "orders")
+        half = (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .withColumn("k", portable_hash64(F.col("o_orderkey")))
+            .orderBy("k", "o_orderkey")
+            .limit(sampling.FIXED_N)
+        )
+        half_keys = {r.o_orderkey for r in half.collect()}
+        # every even key in the full sample survives in the half sample
+        assert {k for k in full if k % 2 == 0} <= half_keys
