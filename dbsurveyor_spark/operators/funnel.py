@@ -364,7 +364,78 @@ GROUP BY dow, hour_of_day
 """
 
 
+
+
+# ------------------------------------------------------------ active users
+
+WAU_DAYS = 7
+MAU_DAYS = 28
+
+
+def active_users_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + stickiness (DAU/MAU) per day — the product-health
+    time series every event pipeline publishes. Trailing-window DISTINCT
+    counts cannot run as window functions (no COUNT(DISTINCT) over a
+    frame), so the scalable construction is: ONE data-sized dedup to the
+    (day, user) activity frame, then join it onto the day spine with a
+    bounded range predicate (fan-out ≤ MAU_DAYS, a constant) and count
+    distinct users per (spine day, horizon). Shuffle volume is |activity|
+    × 2 horizons, never events × horizons; the raw feed is touched once.
+
+    Day spine = the days present in the feed (deterministic; no calendar
+    generator), so gaps in ingestion surface as missing rows, not zeros.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    activity = events.distinct()  # (day, user)
+    days = activity.select(F.col("d").alias("spine_d")).distinct()
+    # one bounded-fan-out join per horizon, unioned so a single groupBy
+    # computes both trailing distincts (conditional count_distinct)
+    joined = days.join(
+        activity,
+        (F.col("d") <= F.col("spine_d"))
+        & (F.datediff(F.col("spine_d"), F.col("d")) < MAU_DAYS),
+    )
+    dd = F.datediff(F.col("spine_d"), F.col("d"))
+    agg = joined.groupBy("spine_d").agg(
+        F.count_distinct(F.when(dd == 0, F.col("user_id"))).alias("dau"),
+        F.count_distinct(
+            F.when(dd < WAU_DAYS, F.col("user_id"))
+        ).alias("wau"),
+        F.count_distinct(F.col("user_id")).alias("mau"),
+    )
+    return agg.select(
+        F.date_format("spine_d", "yyyy-MM-dd").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.round(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 9
+        ).alias("stickiness"),
+    )
+
+
+ACTIVE_USERS_SQL = f"""
+WITH activity AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d AS spine_d FROM activity),
+joined AS (
+  SELECT s.spine_d, a.user_id, date_diff('day', a.d, s.spine_d) AS dd
+  FROM days s JOIN activity a
+    ON a.d <= s.spine_d AND date_diff('day', a.d, s.spine_d) < {MAU_DAYS}
+)
+SELECT strftime(spine_d, '%Y-%m-%d') AS day,
+  CAST(COUNT(DISTINCT CASE WHEN dd = 0 THEN user_id END) AS BIGINT) AS dau,
+  CAST(COUNT(DISTINCT CASE WHEN dd < {WAU_DAYS} THEN user_id END) AS BIGINT)
+    AS wau,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+  ROUND(CAST(COUNT(DISTINCT CASE WHEN dd = 0 THEN user_id END) AS DOUBLE)
+        / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 9) AS stickiness
+FROM joined GROUP BY spine_d
+"""
+
 QUERIES = {
+    "active_users_report": active_users_report,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "event_transitions": event_transitions,
@@ -373,6 +444,7 @@ QUERIES = {
     "event_time_heatmap": event_time_heatmap,
 }
 ORACLES = {
+    "active_users_report": ACTIVE_USERS_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "retention_cohorts": RETENTION_SQL,
     "event_transitions": TRANSITIONS_SQL,

@@ -1009,7 +1009,115 @@ FROM cum c JOIN sizes s ON s.cohort_year = c.cohort_year
 """
 
 
+
+
+# -------------------------------------------------------- RFM segmentation
+
+RFM_FRACS = (0.2, 0.4, 0.6, 0.8)
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing-analytics scoring: quintile scores per metric and the
+    concatenated segment code ("555" = best). Recency is measured against
+    the dataset's own watermark (max order date), keeping it deterministic.
+
+    Scale design: quintiles via FENCE BUCKETING, not ntile — a global
+    ntile(5) is a single-partition total sort of every customer, which
+    dies at a billion customers. Exact percentile fences compute in one
+    1-row aggregate over the |customers| frame, broadcast back, and each
+    customer scores with scan-local comparisons (score = 1 + #fences
+    beaten). Same scores as ntile up to tie placement, at zero sort cost.
+
+    Reference analog: none — classic OLAP segmentation beyond dbsurveyor.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    dec = "decimal(30,6)"
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(dec)).cast("double").alias("monetary"),
+    )
+    watermark = orders.agg(F.max("o_orderdate").alias("wm"))
+    base = base.join(F.broadcast(watermark)).select(
+        "o_custkey",
+        F.datediff(F.col("wm"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    fr = F.array(*[F.lit(x) for x in RFM_FRACS])
+    fences = base.agg(
+        F.percentile(F.col("recency_days").cast("double"), fr).alias("qr"),
+        F.percentile(F.col("frequency").cast("double"), fr).alias("qf"),
+        F.percentile(F.col("monetary"), fr).alias("qm"),
+    )
+    scored = base.join(F.broadcast(fences))
+    def _score(metric, fence_col, better_low):
+        s = F.lit(1)
+        for i in range(len(RFM_FRACS)):
+            fence = F.col(fence_col)[i]
+            beat = (metric < fence) if better_low else (metric > fence)
+            s = s + beat.cast("int")
+        return s.cast("bigint")
+    r = _score(F.col("recency_days").cast("double"), "qr", True)
+    f_ = _score(F.col("frequency").cast("double"), "qf", False)
+    m = _score(F.col("monetary"), "qm", False)
+    return scored.select(
+        "o_custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.round("monetary", 6).alias("monetary"),
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            r.cast("string"), f_.cast("string"), m.cast("string")
+        ).alias("segment"),
+    )
+
+
+def _rfm_sql() -> str:
+    fr = ", ".join(str(x) for x in RFM_FRACS)
+    def score(metric, q, op):
+        terms = " + ".join(
+            f"CAST(({metric} {op} {q}[{i + 1}]) AS INTEGER)"
+            for i in range(len(RFM_FRACS))
+        )
+        return f"CAST(1 + {terms} AS BIGINT)"
+    r = score("CAST(recency_days AS DOUBLE)", "qr", "<")
+    f_ = score("CAST(frequency AS DOUBLE)", "qf", ">")
+    m = score("monetary", "qm", ">")
+    return f"""
+WITH base0 AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+wm AS (SELECT MAX(o_orderdate) AS wm FROM orders),
+base AS (
+  SELECT o_custkey, date_diff('day', last_order, wm) AS recency_days,
+         frequency, monetary
+  FROM base0 CROSS JOIN wm
+),
+fences AS (
+  SELECT quantile_cont(CAST(recency_days AS DOUBLE), [{fr}]) AS qr,
+         quantile_cont(CAST(frequency AS DOUBLE), [{fr}]) AS qf,
+         quantile_cont(monetary, [{fr}]) AS qm
+  FROM base
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+       ROUND(monetary, 6) AS monetary,
+       {r} AS r_score, {f_} AS f_score, {m} AS m_score,
+       CAST({r} AS VARCHAR) || CAST({f_} AS VARCHAR) || CAST({m} AS VARCHAR)
+         AS segment
+FROM base CROSS JOIN fences
+"""
+
 QUERIES = {
+    "rfm_segmentation": rfm_segmentation,
     "cohort_revenue_ltv": cohort_revenue_ltv,
     "fuzzy_name_match": fuzzy_name_match,
     "basket_copurchase_lift": basket_copurchase_lift,
@@ -1034,6 +1142,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rfm_segmentation": _rfm_sql(),
     "cohort_revenue_ltv": COHORT_LTV_SQL,
     "fuzzy_name_match": FUZZY_SQL,
     "basket_copurchase_lift": BASKET_SQL,

@@ -37,6 +37,8 @@ def get_session(
     # Harmless on a cluster — executors get the same flags via
     # spark.executor.extraJavaOptions in spark-submit conf instead.
     driver_xms = os.environ.get("SPARK_GRAFT_DRIVER_XMS", "24g")
+    # Diagnostics hook (GC logs, JIT logging, …) without editing code.
+    extra_opts = os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTS", "")
     builder = (
         SparkSession.builder.appName(app_name)
         # local mode runs everything in the driver JVM; Spark's 1g default
@@ -45,7 +47,12 @@ def get_session(
         .config("spark.driver.memory", driver_mem)
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{driver_xms} -XX:+AlwaysPreTouch",
+            # ReservedCodeCacheSize: whole-stage codegen across a
+            # 140-query registry emits far more JIT'd classes than the
+            # 240 MB default comfortably holds; cache flushing storms show
+            # up as intermittent multi-second stalls on random queries.
+            f"-Xms{driver_xms} -XX:+AlwaysPreTouch "
+            f"-XX:ReservedCodeCacheSize=512m {extra_opts}".strip(),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1203,6 +1203,61 @@ FROM (
 ) WHERE side = 1
 """
 
+
+
+def stream_attribution_join_job(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """`stream_click_attribution`'s interval join as a REAL stream-stream
+    INNER join: clicks and purchases are two watermarked branches of the
+    events file stream, joined on user_id with the time-range residual
+    purchase.ts − click.ts ∈ [0, W]. The range condition plus both
+    watermarks let Spark EVICT click state older than W + delay — the
+    bounded-state property the batch docstring promises. Emits every
+    in-window (purchase, click) pair in append mode; last-touch selection
+    is a per-purchase argmax the caller applies (the batch operator folds
+    it into its window)."""
+    stream = _event_stream(spark, sf_dir, checkpoint_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""c_user = p_user AND c_ts <= p_ts
+            AND c_ts >= p_ts - INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS"""
+        ),
+        "inner",
+    ).select("purchase_id", "p_user", "p_ts", "click_id", "c_ts")
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("stream_attribution_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(600):
+        query.stop()
+        raise TimeoutError("streaming job did not finish within 600s")
+    return spark.table("stream_attribution_pairs")
+
+
 QUERIES = {
     "scd2_user_state": scd2_user_state,
     "event_path_analysis": event_path_analysis,

@@ -1028,3 +1028,59 @@ class TestKnnGraphAndFixedSample:
         half_keys = {r.o_orderkey for r in half.collect()}
         # every even key in the full sample survives in the half sample
         assert {k for k in full if k % 2 == 0} <= half_keys
+
+
+class TestActiveUsersAndRfm:
+    def test_active_users_invariants(self, spark):
+        from dbsurveyor_spark.operators import funnel
+
+        rows = funnel.active_users_report(spark, SF).collect()
+        assert rows
+        for r in rows:
+            # dau ≤ wau ≤ mau, stickiness in (0, 1]
+            assert 1 <= r.dau <= r.wau <= r.mau
+            assert 0 < r.stickiness <= 1
+        # spot-check one day's DAU against a direct count
+        from dbsurveyor_spark.catalog import load_table
+
+        ev = load_table(spark, SF, "events")
+        day = rows[len(rows) // 2].day
+        direct = (
+            ev.filter(F.to_date("ts") == day)
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert next(r.dau for r in rows if r.day == day) == direct
+
+    def test_rfm_scores_partition_customers(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import relational
+
+        rows = relational.rfm_segmentation(spark, SF).collect()
+        n_cust_with_orders = (
+            load_table(spark, SF, "orders")
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+        assert len(rows) == n_cust_with_orders
+        import collections
+
+        rc = collections.Counter(r.r_score for r in rows)
+        for r in rows:
+            assert 1 <= r.r_score <= 5
+            assert 1 <= r.f_score <= 5
+            assert 1 <= r.m_score <= 5
+            assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+            assert r.recency_days >= 0
+        # fence bucketing spreads mass over several score buckets
+        assert len(rc) >= 3
+
+    def test_rfm_no_global_sort(self, spark):
+        from dbsurveyor_spark.operators import relational
+
+        plan = formatted_plan(relational.rfm_segmentation(spark, SF))
+        # scale guarantee: no Window (ntile) and no global Sort stage
+        assert "Window" not in plan, plan
+        assert "Sort" not in plan.split("AdaptiveSparkPlan")[0], plan

@@ -212,3 +212,47 @@ def test_transform_with_state_matches_batch(spark, ckpt):
     b = {(r.user_id, r.n_events) for r in batch.collect()}
     assert len(s) > 0
     assert s == b, f"tws totals diverge: {len(s ^ b)} rows differ"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, ckpt):
+    """The attribution interval join as a REAL watermarked stream-stream
+    join: its pair set must equal the batch interval join, and the set of
+    purchases with any in-window click must equal the batch operator's
+    attributed set (the last-touch pick is a per-purchase argmax on top)."""
+    from dbsurveyor_spark.streaming.events import (
+        ATTRIBUTION_WINDOW_S,
+        stream_attribution_join_job,
+        stream_click_attribution,
+    )
+
+    pairs = stream_attribution_join_job(spark, SF_ORACLE, ckpt)
+    got = {(r.purchase_id, r.click_id) for r in pairs.collect()}
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase")
+    batch_pairs = {
+        (r.event_id, r.cid)
+        for r in purch.join(
+            clicks,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") <= F.col("ts"))
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("cts"))
+                <= ATTRIBUTION_WINDOW_S * 1_000_000
+            ),
+        ).collect()
+    }
+    assert got == batch_pairs and got
+    attributed_batch = {
+        r.purchase_id
+        for r in stream_click_attribution(spark, SF_ORACLE)
+        .filter(F.col("attributed"))
+        .collect()
+    }
+    assert {p for p, _ in got} == attributed_batch
