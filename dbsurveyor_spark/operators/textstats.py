@@ -573,7 +573,102 @@ LEFT JOIN pd ON pd.doc_id = d.doc_id
 """
 
 
+
+
+# --------------------------------------------------------- char entropy
+
+# bounded alphabet for in-row distribution stats (lowercase corpus)
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+LOW_ENTROPY_T = 2.5  # nats; natural text sits ~2.8-3.1, gibberish below
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the cheap
+    gibberish / encoding-damage / keyboard-mash detector (CCNet and Gopher
+    both gate on character statistics before any model scoring). Natural
+    language has near-stationary letter frequencies (≈2.8-3.1 nats for
+    English); repeated-pattern junk collapses toward 0.
+
+    Entirely IN-ROW over a bounded alphabet: each letter's count is
+    length(text) − length(replace(text, letter)), a map-side codegen
+    expression, and the 27-term entropy fold is a FIXED expression tree —
+    identical literal double arithmetic in both engines, no aggregation,
+    no shuffle, nothing transcendental crossing a merge boundary. Zero
+    Exchanges in the plan.
+
+    The synthetic corpus is uniformly healthy, so every doc_id % 13 == 0
+    is REPLACED by a repeated two-letter pattern in-query (both engines) —
+    the detector must flag exactly those.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    txt = F.when(
+        F.col("doc_id") % 13 == 0, F.lit("ab " * 40)
+    ).otherwise(F.col("text"))
+    # counts live in ONE array so every downstream reference is to the
+    # array element, not a re-inlined copy of the count expression — the
+    # naive named-expression form re-substitutes the 27 replace() trees
+    # into every entropy term (CollapseProject) and blows the janino
+    # method limit (observed: codegen fallback + 4.6 MiB task binary).
+    arr = F.array(
+        *[
+            (F.length(txt) - F.length(F.replace(txt, F.lit(ch)))).cast(
+                "double"
+            )
+            for ch in _ALPHABET
+        ]
+    )
+    zero = F.lit(0.0)
+    total = F.aggregate(arr, zero, lambda a, x: a + x)
+    ent = F.aggregate(
+        arr,
+        zero,
+        lambda a, x: a
+        + F.when(x > 0, -(x / total) * F.log(x / total)).otherwise(zero),
+    )
+    distinct = F.aggregate(
+        arr, F.lit(0), lambda a, x: a + (x > 0).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        total.cast("bigint").alias("alpha_chars"),
+        distinct.cast("bigint").alias("distinct_chars"),
+        F.round(ent, 9).alias("char_entropy"),
+        (ent < LOW_ENTROPY_T).alias("is_low_entropy"),
+    )
+
+
+def _char_entropy_sql() -> str:
+    txt = "CASE WHEN doc_id % 13 = 0 THEN repeat('ab ', 40) ELSE text END"
+    counts = [
+        f"CAST(LENGTH({txt}) - LENGTH(REPLACE({txt}, '{ch}', '')) AS DOUBLE)"
+        for ch in _ALPHABET
+    ]
+    cols = ",\n  ".join(f"{c} AS c{i}" for i, c in enumerate(counts))
+    total = " + ".join(f"c{i}" for i in range(len(counts)))
+    ent = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN -(c{i} / total) * LN(c{i} / total) "
+        f"ELSE 0.0 END"
+        for i in range(len(counts))
+    )
+    distinct = " + ".join(
+        f"CAST(c{i} > 0 AS INTEGER)" for i in range(len(counts))
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+  {cols}
+  FROM documents
+),
+t AS (SELECT *, ({total}) AS total FROM c)
+SELECT doc_id, CAST(total AS BIGINT) AS alpha_chars,
+       CAST({distinct} AS BIGINT) AS distinct_chars,
+       ROUND({ent}, 9) AS char_entropy,
+       (({ent}) < {LOW_ENTROPY_T}) AS is_low_entropy
+FROM t
+"""
+
 QUERIES = {
+    "text_char_entropy": text_char_entropy,
     "text_lm_score": text_lm_score,
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -588,6 +683,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_char_entropy": _char_entropy_sql(),
     "text_lm_score": _lm_score_sql(),
     "text_stats": _stats_sql(),
     "text_langid": _langid_sql(),

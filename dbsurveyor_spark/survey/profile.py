@@ -1159,7 +1159,69 @@ FROM {t}""")
     return "\nUNION ALL\n".join(parts)
 
 
+
+
+# ------------------------------------------------------------ calendar gaps
+
+
+def survey_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-completeness audit on a date column: days inside the
+    table's own [min, max] span with ZERO rows — the ingestion-hole /
+    batch-skip detector for date-partitioned facts (the temporal analog of
+    `quality_sequence_gaps`' id-space audit; a missing DAY usually means a
+    missing upstream partition, which row-level checks never see).
+
+    The synthetic feed is dense, so orders on the 13th of each month are
+    dropped in-query in BOTH engines — every 13th inside the span must
+    surface, along with any naturally absent days.
+
+    Plan: 1-row min/max aggregate → `sequence()` day spine (explode is
+    bounded by the span in days — metadata, not data) → left-anti join
+    against the distinct order dates. The fact table is touched twice but
+    both scans prune to the single date column; the anti join's build side
+    is |distinct days| (bounded by the span).
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate")
+    kept = orders.filter(F.dayofmonth("o_orderdate") != 13)
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("lo").cast("date"),
+                F.col("hi").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    present = kept.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
+    return (
+        spine.join(present, "d", "left_anti")
+        .select(F.date_format("d", "yyyy-MM-dd").alias("gap_date"))
+    )
+
+
+DATE_GAPS_SQL = """
+WITH bounds AS (
+  SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+),
+spine AS (
+  SELECT UNNEST(generate_series(CAST(lo AS DATE), CAST(hi AS DATE),
+                                INTERVAL 1 DAY)) AS d
+  FROM bounds
+),
+present AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+  WHERE EXTRACT(day FROM o_orderdate) <> 13
+)
+SELECT strftime(CAST(s.d AS DATE), '%Y-%m-%d') AS gap_date
+FROM spine s LEFT JOIN present p ON CAST(s.d AS DATE) = p.d
+WHERE p.d IS NULL
+"""
+
 QUERIES = {
+    "survey_date_gaps": survey_date_gaps,
     "survey_equidepth_histogram": survey_equidepth_histogram,
     "survey_join_cardinality": survey_join_cardinality,
     "survey_temporal_profile": survey_temporal_profile,
@@ -1178,6 +1240,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "survey_date_gaps": DATE_GAPS_SQL,
     "survey_equidepth_histogram": _equidepth_sql(),
     "survey_join_cardinality": _join_cardinality_sql(),
     "survey_temporal_profile": _temporal_profile_sql(),

@@ -1542,7 +1542,102 @@ WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
 """
 
 
+
+
+# ------------------------------------------------------- outlier ROW report
+
+OUTLIER_TOP_K = 20
+OUTLIER_SPIKE_MOD = 1009  # injected spike ids (event_id % MOD == 0)
+OUTLIER_SPIKE_FACTOR = 100.0
+
+
+def quality_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROW-level companion of the anomaly-count analyzers: the top-K
+    most deviant rows per monitored column (id, value, z-score) — what an
+    on-call engineer actually opens after `quality_anomaly_zscore` says
+    "37 outliers". Counts tell you THAT something is wrong; this shows
+    WHICH rows.
+
+    The synthetic feed is uniform (|z| tops out ≈ 1.7), so every
+    event_id % 1009 == 0 value is spiked ×100 in-query in both engines —
+    the report must surface exactly those at the top.
+
+    Plan per column: one exact-decimal stats aggregate (1-row broadcast) →
+    scan-local z — same shape as the z-score analyzer — then
+    TakeOrderedAndProject for the top-K (per-partition top-K + driver
+    merge; no global sort, no data-sized window).
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "value"
+    )
+    spiked = events.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % OUTLIER_SPIKE_MOD == 0,
+            F.col("value") * OUTLIER_SPIKE_FACTOR,
+        )
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    dec = "decimal(38,9)"
+    stats = spiked.agg(
+        (
+            F.sum(F.col("v").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mu"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).cast("double").alias("s2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).select(
+        "mu",
+        F.sqrt(F.col("s2") / F.col("n") - F.col("mu") * F.col("mu")).alias(
+            "sigma"
+        ),
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sigma")
+    return (
+        spiked.join(F.broadcast(stats))
+        .select(
+            F.lit("events").alias("table_name"),
+            F.lit("value").alias("column_name"),
+            F.col("event_id").alias("row_id"),
+            F.round("v", 6).alias("value"),
+            F.round(z, 6).alias("z_score"),
+            F.abs(z).alias("_absz"),
+        )
+        .orderBy(F.desc("_absz"), F.asc("row_id"))
+        .limit(OUTLIER_TOP_K)
+        .drop("_absz")
+    )
+
+
+OUTLIER_REPORT_SQL = f"""
+WITH spiked AS (
+  SELECT event_id,
+         CASE WHEN event_id % {OUTLIER_SPIKE_MOD} = 0
+              THEN value * {OUTLIER_SPIKE_FACTOR} ELSE value END AS v
+  FROM events
+),
+stats AS (
+  SELECT CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mu,
+         SQRT(CAST(SUM(CAST(v * v AS DECIMAL(38,9))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)
+              - (CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE))
+              * (CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE))) AS sigma
+  FROM spiked
+)
+SELECT 'events' AS table_name, 'value' AS column_name,
+       event_id AS row_id, ROUND(v, 6) AS value,
+       ROUND((v - mu) / sigma, 6) AS z_score
+FROM spiked CROSS JOIN stats
+ORDER BY ABS((v - mu) / sigma) DESC, event_id ASC
+LIMIT {OUTLIER_TOP_K}
+"""
+
 QUERIES = {
+    "quality_outlier_report": quality_outlier_report,
     "quality_anomaly_mad": quality_anomaly_mad,
     "quality_sequence_gaps": quality_sequence_gaps,
     "quality_rule_checks": quality_rule_checks,
@@ -1559,6 +1654,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_outlier_report": OUTLIER_REPORT_SQL,
     "quality_anomaly_mad": _anomaly_mad_sql(),
     "quality_sequence_gaps": SEQUENCE_GAPS_SQL,
     "quality_rule_checks": _rule_checks_sql(),

@@ -1084,3 +1084,61 @@ class TestActiveUsersAndRfm:
         # scale guarantee: no Window (ntile) and no global Sort stage
         assert "Window" not in plan, plan
         assert "Sort" not in plan.split("AdaptiveSparkPlan")[0], plan
+
+
+class TestEntropyOutliersDateGaps:
+    def test_char_entropy_flags_injected_junk(self, spark):
+        from dbsurveyor_spark.operators import textstats
+
+        rows = textstats.text_char_entropy(spark, SF).collect()
+        flagged = {r.doc_id for r in rows if r.is_low_entropy}
+        injected = {r.doc_id for r in rows if r.doc_id % 13 == 0}
+        assert flagged == injected and flagged
+        import math
+
+        for r in rows:
+            assert -1e-9 <= r.char_entropy <= math.log(27) + 1e-9
+            if r.doc_id % 13 != 0:
+                # natural word-soup text sits well above the gate
+                assert r.char_entropy > 2.5
+
+    def test_char_entropy_zero_exchanges(self, spark):
+        from dbsurveyor_spark.operators import textstats
+
+        plan = formatted_plan(textstats.text_char_entropy(spark, SF))
+        assert "Exchange" not in plan
+        assert_no_python_eval(textstats.text_char_entropy(spark, SF))
+
+    def test_outlier_report_surfaces_spikes(self, spark):
+        from dbsurveyor_spark.survey import quality
+
+        rows = quality.quality_outlier_report(spark, SF).collect()
+        assert len(rows) == quality.OUTLIER_TOP_K
+        spiked = [r for r in rows if r.row_id % quality.OUTLIER_SPIKE_MOD == 0]
+        # every planted spike inside the window ranks above natural rows
+        assert spiked and rows[0].row_id % quality.OUTLIER_SPIKE_MOD == 0
+        zs = [abs(r.z_score) for r in rows]
+        assert zs == sorted(zs, reverse=True)
+        plan = formatted_plan(quality.quality_outlier_report(spark, SF))
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_date_gaps_catch_injected_13ths(self, spark):
+        from dbsurveyor_spark.survey import profile
+
+        gaps = {r.gap_date for r in profile.survey_date_gaps(spark, SF).collect()}
+        assert gaps
+        # every 13th inside the span must be a gap
+        thirteenths = {g for g in gaps if g.endswith("-13")}
+        assert thirteenths
+        # all gaps are inside the span and none on a day with kept orders
+        from dbsurveyor_spark.catalog import load_table
+
+        kept_days = {
+            str(r.d)
+            for r in load_table(spark, SF, "orders")
+            .filter(F.dayofmonth("o_orderdate") != 13)
+            .select(F.to_date("o_orderdate").alias("d"))
+            .distinct()
+            .collect()
+        }
+        assert not (gaps & kept_days)
