@@ -1291,6 +1291,115 @@ SELECT src_id, dst_id, cos_sim, rank FROM (
 ) t WHERE rank <= {KNN_K}
 """
 
+
+
+# -------------------------------------------------------- filtered search
+
+FILTER_K = 3
+
+
+def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — top-k under a metadata predicate (here: even label),
+    the operation every production vector store couples with similarity
+    (tenant isolation, language routing, freshness windows). This is the
+    PRE-FILTER strategy: the predicate applies to the assigned posting
+    list BEFORE any distance evaluates, so (a) no distance is wasted on
+    excluded vectors and (b) k results are k results — post-filtering
+    after a fixed-k search silently returns < k when the filter is
+    selective (the classic recall bug this operator exists to avoid).
+    With IVF, pre-filtering composes freely because candidate generation
+    is an id-level join, not an opaque index walk.
+
+    Plan: identical to `ann_ivf_topk` (cached assignment pass, slim-first
+    candidate join, broadcast probes) with one scan-local predicate on the
+    assigned side; the label column rides the posting list as one extra
+    int, not a second join.
+    """
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    cells = tracked_cache(
+        rank_cells(emb.select("vec_id", "embedding"), cent_rows, NPROBE)
+    )
+    labels = emb.select("vec_id", "label")
+    assigned = (
+        cells.filter(F.col("rn") == 1)
+        .join(labels, "vec_id")
+        .filter(F.col("label") % 2 == 0)
+        .select("vec_id", "cell_id")
+    )
+    probes = (
+        cells.filter((F.col("vec_id") < N_PROBES) & (F.col("rn") <= NPROBE))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cell_id").alias("q_cell"),
+        )
+    )
+    cos = cosine_rounded_arrow(
+        F.col("q_emb").cast("array<double>"),
+        F.col("embedding").cast("array<double>"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("cell_id") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= FILTER_K)
+    )
+
+
+def _filtered_search_sql(dim: int = IVF_SQL_DIM) -> str:
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    cos = cosine_rounded_sql("p.q_emb", "a.embedding")
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
+    return f"""
+WITH {train_ctes},
+final AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {cent} c
+),
+assigned AS (
+  SELECT f.vec_id, f.embedding, f.cell_id
+  FROM final f JOIN embeddings l ON l.vec_id = f.vec_id
+  WHERE f.rn = 1 AND l.label % 2 = 0
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell_id AS q_cell
+  FROM final WHERE vec_id < {N_PROBES} AND rn <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM probes p JOIN assigned a
+    ON a.cell_id = p.q_cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT)
+    AS rank
+  FROM scored
+) t WHERE rank <= {FILTER_K}
+"""
+
 QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -1298,6 +1407,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "knn_graph": knn_graph,
+    "ann_filtered_search": ann_filtered_search,
     "embedding_outlier_report": embedding_outlier_report,
     "embed_dim_stats": embed_dim_stats,
     "ann_range_search": ann_range_search,
@@ -1312,6 +1422,7 @@ ORACLES = {
     "ann_bruteforce_topk": _bruteforce_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "knn_graph": _knn_graph_sql(),
+    "ann_filtered_search": _filtered_search_sql(),
     "embedding_outlier_report": _embedding_outlier_sql(),
     "embed_dim_stats": EMBED_DIM_STATS_SQL,
     "ann_range_search": _range_search_sql(),

@@ -1142,3 +1142,57 @@ class TestEntropyOutliersDateGaps:
             .collect()
         }
         assert not (gaps & kept_days)
+
+
+class TestFilteredSearch:
+    def test_prefilter_respects_predicate_and_k(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import similarity
+
+        rows = similarity.ann_filtered_search(spark, SF).collect()
+        assert rows
+        even = {
+            r.vec_id
+            for r in load_table(spark, SF, "embeddings")
+            .filter(F.col("label") % 2 == 0)
+            .select("vec_id")
+            .collect()
+        }
+        for r in rows:
+            assert r.neighbor_id in even
+            assert 1 <= r.rank <= similarity.FILTER_K
+
+    def test_postfilter_underreturns_prefilter_doesnt(self, spark):
+        # the bug this operator avoids: filtering AFTER a fixed-k search
+        # returns a SUBSET of the pre-filtered results (and typically
+        # fewer than k) — pre-filter keeps full k among eligible vectors.
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import similarity
+
+        even = {
+            r.vec_id
+            for r in load_table(spark, SF, "embeddings")
+            .filter(F.col("label") % 2 == 0)
+            .select("vec_id")
+            .collect()
+        }
+        unfiltered = similarity.ann_ivf_topk(spark, SF).collect()
+        post = {
+            (r.query_id, r.neighbor_id)
+            for r in unfiltered
+            if r.neighbor_id in even
+        }
+        pre = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_filtered_search(spark, SF).collect()
+        }
+        # same index, same probes: post-filter survivors that rank within
+        # FILTER_K among eligible neighbors must appear in pre-filter
+        assert post and pre
+        missing = post - pre
+        # any post-filter pair absent from pre must be beyond rank K among
+        # eligible neighbors — impossible when IVF_K <= FILTER_K, so empty
+        assert similarity.IVF_K <= similarity.FILTER_K
+        assert not missing
+        # and pre-filter finds pairs post-filtering cannot see
+        assert pre - post
