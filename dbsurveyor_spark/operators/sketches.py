@@ -1,0 +1,244 @@
+"""Deterministic data-sketch operators (SURVEY §2.A+): Count-Min heavy
+hitters and Bloom-filter membership — the two workhorse sketches next to the
+HLL distinct-count path (`survey_profile_approx`).
+
+Unlike HLL (whose estimates can't hash-match an exact oracle), both sketches
+here are DETERMINISTIC given the hash family, so the DuckDB oracle replays
+the exact same construction bit-for-bit: md5-derived bucket/bit positions
+(functions/hashing.py), identical in both engines. The correctness gate
+therefore checks the sketch MACHINERY (hashing, bucketing, min/all-bits
+estimation), not just row counts.
+
+Scale notes: the Count-Min sketch is additive, so it builds from any
+partial-count frame with map-side combine (agg state = d×w counters); the
+Bloom filter materializes as a distinct bit-POSITION frame (≤ M rows, the
+relational encoding of the bitmap) broadcast to the probe side — exactly the
+runtime-filter / semi-join-pruning pattern engines use for dynamic partition
+pruning, expressed as data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+
+# Count-Min geometry: d independent hash rows × w buckets. With the ~2k-20k
+# part keys of the test lake, w=256 forces real collisions so the
+# overestimate property is exercised, not vacuous.
+CM_D = 4
+CM_W = 256
+CM_TOP_K = 10
+
+# Bloom geometry: k bit positions per member over an m-bit space.
+BLOOM_K = 3
+BLOOM_M = 4096
+
+
+def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over lineitem part keys: the top-K most
+    frequent keys with their TRUE count, the CM estimate, and the
+    overestimate (always ≥ 0 — CM never undercounts; Cormode &
+    Muthukrishnan 2005). The sketch is the bounded-memory frequency
+    structure for unbounded key spaces (d×w counters regardless of
+    cardinality); the exact pass here doubles as ground truth so the gate
+    PROVES the one-sided error bound instead of assuming it.
+
+    Build exploits CM's additivity: one exact groupBy(key) pass (needed
+    for ground truth anyway) → the sketch aggregates the count frame into
+    d×w cells (map-side combinable; a pure-sketch deployment would feed
+    raw rows through the same d-way expansion and never hold per-key
+    state). Estimation is min over the key's d cells.
+    """
+    lines = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    counts = lines.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    cells = counts.select(
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            portable_hash64(
+                                F.concat(
+                                    F.lit(f"cm{j}_"),
+                                    F.col("l_partkey").cast("string"),
+                                )
+                            )
+                            % CM_W
+                        ).alias("bucket"),
+                    )
+                    for j in range(CM_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("true_count", "c.j", "c.bucket")
+    sketch = cells.groupBy("j", "bucket").agg(
+        F.sum("true_count").cast("bigint").alias("cell")
+    )
+    top = (
+        counts.orderBy(F.desc("true_count"), F.asc("l_partkey"))
+        .limit(CM_TOP_K)
+        .select("l_partkey", "true_count")
+    )
+    probes = top.select(
+        "l_partkey",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            portable_hash64(
+                                F.concat(
+                                    F.lit(f"cm{j}_"),
+                                    F.col("l_partkey").cast("string"),
+                                )
+                            )
+                            % CM_W
+                        ).alias("bucket"),
+                    )
+                    for j in range(CM_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("l_partkey", "true_count", "c.j", "c.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("l_partkey", "true_count")
+        .agg(F.min("cell").cast("bigint").alias("cm_estimate"))
+        .select(
+            "l_partkey",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_count")).alias("overestimate"),
+        )
+    )
+
+
+def _cm_sql() -> str:
+    def bucket(j: int) -> str:
+        return (
+            portable_hash64_sql(f"'cm{j}_' || CAST(l_partkey AS VARCHAR)")
+            + f" % {CM_W}"
+        )
+
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT true_count, {j} AS j, {bucket(j)} AS bucket FROM counts"
+        for j in range(CM_D)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT l_partkey, true_count, {j} AS j, {bucket(j)} AS bucket FROM top"
+        for j in range(CM_D)
+    )
+    return f"""
+WITH counts AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM lineitem GROUP BY l_partkey
+),
+cells AS ({cell_rows}),
+sketch AS (
+  SELECT j, bucket, CAST(SUM(true_count) AS BIGINT) AS cell
+  FROM cells GROUP BY j, bucket
+),
+top AS (
+  SELECT l_partkey, true_count FROM counts
+  ORDER BY true_count DESC, l_partkey ASC LIMIT {CM_TOP_K}
+),
+probes AS ({probe_rows})
+SELECT p.l_partkey, p.true_count,
+       CAST(MIN(s.cell) AS BIGINT) AS cm_estimate,
+       CAST(MIN(s.cell) AS BIGINT) - p.true_count AS overestimate
+FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+GROUP BY p.l_partkey, p.true_count
+"""
+
+
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe — the runtime-filter / semi-join-
+    pruning pattern (dynamic partition pruning, join pre-filters) expressed
+    as data: BUILDING-segment customers form the filter (k md5-derived bit
+    positions each, materialized as the ≤ M-row distinct bit-position
+    frame — the relational encoding of the bitmap), then EVERY customer
+    probes it. Emits (custkey, in_set, bloom_pass): no false negatives by
+    construction (the gate proves it), false positives measurable at the
+    chosen k/M.
+
+    Plan: the bit frame is bounded by M and broadcast; the probe side is
+    one scan expanded ×k with a left join + per-key AND — the big side
+    never shuffles, exactly why engines ship this pattern.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def positions(key_col):
+        return [
+            portable_hash64(
+                F.concat(F.lit(f"bf{i}_"), key_col.cast("string"))
+            )
+            % BLOOM_M
+            for i in range(BLOOM_K)
+        ]
+
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    bits = (
+        members.select(
+            F.explode(F.array(*positions(F.col("c_custkey")))).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe_pos = cust.select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").alias("in_set"),
+        F.explode(F.array(*positions(F.col("c_custkey")))).alias("pos"),
+    )
+    return (
+        probe_pos.join(F.broadcast(bits), "pos", "left")
+        .groupBy("c_custkey", "in_set")
+        .agg((F.min(F.coalesce(F.col("hit"), F.lit(0))) == 1).alias("bloom_pass"))
+    )
+
+
+def _bloom_sql() -> str:
+    def pos(i: int) -> str:
+        return (
+            portable_hash64_sql(f"'bf{i}_' || CAST(c_custkey AS VARCHAR)")
+            + f" % {BLOOM_M}"
+        )
+
+    member_bits = "\nUNION ALL\n".join(
+        f"SELECT {pos(i)} AS pos FROM customer WHERE c_mktsegment = 'BUILDING'"
+        for i in range(BLOOM_K)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT c_custkey, c_mktsegment = 'BUILDING' AS in_set, {pos(i)} AS pos "
+        "FROM customer"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH bits AS (SELECT DISTINCT pos, 1 AS hit FROM ({member_bits})),
+probes AS ({probe_rows})
+SELECT p.c_custkey, p.in_set,
+       (MIN(COALESCE(b.hit, 0)) = 1) AS bloom_pass
+FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+GROUP BY p.c_custkey, p.in_set
+"""
+
+
+QUERIES = {
+    "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
+    "sketch_bloom_membership": sketch_bloom_membership,
+}
+
+ORACLES = {
+    "sketch_cm_heavy_hitters": _cm_sql(),
+    "sketch_bloom_membership": _bloom_sql(),
+}

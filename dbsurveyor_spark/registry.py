@@ -20,6 +20,7 @@ from .operators import (
     pipeline,
     relational,
     similarity,
+    sketches,
     textstats,
     tpch_extra,
 )
@@ -39,6 +40,7 @@ _MODULES = [
     graph,
     pipeline,
     similarity,
+    sketches,
     asof,
     funnel,
     streaming_events,

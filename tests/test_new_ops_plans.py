@@ -1196,3 +1196,39 @@ class TestFilteredSearch:
         assert not missing
         # and pre-filter finds pairs post-filtering cannot see
         assert pre - post
+
+
+class TestSketches:
+    def test_cm_never_undercounts(self, spark):
+        from dbsurveyor_spark.operators import sketches
+
+        rows = sketches.sketch_cm_heavy_hitters(spark, SF).collect()
+        assert len(rows) == sketches.CM_TOP_K
+        for r in rows:
+            assert r.cm_estimate >= r.true_count
+            assert r.overestimate == r.cm_estimate - r.true_count
+
+    def test_bloom_no_false_negatives(self, spark):
+        from dbsurveyor_spark.operators import sketches
+
+        rows = sketches.sketch_bloom_membership(spark, SF).collect()
+        assert rows
+        fn = [r for r in rows if r.in_set and not r.bloom_pass]
+        assert not fn, "Bloom filters cannot have false negatives"
+        # false-positive rate stays near theory: (1-e^{-kn/m})^k
+        import math
+
+        n = sum(1 for r in rows if r.in_set)
+        fp = sum(1 for r in rows if not r.in_set and r.bloom_pass)
+        non = sum(1 for r in rows if not r.in_set)
+        theory = (1 - math.exp(-sketches.BLOOM_K * n / sketches.BLOOM_M)) ** (
+            sketches.BLOOM_K
+        )
+        assert fp / max(non, 1) <= max(5 * theory, 0.05)
+
+    def test_bloom_probe_side_never_shuffles_wide(self, spark):
+        from dbsurveyor_spark.operators import sketches
+
+        plan = formatted_plan(sketches.sketch_bloom_membership(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan
+        assert_no_python_eval(sketches.sketch_bloom_membership(spark, SF))
