@@ -1,0 +1,257 @@
+"""Data-layout and planner-statistics operators (SURVEY §2.A+).
+
+- ``layout_zorder_stats`` — Z-order (Morton) clustering preview: how much
+  per-file min/max pruning improves when the table is laid out by an
+  interleaved multi-dimensional key instead of its natural order. This is
+  the statistic behind `OPTIMIZE ZORDER BY` decisions (Delta/Iceberg): a
+  100 TB fact pruned by BOTH customer and date predicates needs a layout
+  where each file covers a small rectangle of (customer, date), not a
+  stripe.
+- ``join_size_estimate`` — sample-based join-cardinality estimation via
+  hash-COORDINATED samples (same md5 residue class on both sides, the
+  correlated-sampling trick: a sampled key brings ALL its rows on both
+  sides, so per-key join products survive intact and the p²-scaled naive
+  estimator collapses to an unbiased ×p one). The planner statistic next
+  to `survey_join_cardinality`'s exact fan-out profile — at 100 TB you
+  estimate from the sample, you don't run the join to size it.
+
+Both are exact deterministic computations (integer bit math / md5 residue
+classes), replayed bit-for-bit by the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+
+ZBITS = 8  # bits per dimension (2 dims → 16-bit Morton key, 256 buckets)
+ZBUCKETS = 16  # leading Morton bits used as the simulated file id
+JOIN_SAMPLE_MOD = 20  # keep keys with hash % MOD == 0 → scale factor ×MOD
+
+
+def _zorder_cols() -> tuple:
+    """The two clustering dimensions: customer and order date (epoch day)."""
+    return F.col("o_custkey").cast("double"), F.unix_date(
+        F.col("o_orderdate").cast("date")
+    ).cast("double")
+
+
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout preview over orders(o_custkey, o_orderdate): bucket
+    the table into ZBUCKETS simulated files two ways — natural order
+    (orderkey ranges: the ingest layout) vs Morton order (interleaved
+    normalized bits of both dimensions) — and report each bucket's
+    min/max EXTENT per dimension as a fraction of the global range.
+
+    The punchline a lakehouse engineer reads off this table: under
+    natural order each "file" spans ~the FULL customer and date ranges
+    (extent ≈ 1 → a predicate on either column prunes nothing), while
+    under Z-order both extents shrink toward √(1/buckets) — min/max
+    zone maps start working for BOTH dimensions at once.
+
+    All integer/double arithmetic on identical expression trees (bit
+    interleave via shift-and-mask sums); one scan + one ZBUCKETS-row
+    aggregate per layout, no sort — the Morton key IS the order, which is
+    the whole point (cluster by computing a key, not by sorting twice).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    x, y = _zorder_cols()
+    bounds = orders.agg(
+        F.min(x).alias("xlo"),
+        F.max(x).alias("xhi"),
+        F.min(y).alias("ylo"),
+        F.max(y).alias("yhi"),
+        F.min("o_orderkey").alias("klo"),
+        F.max("o_orderkey").alias("khi"),
+    )
+    b = orders.join(F.broadcast(bounds))
+    scale = (1 << ZBITS) - 1
+    xn = F.floor(
+        (x - F.col("xlo")) / (F.col("xhi") - F.col("xlo")) * scale
+    ).cast("bigint")
+    yn = F.floor(
+        (y - F.col("ylo")) / (F.col("yhi") - F.col("ylo")) * scale
+    ).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(ZBITS):
+        z = (
+            z
+            + (F.shiftright(xn, i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1)))
+            + (F.shiftright(yn, i).bitwiseAND(F.lit(1)) * (1 << (2 * i)))
+        )
+    # simulated file id: leading bits of the layout key
+    zbucket = F.floor(z / F.lit((1 << (2 * ZBITS)) / ZBUCKETS)).cast("bigint")
+    nbucket = F.floor(
+        (F.col("o_orderkey") - F.col("klo"))
+        / (F.col("khi") - F.col("klo") + 1)
+        * ZBUCKETS
+    ).cast("bigint")
+    tagged = b.select(
+        x.alias("xv"),
+        y.alias("yv"),
+        (F.col("xhi") - F.col("xlo")).alias("xr"),
+        (F.col("yhi") - F.col("ylo")).alias("yr"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("natural").alias("layout"), nbucket.alias("bucket")),
+                F.struct(F.lit("zorder").alias("layout"), zbucket.alias("bucket")),
+            )
+        ).alias("t"),
+    ).select("xv", "yv", "xr", "yr", "t.layout", "t.bucket")
+    per_bucket = tagged.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ((F.max("xv") - F.min("xv")) / F.max("xr")).alias("x_extent"),
+        ((F.max("yv") - F.min("yv")) / F.max("yr")).alias("y_extent"),
+    )
+    return per_bucket.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.avg("x_extent"), 9).alias("avg_custkey_extent"),
+        F.round(F.avg("y_extent"), 9).alias("avg_date_extent"),
+    )
+
+
+def _zorder_sql() -> str:
+    scale = (1 << ZBITS) - 1
+    xn = f"CAST(FLOOR((xv - xlo) / (xhi - xlo) * {scale}) AS BIGINT)"
+    yn = f"CAST(FLOOR((yv - ylo) / (yhi - ylo) * {scale}) AS BIGINT)"
+    z_terms = " + ".join(
+        f"(({xn} >> {i}) & 1) * {1 << (2 * i + 1)} + "
+        f"(({yn} >> {i}) & 1) * {1 << (2 * i)}"
+        for i in range(ZBITS)
+    )
+    zb = f"CAST(FLOOR(({z_terms}) / ({(1 << (2 * ZBITS))} / {ZBUCKETS})) AS BIGINT)"
+    nb = (
+        f"CAST(FLOOR((o_orderkey - klo) / (khi - klo + 1) * {ZBUCKETS})"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH src AS (
+  SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS xv,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS DOUBLE) AS yv
+  FROM orders
+),
+bounds AS (
+  SELECT MIN(xv) AS xlo, MAX(xv) AS xhi, MIN(yv) AS ylo, MAX(yv) AS yhi,
+         MIN(o_orderkey) AS klo, MAX(o_orderkey) AS khi
+  FROM src
+),
+b AS (SELECT * FROM src CROSS JOIN bounds),
+tagged AS (
+  SELECT xv, yv, xhi - xlo AS xr, yhi - ylo AS yr,
+         'natural' AS layout, {nb} AS bucket FROM b
+  UNION ALL
+  SELECT xv, yv, xhi - xlo AS xr, yhi - ylo AS yr,
+         'zorder' AS layout, {zb} AS bucket FROM b
+),
+per_bucket AS (
+  SELECT layout, bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         (MAX(xv) - MIN(xv)) / MAX(xr) AS x_extent,
+         (MAX(yv) - MIN(yv)) / MAX(yr) AS y_extent
+  FROM tagged GROUP BY layout, bucket
+)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       ROUND(AVG(x_extent), 9) AS avg_custkey_extent,
+       ROUND(AVG(y_extent), 9) AS avg_date_extent
+FROM per_bucket GROUP BY layout
+"""
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from hash-coordinated samples: keep every
+    join KEY whose md5 residue is 0 mod p on BOTH sides (the same residue
+    class — Bernoulli over keys, not rows), join the samples, scale by p.
+    Key-coordinated sampling keeps each sampled key's full row groups on
+    both sides, so per-key join products survive intact and the estimator
+    E[p · Σ_sampled n_a(k)·n_b(k)] is exactly the true size — unlike
+    independent row sampling, whose p² correction explodes the variance.
+    Emitted next to the TRUE size (computed as a per-key product SUM — an
+    aggregate, never a materialized join) with the relative error, for
+    orders⋈lineitem and customer⋈orders.
+
+    Scale: the sample filter is scan-local on each side; the true-size
+    aggregate is one groupBy per side + a key join of two count frames.
+    """
+    edges = [
+        ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ]
+    outs = []
+    for name, ta, ka, tb, kb in edges:
+        a = load_table(spark, sf_dir, ta).select(F.col(ka).alias("k"))
+        bdf = load_table(spark, sf_dir, tb).select(F.col(kb).alias("k"))
+        ca = a.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+        cb = bdf.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+        joined = ca.join(cb, "k").select(
+            "k", (F.col("na") * F.col("nb")).alias("prod")
+        )
+        true_size = joined.agg(
+            F.sum("prod").cast("bigint").alias("true_size")
+        )
+        sampled = joined.filter(
+            portable_hash64(F.col("k")) % JOIN_SAMPLE_MOD == 0
+        ).agg(
+            (F.coalesce(F.sum("prod"), F.lit(0)) * JOIN_SAMPLE_MOD)
+            .cast("bigint")
+            .alias("estimated_size")
+        )
+        one = true_size.join(sampled).select(
+            F.lit(name).alias("edge"),
+            "true_size",
+            "estimated_size",
+            F.round(
+                F.abs(
+                    F.col("estimated_size").cast("double")
+                    - F.col("true_size").cast("double")
+                )
+                / F.col("true_size").cast("double"),
+                9,
+            ).alias("rel_error"),
+        )
+        outs.append(one)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _join_size_sql() -> str:
+    parts = []
+    for name, ta, ka, tb, kb in [
+        ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ]:
+        h = portable_hash64_sql("k")
+        parts.append(f"""
+SELECT '{name}' AS edge, true_size, estimated_size,
+       ROUND(ABS(CAST(estimated_size AS DOUBLE) - CAST(true_size AS DOUBLE))
+             / CAST(true_size AS DOUBLE), 9) AS rel_error
+FROM (
+  WITH ca AS (SELECT {ka} AS k, COUNT(*) AS na FROM {ta} GROUP BY 1),
+  cb AS (SELECT {kb} AS k, COUNT(*) AS nb FROM {tb} GROUP BY 1),
+  j AS (SELECT ca.k, na * nb AS prod FROM ca JOIN cb USING (k))
+  SELECT CAST(SUM(prod) AS BIGINT) AS true_size,
+         CAST(COALESCE(SUM(CASE WHEN {h} % {JOIN_SAMPLE_MOD} = 0
+                                THEN prod END), 0)
+              * {JOIN_SAMPLE_MOD} AS BIGINT) AS estimated_size
+  FROM j
+) t""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES = {
+    "layout_zorder_stats": layout_zorder_stats,
+    "join_size_estimate": join_size_estimate,
+}
+
+ORACLES = {
+    "layout_zorder_stats": _zorder_sql(),
+    "join_size_estimate": _join_size_sql(),
+}

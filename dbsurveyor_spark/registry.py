@@ -17,6 +17,7 @@ from .operators import (
     dedup,
     funnel,
     graph,
+    layout,
     pipeline,
     relational,
     similarity,
@@ -38,6 +39,7 @@ _MODULES = [
     textstats,
     dedup,
     graph,
+    layout,
     pipeline,
     similarity,
     sketches,
