@@ -434,7 +434,87 @@ SELECT strftime(spine_d, '%Y-%m-%d') AS day,
 FROM joined GROUP BY spine_d
 """
 
+
+
+# ---------------------------------------------------------- activity streaks
+
+
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-active-day streaks (gaps-and-islands): longest
+    streak, current streak (run touching the feed's last day), active days
+    — the engagement metric product teams track next to DAU (the
+    "7-day streak" badge is literally this query).
+
+    The islands trick stays fully partition-parallel: distinct
+    (user, day) → day_number − row_number() per user is CONSTANT within a
+    consecutive run (both increase by 1 per day), so groupBy(user, island)
+    yields the runs with no iteration; everything shuffles once on
+    user_id and all windows ride that same partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    activity = ev.distinct()
+    wm = activity.agg(F.max("d").alias("last_day"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = activity.select(
+        "user_id",
+        "d",
+        (F.unix_date(F.col("d")) - F.row_number().over(w)).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.max("d").alias("run_end"),
+    )
+    return (
+        runs.join(F.broadcast(wm))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("active_days"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.max(
+                F.when(F.col("run_end") == F.col("last_day"), F.col("len"))
+            )
+            .cast("bigint")
+            .alias("current_streak"),
+        )
+        .select(
+            "user_id",
+            "active_days",
+            "longest_streak",
+            F.coalesce("current_streak", F.lit(0).cast("bigint")).alias(
+                "current_streak"
+            ),
+        )
+    )
+
+
+STREAKS_SQL = """
+WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+wm AS (SELECT MAX(d) AS last_day FROM activity),
+islands AS (
+  SELECT user_id, d,
+         date_diff('day', DATE '1970-01-01', d)
+         - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM activity
+),
+runs AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len, MAX(d) AS run_end
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COALESCE(MAX(CASE WHEN run_end = last_day THEN len END), 0)
+            AS BIGINT) AS current_streak
+FROM runs CROSS JOIN wm
+GROUP BY user_id
+"""
+
 QUERIES = {
+    "user_activity_streaks": user_activity_streaks,
     "active_users_report": active_users_report,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -444,6 +524,7 @@ QUERIES = {
     "event_time_heatmap": event_time_heatmap,
 }
 ORACLES = {
+    "user_activity_streaks": STREAKS_SQL,
     "active_users_report": ACTIVE_USERS_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "retention_cohorts": RETENTION_SQL,

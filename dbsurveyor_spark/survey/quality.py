@@ -1636,7 +1636,159 @@ ORDER BY ABS((v - mu) / sigma) DESC, event_id ASC
 LIMIT {OUTLIER_TOP_K}
 """
 
+
+
+# -------------------------------------------------- categorical drift (chi2)
+
+CHI2_SPLIT = "2024-01-15 00:00:00"  # reference < split <= current
+# deterministic injected drift: in the CURRENT period, every 3rd click
+# becomes a view (a logging change collapsing two event names — the classic
+# real-world categorical drift) so the detector is non-vacuous.
+CHI2_FLAG_T = 0.05  # report flag: p-value proxy via chi2 > critical (df-based)
+
+
+def quality_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square drift test for CATEGORICAL columns — the
+    companion of `quality_distribution_psi` (numeric buckets): compares
+    event_type's distribution before/after the split date. PSI on
+    categories needs stable bucket edges; the chi-square homogeneity test
+    is the standard categorical form (expected counts from the pooled
+    distribution).
+
+    Dirt: in the current period every 3rd click is renamed to view
+    in-query in BOTH engines (a logging-schema change collapsing names —
+    the categorical drift that actually happens), so the statistic must
+    fire.
+
+    Plan: one pruned scan → (category, period) conditional-count aggregate
+    (state ≤ 2·|categories|) → all chi-square arithmetic on that bounded
+    frame with decimal-summed rounded terms. Critical value for df ≤ 8 at
+    α=0.05 is pinned as a literal table — no scipy, same constant both
+    engines.
+    """
+    split = F.lit(CHI2_SPLIT).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
+    cat = F.when(
+        (F.col("ts") >= split)
+        & (F.col("event_type") == "click")
+        & (F.col("event_id") % 3 == 0),
+        F.lit("view"),
+    ).otherwise(F.col("event_type"))
+    base = ev.select(cat.alias("category"), (F.col("ts") < split).alias("is_ref"))
+    from pyspark.sql.window import Window
+
+    counts = base.groupBy("category").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ref_n"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cur_n"),
+    )
+    w = Window.partitionBy()
+    en = counts.select(
+        "category",
+        "ref_n",
+        "cur_n",
+        F.sum("ref_n").over(w).alias("ref_t"),
+        F.sum("cur_n").over(w).alias("cur_t"),
+        (F.col("ref_n") + F.col("cur_n")).alias("row_t"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n_all = d("ref_t") + d("cur_t")
+    terms = []
+    for obs, tot in (("ref_n", "ref_t"), ("cur_n", "cur_t")):
+        e = d(tot) * d("row_t") / n_all
+        terms.append(
+            F.round((d(obs) - e) * (d(obs) - e) / e, 12).cast("decimal(38,12)")
+        )
+    agg = en.select(
+        "category",
+        "ref_n",
+        "cur_n",
+        "k",
+        terms[0].alias("t_ref"),
+        terms[1].alias("t_cur"),
+    ).groupBy().agg(
+        F.max("k").cast("bigint").alias("n_categories"),
+        (F.sum("t_ref") + F.sum("t_cur")).cast("double").alias("chi2"),
+    )
+    # chi-square 95th percentile by df (pinned literals, df = k - 1 ≤ 8)
+    crit = F.element_at(
+        F.array(
+            *[
+                F.lit(v)
+                for v in (3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507)
+            ]
+        ),
+        F.least(F.col("n_categories").cast("int") - 1, F.lit(8)),
+    )
+    return agg.select(
+        F.lit("events").alias("table_name"),
+        F.lit("event_type").alias("column_name"),
+        "n_categories",
+        F.round("chi2", 6).alias("chi_square"),
+        crit.alias("critical_05"),
+        (F.col("chi2") > crit).alias("drift_detected"),
+    )
+
+
+CATEGORICAL_DRIFT_SQL = f"""
+WITH base AS (
+  SELECT CASE WHEN ts >= TIMESTAMP '{CHI2_SPLIT}' AND event_type = 'click'
+                   AND event_id % 3 = 0
+              THEN 'view' ELSE event_type END AS category,
+         (ts < TIMESTAMP '{CHI2_SPLIT}') AS is_ref
+  FROM events
+),
+counts AS (
+  SELECT category,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+         CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+  FROM base GROUP BY category
+),
+en AS (
+  SELECT category, ref_n, cur_n,
+         SUM(ref_n) OVER () AS ref_t, SUM(cur_n) OVER () AS cur_t,
+         ref_n + cur_n AS row_t, COUNT(*) OVER () AS k
+  FROM counts
+),
+agg AS (
+  SELECT CAST(MAX(k) AS BIGINT) AS n_categories,
+    CAST(SUM(CAST(ROUND(
+      (CAST(ref_n AS DOUBLE)
+       - CAST(ref_t AS DOUBLE) * CAST(row_t AS DOUBLE)
+         / (CAST(ref_t AS DOUBLE) + CAST(cur_t AS DOUBLE)))
+      * (CAST(ref_n AS DOUBLE)
+         - CAST(ref_t AS DOUBLE) * CAST(row_t AS DOUBLE)
+           / (CAST(ref_t AS DOUBLE) + CAST(cur_t AS DOUBLE)))
+      / (CAST(ref_t AS DOUBLE) * CAST(row_t AS DOUBLE)
+         / (CAST(ref_t AS DOUBLE) + CAST(cur_t AS DOUBLE))), 12)
+      AS DECIMAL(38,12)))
+    + SUM(CAST(ROUND(
+      (CAST(cur_n AS DOUBLE)
+       - CAST(cur_t AS DOUBLE) * CAST(row_t AS DOUBLE)
+         / (CAST(ref_t AS DOUBLE) + CAST(cur_t AS DOUBLE)))
+      * (CAST(cur_n AS DOUBLE)
+         - CAST(cur_t AS DOUBLE) * CAST(row_t AS DOUBLE)
+           / (CAST(ref_t AS DOUBLE) + CAST(cur_t AS DOUBLE)))
+      / (CAST(cur_t AS DOUBLE) * CAST(row_t AS DOUBLE)
+         / (CAST(ref_t AS DOUBLE) + CAST(cur_t AS DOUBLE))), 12)
+      AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+  FROM en
+)
+SELECT 'events' AS table_name, 'event_type' AS column_name, n_categories,
+  ROUND(chi2, 6) AS chi_square,
+  [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507]
+    [LEAST(CAST(n_categories AS INTEGER) - 1, 8)] AS critical_05,
+  chi2 > [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507]
+    [LEAST(CAST(n_categories AS INTEGER) - 1, 8)] AS drift_detected
+FROM agg
+"""
+
 QUERIES = {
+    "quality_categorical_drift": quality_categorical_drift,
     "quality_outlier_report": quality_outlier_report,
     "quality_anomaly_mad": quality_anomaly_mad,
     "quality_sequence_gaps": quality_sequence_gaps,
@@ -1654,6 +1806,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_categorical_drift": CATEGORICAL_DRIFT_SQL,
     "quality_outlier_report": OUTLIER_REPORT_SQL,
     "quality_anomaly_mad": _anomaly_mad_sql(),
     "quality_sequence_gaps": SEQUENCE_GAPS_SQL,

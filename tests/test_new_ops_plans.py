@@ -1265,3 +1265,43 @@ class TestLayoutAndJoinEstimate:
             assert r.estimated_size >= 0
             assert r.rel_error <= 1.0
         assert rows["orders_lineitem"].rel_error < 0.5
+
+
+class TestDriftAndStreaks:
+    def test_categorical_drift_fires_on_injected_rename(self, spark):
+        from dbsurveyor_spark.survey import quality
+
+        row = quality.quality_categorical_drift(spark, SF).collect()[0]
+        assert row.drift_detected
+        assert row.chi_square > row.critical_05 > 0
+        assert row.n_categories >= 4
+
+    def test_streaks_consistent_with_activity(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import funnel
+
+        rows = funnel.user_activity_streaks(spark, SF).collect()
+        assert rows
+        # recompute one user's streaks in python
+        ev = load_table(spark, SF, "events").select(
+            "user_id", F.to_date("ts").alias("d")
+        ).distinct().collect()
+        import collections, datetime
+
+        days = collections.defaultdict(set)
+        for r in ev:
+            days[r.user_id].add(r.d)
+        last_day = max(max(s) for s in days.values())
+        for r in rows:
+            ds = sorted(days[r.user_id])
+            assert r.active_days == len(ds)
+            longest = cur = 1
+            for a, b in zip(ds, ds[1:]):
+                cur = cur + 1 if (b - a).days == 1 else 1
+                longest = max(longest, cur)
+            assert r.longest_streak == longest
+            # current streak: run ending on the feed's last day
+            if ds[-1] == last_day:
+                assert r.current_streak == cur if len(ds) > 1 else 1
+            else:
+                assert r.current_streak == 0
