@@ -1400,6 +1400,148 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 ) t WHERE rank <= {FILTER_K}
 """
 
+
+
+# ------------------------------------------------------- embedding drift
+
+EMB_DRIFT_SCALE = -3.0  # injected encoder drift: first-half dims sign-flipped ×3
+EMB_DRIFT_DIMS_FRAC = 2  # dims/this many get rescaled (dim // 2 of them)
+EMB_DRIFT_T = 0.1  # PSI investigate threshold (0.1 moderate / 0.2 action)
+
+
+def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-DISTRIBUTION drift: PSI over the trained IVF quantizer's
+    cell occupancy, reference half (even vec_id) vs current half (odd) —
+    the encoder-regression monitor a retrieval/vector pipeline runs after
+    every model redeploy: if new embeddings land in different cells, every
+    downstream ANN/recall assumption just moved. Raw-value PSI can't see
+    this (embeddings aren't scalar); occupancy of a FIXED quantizer is the
+    standard projection (same trick as monitoring an index's posting-list
+    balance).
+
+    The two halves of the synthetic corpus are identically distributed, so
+    the CURRENT half is drifted in-query in BOTH engines (first-half dims
+    rescaled ×−3 — a rotated/renormalized feature block, the silent
+    encoder change); the detector
+    must fire.
+
+    Plan: ONE streaming assignment pass over the (deterministically
+    perturbed) corpus against the memoized quantizer → ≤k-cell conditional
+    counts → PSI arithmetic on the k-row frame with Laplace smoothing and
+    decimal-summed rounded terms (exactly `quality_distribution_psi`'s
+    discipline).
+    """
+    from ..plans.cache import release_caches
+
+    release_caches()
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    q = dim // EMB_DRIFT_DIMS_FRAC
+    arr = F.col("embedding").cast("array<double>")
+    scaled = F.concat(
+        F.transform(F.slice(arr, 1, q), lambda x: x * F.lit(EMB_DRIFT_SCALE)),
+        F.slice(arr, q + 1, dim - q),
+    )
+    perturbed = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 1, scaled).otherwise(arr).alias(
+            "embedding"
+        ),
+    )
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    assigned = rank_cells(perturbed, cent_rows, 1).select(
+        "vec_id", "cell_id"
+    )
+    counts = assigned.groupBy("cell_id").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ref_n"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cur_n"),
+    )
+    spine = spark.createDataFrame(
+        [(int(r[0]),) for r in cent_rows], "cell_id bigint"
+    )
+    full = spine.join(counts, "cell_id", "left").select(
+        "cell_id",
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    k = F.count(F.lit(1)).over(w).cast("double")
+    r_share = (d("ref_n") + 0.5) / (F.sum("ref_n").over(w).cast("double") + k / 2)
+    c_share = (d("cur_n") + 0.5) / (F.sum("cur_n").over(w).cast("double") + k / 2)
+    term = F.round((r_share - c_share) * F.log(r_share / c_share), 12).cast(
+        "decimal(38,12)"
+    )
+    agg = full.select(term.alias("t"), F.lit(1).alias("one")).groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("t").cast("double").alias("psi"),
+    )
+    return agg.select(
+        "n_cells",
+        F.round("psi", 9).alias("psi"),
+        (F.col("psi") > EMB_DRIFT_T).alias("drift_detected"),
+    )
+
+
+def _embedding_drift_sql(dim: int = IVF_SQL_DIM) -> str:
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
+    q = dim // EMB_DRIFT_DIMS_FRAC
+    mod = (
+        "CASE WHEN vec_id % 2 = 1 THEN "
+        f"list_concat(list_transform(CAST(embedding[1:{q}] AS DOUBLE[]), "
+        f"x -> x * {EMB_DRIFT_SCALE}), CAST(embedding[{q + 1}:] AS DOUBLE[])) "
+        "ELSE CAST(embedding AS DOUBLE[]) END"
+    )
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    return f"""
+WITH {train_ctes},
+perturbed AS (
+  SELECT vec_id, {mod} AS embedding FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM perturbed e CROSS JOIN {cent} c
+),
+counts AS (
+  SELECT cell_id,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ref_n,
+         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cur_n
+  FROM ranked WHERE rn = 1 GROUP BY cell_id
+),
+full_counts AS (
+  SELECT c.cell_id, COALESCE(k.ref_n, 0) AS ref_n, COALESCE(k.cur_n, 0) AS cur_n
+  FROM {cent} c LEFT JOIN counts k ON k.cell_id = c.cell_id
+),
+en AS (
+  SELECT
+    (CAST(ref_n AS DOUBLE) + 0.5)
+      / (SUM(CAST(ref_n AS DOUBLE)) OVER () + COUNT(*) OVER () / 2.0)
+      AS r_share,
+    (CAST(cur_n AS DOUBLE) + 0.5)
+      / (SUM(CAST(cur_n AS DOUBLE)) OVER () + COUNT(*) OVER () / 2.0)
+      AS c_share
+  FROM full_counts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+  ROUND(CAST(SUM(CAST(ROUND((r_share - c_share) * LN(r_share / c_share), 12)
+                      AS DECIMAL(38,12))) AS DOUBLE), 9) AS psi,
+  CAST(SUM(CAST(ROUND((r_share - c_share) * LN(r_share / c_share), 12)
+                AS DECIMAL(38,12))) AS DOUBLE) > {EMB_DRIFT_T}
+    AS drift_detected
+FROM en
+"""
+
 QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -1408,6 +1550,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "knn_graph": knn_graph,
     "ann_filtered_search": ann_filtered_search,
+    "embedding_drift_psi": embedding_drift_psi,
     "embedding_outlier_report": embedding_outlier_report,
     "embed_dim_stats": embed_dim_stats,
     "ann_range_search": ann_range_search,
@@ -1423,6 +1566,7 @@ ORACLES = {
     "ann_ivf_topk": _ivf_sql(),
     "knn_graph": _knn_graph_sql(),
     "ann_filtered_search": _filtered_search_sql(),
+    "embedding_drift_psi": _embedding_drift_sql(),
     "embedding_outlier_report": _embedding_outlier_sql(),
     "embed_dim_stats": EMBED_DIM_STATS_SQL,
     "ann_range_search": _range_search_sql(),

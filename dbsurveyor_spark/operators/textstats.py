@@ -667,8 +667,113 @@ SELECT doc_id, CAST(total AS BIGINT) AS alpha_chars,
 FROM t
 """
 
+
+
+# ------------------------------------------------------- PMI co-occurrence
+
+PMI_MIN_SUPPORT = 5
+PMI_TOP_K = 20
+PMI_VOCAB_MAX = 1000  # co-occurrence fan-out gate: only top-V tokens pair
+
+
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K token pairs by NPMI (normalized pointwise mutual information)
+    over document co-occurrence — the classic collocation / related-terms
+    statistic (Church & Hanks 1990) behind phrase mining and topic seeds.
+    NPMI ∈ [−1, 1] corrects raw PMI's low-frequency bias; support filters
+    noise pairs.
+
+    Scale: co-occurrence is quadratic in per-doc DISTINCT tokens, so the
+    pair expansion is gated on a broadcast top-V vocabulary (df-ranked) —
+    the standard guard that keeps a 100 TB corpus's fan-out bounded by
+    V·doc_len instead of doc_len². Pairs expand in-array per doc
+    (dedup._bucket_pairs: one pass, JVM array ops), then ONE pair groupBy;
+    doc frequencies broadcast back onto the |pairs| aggregate, PMI/NPMI
+    arithmetic never touches data-sized frames.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import _bucket_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).distinct()
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    vocab = (
+        dfreq.orderBy(F.desc("df"), F.asc("t"))
+        .limit(PMI_VOCAB_MAX)
+        .select("t", "df")
+    )
+    gated = tok.join(F.broadcast(vocab.select("t")), "t")
+    n_docs = docs.count()
+    pairs = (
+        gated.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("t")).alias("ts"))
+        .select(F.explode(_bucket_pairs(F.col("ts"))).alias("p"))
+        .groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= PMI_MIN_SUPPORT)
+    )
+    da = F.broadcast(
+        vocab.select(F.col("t").alias("tok_a"), F.col("df").alias("df_a"))
+    )
+    db = F.broadcast(
+        vocab.select(F.col("t").alias("tok_b"), F.col("df").alias("df_b"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = F.lit(float(n_docs))
+    pmi = F.log(n * d("support") / (d("df_a") * d("df_b")))
+    npmi = pmi / -F.log(d("support") / n)
+    w = Window.orderBy(F.desc("npmi"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        pairs.join(da, "tok_a")
+        .join(db, "tok_b")
+        .withColumn("npmi", F.round(npmi, 9))
+        .withColumn("pmi", F.round(pmi, 9))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PMI_TOP_K)
+        .select("rank", "tok_a", "tok_b", "support", "pmi", "npmi")
+    )
+
+
+def _pmi_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({tokens_sql("text")}) AS t FROM documents
+),
+dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY t),
+vocab AS (SELECT t, df FROM dfreq ORDER BY df DESC, t ASC LIMIT {PMI_VOCAB_MAX}),
+gated AS (SELECT tok.doc_id, tok.t FROM tok JOIN vocab USING (t)),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.t AS tok_a, b.t AS tok_b, CAST(COUNT(*) AS BIGINT) AS support
+  FROM gated a JOIN gated b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t
+  HAVING COUNT(*) >= {PMI_MIN_SUPPORT}
+),
+scored AS (
+  SELECT tok_a, tok_b, support,
+    ROUND(LN(n.n_docs * CAST(support AS DOUBLE)
+             / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE))), 9) AS pmi,
+    ROUND(LN(n.n_docs * CAST(support AS DOUBLE)
+             / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE)))
+          / -LN(CAST(support AS DOUBLE) / n.n_docs), 9) AS npmi
+  FROM pairs
+  JOIN vocab va ON va.t = tok_a
+  JOIN vocab vb ON vb.t = tok_b
+  CROSS JOIN n
+)
+SELECT rank, tok_a, tok_b, support, pmi, npmi FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    ORDER BY npmi DESC, tok_a ASC, tok_b ASC) AS BIGINT) AS rank
+  FROM scored
+) t WHERE rank <= {PMI_TOP_K}
+"""
+
 QUERIES = {
     "text_char_entropy": text_char_entropy,
+    "text_cooccurrence_pmi": text_cooccurrence_pmi,
     "text_lm_score": text_lm_score,
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -684,6 +789,7 @@ QUERIES = {
 
 ORACLES = {
     "text_char_entropy": _char_entropy_sql(),
+    "text_cooccurrence_pmi": _pmi_sql(),
     "text_lm_score": _lm_score_sql(),
     "text_stats": _stats_sql(),
     "text_langid": _langid_sql(),

@@ -1307,3 +1307,25 @@ class TestDriftAndStreaks:
                 assert r.current_streak == cur if len(ds) > 1 else 1
             else:
                 assert r.current_streak == 0
+
+
+class TestPmiAndEmbeddingDrift:
+    def test_pmi_rank_and_bounds(self, spark):
+        from dbsurveyor_spark.operators import textstats
+
+        rows = textstats.text_cooccurrence_pmi(spark, SF).collect()
+        assert 0 < len(rows) <= textstats.PMI_TOP_K
+        npmis = [r.npmi for r in rows]
+        assert npmis == sorted(npmis, reverse=True)
+        for r in rows:
+            assert -1 - 1e-9 <= r.npmi <= 1 + 1e-9
+            assert r.support >= textstats.PMI_MIN_SUPPORT
+            assert r.tok_a < r.tok_b
+
+    def test_embedding_drift_fires_on_injected_scale(self, spark):
+        from dbsurveyor_spark.operators import similarity
+
+        row = similarity.embedding_drift_psi(spark, SF).collect()[0]
+        assert row.drift_detected
+        assert row.psi > similarity.EMB_DRIFT_T
+        assert row.n_cells >= 3
