@@ -139,6 +139,51 @@ def _warmup(spark, sf_dir: str) -> None:
         .agg({"c": "sum"})
         .collect()
     )
+    # PPJoin-SHAPED throwaway (the prefix-filter dedup family: global-df
+    # ranking window over a join, inequality self-join with length-filter
+    # residuals, set verify) — measured 9-11 s of janino+JIT on the first
+    # real ngram pass when these shapes compile cold.
+    dfq = tri.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rk = (
+        tri.join(dfq, "s")
+        .withColumn("rn", F.row_number().over(_W.partitionBy("g").orderBy("df", "s")))
+        .withColumn("n_sh", F.count(F.lit(1)).over(_W.partitionBy("g")))
+    )
+    pf = rk.filter(F.col("rn") <= F.col("n_sh") - (4 * F.col("n_sh") + 4) / 5 + 1)
+    cand = (
+        pf.alias("x")
+        .join(
+            pf.alias("y"),
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.g") < F.col("y.g"))
+            & (F.col("y.n_sh") * 5 >= F.col("x.n_sh") * 4),
+        )
+        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+        .distinct()
+    )
+    (
+        cand.join(sets.select(F.col("g").alias("ga"), F.col("ss").alias("sa")), "ga")
+        .join(sets.select(F.col("g").alias("gb"), F.col("ss").alias("sb")), "gb")
+        .select(F.size(F.array_intersect("sa", "sb")).alias("c"))
+        .agg({"c": "sum"})
+        .collect()
+    )
+    # parallel exact-distinct branches (survey_column_profile's shape):
+    # N single-column count_distinct jobs submitted concurrently compile
+    # their plans under JIT contention — warm that path too.
+    from concurrent.futures import ThreadPoolExecutor
+
+    syn2 = spark.range(5000).select(
+        (F.col("id") % 97).alias("a"), (F.col("id") % 89).alias("b"),
+        (F.col("id") % 83).alias("c"), (F.col("id") % 79).alias("d"),
+    )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(
+            pool.map(
+                lambda c: syn2.select(F.count_distinct(F.col(c))).collect(),
+                ["a", "b", "c", "d"],
+            )
+        )
     li = load_table(spark, sf_dir, "lineitem")
     li.limit(1000).agg({"l_orderkey": "count"}).collect()
     dec = "decimal(30,6)"

@@ -1116,8 +1116,62 @@ SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency,
 FROM base CROSS JOIN fences
 """
 
+
+
+# ------------------------------------------------------------- YoY growth
+
+
+def window_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the canonical reporting
+    window (LAG 12 over the month series): per month, revenue, the
+    same-month-last-year revenue, and the YoY percentage change (null for
+    the first year — no fabricated zeros).
+
+    Plan: the scan reduces to a ≤\|months\|-row exact-decimal aggregate
+    immediately; the lag window and growth arithmetic run on that
+    metadata frame (single-partition window over ~84 rows — the
+    documented metadata-frame exception, same as CUSUM/mix-plan).
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    dec = "decimal(30,6)"
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(dec)).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        F.round("revenue", 6).alias("revenue"),
+        F.round(prev, 6).alias("revenue_prior_year"),
+        F.round((F.col("revenue") - prev) / prev * 100.0, 6).alias(
+            "yoy_pct"
+        ),
+    )
+
+
+YOY_SQL = """
+WITH monthly AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, ROUND(revenue, 6) AS revenue,
+       ROUND(lag(revenue, 12) OVER (ORDER BY month), 6)
+         AS revenue_prior_year,
+       ROUND((revenue - lag(revenue, 12) OVER (ORDER BY month))
+             / lag(revenue, 12) OVER (ORDER BY month) * 100.0, 6) AS yoy_pct
+FROM monthly
+"""
+
 QUERIES = {
     "rfm_segmentation": rfm_segmentation,
+    "window_yoy_revenue": window_yoy_revenue,
     "cohort_revenue_ltv": cohort_revenue_ltv,
     "fuzzy_name_match": fuzzy_name_match,
     "basket_copurchase_lift": basket_copurchase_lift,
@@ -1143,6 +1197,7 @@ QUERIES = {
 
 ORACLES = {
     "rfm_segmentation": _rfm_sql(),
+    "window_yoy_revenue": YOY_SQL,
     "cohort_revenue_ltv": COHORT_LTV_SQL,
     "fuzzy_name_match": FUZZY_SQL,
     "basket_copurchase_lift": BASKET_SQL,

@@ -68,7 +68,13 @@ def read_lake_table(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     from .files import read_csv, read_json
 
     if fmt == "parquet":
-        return spark.read.parquet(path)
+        # mergeSchema: a lake directory accumulates files written across
+        # schema VERSIONS (columns added over time). The default reader
+        # picks one footer and silently drops later columns — a surveyor
+        # must report the union schema (evolved columns arrive nullable).
+        # Footer-merge cost is exactly what a schema collector signs up
+        # for; data pages are untouched.
+        return spark.read.option("mergeSchema", "true").parquet(path)
     if fmt == "csv":
         return read_csv(spark, path)
     return read_json(spark, path)

@@ -1329,3 +1329,28 @@ class TestPmiAndEmbeddingDrift:
         assert row.drift_detected
         assert row.psi > similarity.EMB_DRIFT_T
         assert row.n_cells >= 3
+
+
+class TestYoY:
+    def test_yoy_arithmetic_and_nulls(self, spark):
+        from dbsurveyor_spark.operators import relational
+
+        rows = sorted(
+            relational.window_yoy_revenue(spark, SF).collect(),
+            key=lambda r: r.month,
+        )
+        assert rows
+        by_month = {r.month: r for r in rows}
+        for r in rows:
+            y, m = r.month.split("-")
+            prior = f"{int(y) - 1}-{m}"
+            if prior in by_month:
+                assert r.revenue_prior_year == by_month[prior].revenue
+                expect = (
+                    (r.revenue - r.revenue_prior_year)
+                    / r.revenue_prior_year
+                    * 100.0
+                )
+                assert abs(r.yoy_pct - expect) < 1e-4
+            else:
+                assert r.revenue_prior_year is None and r.yoy_pct is None
