@@ -233,12 +233,120 @@ GROUP BY p.c_custkey, p.in_set
 """
 
 
+
+
+# ------------------------------------------------------------ KMV distinct
+
+KMV_K = 64
+KMV_SPACE = float(1 << 60)  # portable_hash64 range
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count estimation (Bar-Yossef et al. 2002)
+    per column: keep the K smallest distinct hash values; if the K-th
+    smallest normalized hash is R, the estimate is (K−1)/R. This is the
+    ORACLE-CHECKABLE member of the approx-distinct family — unlike HLL
+    (`survey_profile_approx`, rows-only by construction), KMV over a
+    deterministic hash replays bit-for-bit in both engines, so the gate
+    checks the sketch machinery itself. Exact distinct rides along so the
+    row also PROVES the estimator's accuracy.
+
+    Plan per column: pruned scan → hash → distinct-hash dedup (one
+    map-side-combinable shuffle; at 100 TB the production variant keeps a
+    bounded K-heap per partition instead — same result, no dedup shuffle)
+    → TakeOrderedAndProject for the K minima → 1-row arithmetic.
+    """
+    targets = [
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+    ]
+    outs = []
+    for tbl, col in targets:
+        vals = (
+            load_table(spark, sf_dir, tbl)
+            .select(F.col(col))
+            .filter(F.col(col).isNotNull())
+        )
+        hashes = vals.select(portable_hash64(F.col(col)).alias("h")).distinct()
+        kth = (
+            hashes.orderBy("h")
+            .limit(KMV_K)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("k_seen"),
+                F.max("h").alias("kth_hash"),
+            )
+        )
+        exact = vals.agg(
+            F.count_distinct(F.col(col)).cast("bigint").alias("exact_distinct")
+        )
+        est = F.when(
+            F.col("k_seen") < KMV_K,
+            # fewer than K distinct values: the sketch IS the exact count
+            F.col("k_seen").cast("double"),
+        ).otherwise(
+            F.lit(float(KMV_K - 1))
+            / (F.col("kth_hash").cast("double") / F.lit(KMV_SPACE))
+        )
+        outs.append(
+            kth.join(F.broadcast(exact)).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                "exact_distinct",
+                F.round(est, 6).alias("kmv_estimate"),
+                F.round(
+                    F.abs(est - F.col("exact_distinct").cast("double"))
+                    / F.col("exact_distinct").cast("double"),
+                    6,
+                ).alias("rel_error"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _kmv_sql() -> str:
+    parts = []
+    for tbl, col in [
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+    ]:
+        h = portable_hash64_sql(col)
+        parts.append(f"""
+SELECT '{tbl}' AS table_name, '{col}' AS column_name, exact_distinct,
+  ROUND(CASE WHEN k_seen < {KMV_K} THEN CAST(k_seen AS DOUBLE)
+             ELSE {float(KMV_K - 1)}
+                  / (CAST(kth_hash AS DOUBLE) / {KMV_SPACE}) END, 6)
+    AS kmv_estimate,
+  ROUND(ABS(CASE WHEN k_seen < {KMV_K} THEN CAST(k_seen AS DOUBLE)
+                 ELSE {float(KMV_K - 1)}
+                      / (CAST(kth_hash AS DOUBLE) / {KMV_SPACE}) END
+            - CAST(exact_distinct AS DOUBLE))
+        / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_seen, MAX(h) AS kth_hash
+  FROM (
+    SELECT DISTINCT {h} AS h FROM {tbl} WHERE {col} IS NOT NULL
+    ORDER BY h LIMIT {KMV_K}
+  )
+) CROSS JOIN (
+  SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) AS exact_distinct
+  FROM {tbl} WHERE {col} IS NOT NULL
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
     "sketch_bloom_membership": sketch_bloom_membership,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
 }
 
 ORACLES = {
     "sketch_cm_heavy_hitters": _cm_sql(),
     "sketch_bloom_membership": _bloom_sql(),
+    "sketch_kmv_distinct": _kmv_sql(),
 }

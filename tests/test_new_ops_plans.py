@@ -1354,3 +1354,26 @@ class TestYoY:
                 assert abs(r.yoy_pct - expect) < 1e-4
             else:
                 assert r.revenue_prior_year is None and r.yoy_pct is None
+
+
+class TestKmv:
+    def test_kmv_accuracy_and_exact_fallback(self, spark):
+        from dbsurveyor_spark.operators import sketches
+
+        rows = {
+            (r.table_name, r.column_name): r
+            for r in sketches.sketch_kmv_distinct(spark, SF).collect()
+        }
+        assert len(rows) == 3
+        for r in rows.values():
+            assert r.exact_distinct > 0
+            # KMV standard error ~1/sqrt(K-2): generous 6-sigma bound
+            import math
+
+            bound = 6.0 / math.sqrt(sketches.KMV_K - 2)
+            if r.exact_distinct <= sketches.KMV_K:
+                # fewer distincts than K: sketch degenerates to exact
+                assert r.kmv_estimate == float(r.exact_distinct)
+                assert r.rel_error == 0.0
+            else:
+                assert r.rel_error <= bound
