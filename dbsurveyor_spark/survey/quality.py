@@ -1787,7 +1787,75 @@ SELECT 'events' AS table_name, 'event_type' AS column_name, n_categories,
 FROM agg
 """
 
+
+
+# ---------------------------------------------------- malformed payloads
+
+DLQ_MOD = 23  # every event_id % 23 == 0 gets its props payload corrupted
+
+
+def quality_malformed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting for semi-structured payloads: per ingest day,
+    how many events carry an UNPARSEABLE props JSON — the metric that
+    routes rows to a DLQ and pages the producer team. Schema inference
+    (`survey_json_schema_inference`) assumes parseable payloads; this is
+    the gate in front of it.
+
+    The synthetic feed is 100% well-formed, so every DLQ_MOD-th event's
+    payload is truncated-corrupted in-query in BOTH engines; the report
+    must count exactly those. Validity check: `get_json_object(p, '$')`
+    (strict VARIANT parse) on the Spark side ≡ DuckDB `json_valid` for
+    these payloads. Map-side flag → one bounded
+    (day) aggregate; nothing else shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "props")
+    # corruption PREPENDS the brace: JSON parsers on both engines are
+    # lenient about trailing junk after a complete value, strict about a
+    # malformed head
+    corrupted = F.when(
+        F.col("event_id") % DLQ_MOD == 0, F.concat(F.lit("{"), F.col("props"))
+    ).otherwise(F.col("props"))
+    malformed = corrupted.isNotNull() & F.try_parse_json(corrupted).isNull()
+    return (
+        ev.select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            malformed.cast("int").alias("bad"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("events"),
+            F.sum("bad").cast("bigint").alias("malformed"),
+        )
+        .select(
+            "day",
+            "events",
+            "malformed",
+            F.round(
+                F.col("malformed").cast("double") / F.col("events"), 9
+            ).alias("malformed_rate"),
+        )
+    )
+
+
+MALFORMED_JSON_SQL = f"""
+WITH ev AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CASE WHEN (CASE WHEN event_id % {DLQ_MOD} = 0
+                         THEN '{{{{' || props ELSE props END) IS NOT NULL
+                   AND NOT json_valid(CASE WHEN event_id % {DLQ_MOD} = 0
+                                           THEN '{{{{' || props
+                                           ELSE props END)
+              THEN 1 ELSE 0 END AS bad
+  FROM events
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS events,
+       CAST(SUM(bad) AS BIGINT) AS malformed,
+       ROUND(CAST(SUM(bad) AS DOUBLE) / COUNT(*), 9) AS malformed_rate
+FROM ev GROUP BY day
+"""
+
 QUERIES = {
+    "quality_malformed_json": quality_malformed_json,
     "quality_categorical_drift": quality_categorical_drift,
     "quality_outlier_report": quality_outlier_report,
     "quality_anomaly_mad": quality_anomaly_mad,
@@ -1806,6 +1874,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_malformed_json": MALFORMED_JSON_SQL,
     "quality_categorical_drift": CATEGORICAL_DRIFT_SQL,
     "quality_outlier_report": OUTLIER_REPORT_SQL,
     "quality_anomaly_mad": _anomaly_mad_sql(),

@@ -1377,3 +1377,25 @@ class TestKmv:
                 assert r.rel_error == 0.0
             else:
                 assert r.rel_error <= bound
+
+
+class TestMalformedJson:
+    def test_counts_match_injection(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.survey import quality
+
+        rows = quality.quality_malformed_json(spark, SF).collect()
+        assert rows
+        total_bad = sum(r.malformed for r in rows)
+        expect = (
+            load_table(spark, SF, "events")
+            .filter(
+                (F.col("event_id") % quality.DLQ_MOD == 0)
+                & F.col("props").isNotNull()
+            )
+            .count()
+        )
+        assert total_bad == expect > 0
+        for r in rows:
+            assert 0 <= r.malformed <= r.events
+            assert abs(r.malformed_rate - r.malformed / r.events) < 1e-9
