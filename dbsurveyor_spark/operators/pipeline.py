@@ -779,7 +779,108 @@ FROM (SELECT doc_id, {_PII_DIRTY_SQL} AS t FROM documents) d
 """
 
 
+
+
+# --------------------------------------------------------- packing stats
+
+PACK_CONTEXT_LENS = (128, 256, 512)
+
+
+def corpus_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency table per candidate context length — the
+    decision input for an LLM training run: one-doc-per-row wastes
+    (L − len) tokens of every row as padding, while concatenation packing
+    approaches the ⌈Σtokens/L⌉ lower bound. For each L this emits the doc
+    count, token total, overlong-doc count (they truncate or split),
+    padding-waste utilization of the naive layout, and the packed lower
+    bound — the table that picks L and decides whether packing is worth
+    its shuffle.
+
+    ONE token-count scan feeds every L (the per-L arithmetic is a 1-row
+    cross join fan-out over the aggregate, not a rescan); all math is
+    integer/decimal-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    rows = []
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col("n_tok") > L, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"over_{L}")
+            for L in PACK_CONTEXT_LENS
+        ],
+        *[
+            F.sum(F.least(F.col("n_tok"), F.lit(L)))
+            .cast("bigint")
+            .alias(f"kept_{L}")
+            for L in PACK_CONTEXT_LENS
+        ],
+    )
+    for L in PACK_CONTEXT_LENS:
+        d = lambda c: F.col(c).cast("double")  # noqa: E731
+        naive_util = d(f"kept_{L}") / (d("n_docs") * float(L))
+        packed_rows = F.ceil(F.col("total_tokens").cast("double") / float(L)).cast(
+            "bigint"
+        )
+        rows.append(
+            agg.select(
+                F.lit(L).cast("bigint").alias("context_len"),
+                "n_docs",
+                "total_tokens",
+                F.col(f"over_{L}").alias("overlong_docs"),
+                F.round(naive_util, 9).alias("naive_utilization"),
+                packed_rows.alias("packed_rows_lower_bound"),
+                F.round(
+                    d("total_tokens")
+                    / (packed_rows.cast("double") * float(L)),
+                    9,
+                ).alias("packed_utilization"),
+            )
+        )
+    out = rows[0]
+    for o in rows[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _packing_sql() -> str:
+    parts = []
+    for L in PACK_CONTEXT_LENS:
+        parts.append(f"""
+SELECT CAST({L} AS BIGINT) AS context_len, n_docs, total_tokens,
+       over_{L} AS overlong_docs,
+       ROUND(CAST(kept_{L} AS DOUBLE) / (CAST(n_docs AS DOUBLE) * {L}.0), 9)
+         AS naive_utilization,
+       CAST(CEIL(CAST(total_tokens AS DOUBLE) / {L}.0) AS BIGINT)
+         AS packed_rows_lower_bound,
+       ROUND(CAST(total_tokens AS DOUBLE)
+             / (CAST(CEIL(CAST(total_tokens AS DOUBLE) / {L}.0) AS DOUBLE)
+                * {L}.0), 9) AS packed_utilization
+FROM agg""")
+    sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN n_tok > {L} THEN 1 ELSE 0 END) AS BIGINT) AS over_{L},\n"
+        f"         CAST(SUM(LEAST(n_tok, {L})) AS BIGINT) AS kept_{L}"
+        for L in PACK_CONTEXT_LENS
+    )
+    return f"""
+WITH toks AS (
+  SELECT CAST(len({tokens_sql("text")}) AS BIGINT) AS n_tok FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         {sums}
+  FROM toks
+)
+{chr(10).join("UNION ALL" + p if i else p for i, p in enumerate(parts))}
+"""
+
 QUERIES = {
+    "corpus_packing_stats": corpus_packing_stats,
     "corpus_decontamination": corpus_decontamination,
     "split_leakage_report": split_leakage_report,
     "split_leakage_neardup": split_leakage_neardup,
@@ -790,6 +891,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_packing_stats": _packing_sql(),
     "text_pii_scan": _pii_scan_sql(),
     "corpus_curation": _curation_sql(),
     "corpus_decontamination": DECONTAMINATION_SQL,

@@ -1399,3 +1399,22 @@ class TestMalformedJson:
         for r in rows:
             assert 0 <= r.malformed <= r.events
             assert abs(r.malformed_rate - r.malformed / r.events) < 1e-9
+
+
+class TestPackingStats:
+    def test_packing_bounds(self, spark):
+        from dbsurveyor_spark.operators import pipeline as pl
+
+        rows = {r.context_len: r for r in pl.corpus_packing_stats(spark, SF).collect()}
+        assert set(rows) == set(pl.PACK_CONTEXT_LENS)
+        for L, r in rows.items():
+            assert 0 < r.naive_utilization <= 1
+            assert 0 < r.packed_utilization <= 1
+            # packing can only improve utilization
+            assert r.packed_utilization >= r.naive_utilization - 1e-9
+            assert r.packed_rows_lower_bound * L >= r.total_tokens
+            assert (r.packed_rows_lower_bound - 1) * L < r.total_tokens
+        # longer context → fewer overlong docs
+        ls = sorted(rows)
+        for a, b in zip(ls, ls[1:]):
+            assert rows[a].overlong_docs >= rows[b].overlong_docs
