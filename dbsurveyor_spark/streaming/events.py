@@ -1258,6 +1258,78 @@ def stream_attribution_join_job(
     return spark.table("stream_attribution_pairs")
 
 
+
+
+def stream_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENT sessions per day — the capacity-planning number
+    (connection pools, websocket fan-out, licensing): sweep-line over
+    session intervals (+1 at start, −1 at end; ends sort before starts at
+    the same instant so back-to-back sessions never double-count), running
+    sum = live concurrency, max per calendar day.
+
+    The running sum is GLOBAL over arrival order, so it computes as the
+    TWO-LEVEL parallel prefix (§6): per-day within-block running sum (one
+    shuffle on the day key) + a ≤\|days\|-row carry frame of prior-day
+    delta totals — no data-sized single-partition window. Sessions that
+    span midnight carry into the next day through exactly that carry term.
+    Sessions come from `stream_sessionization` (same 30-min gap).
+    """
+    sessions = stream_sessionization(spark, sf_dir).select(
+        "session_start", "session_end"
+    )
+    deltas = sessions.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            F.col("session_end").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    day = F.date_format(F.to_date("t"), "yyyy-MM-dd")
+    within = Window.partitionBy("d").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_day = deltas.select(day.alias("d"), "t", "delta").withColumn(
+        "run", F.sum("delta").over(within)
+    )
+    day_tot = per_day.groupBy("d").agg(
+        F.sum("delta").alias("day_delta"), F.max("run").alias("max_run")
+    )
+    carry_w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        day_tot.withColumn(
+            "carry", F.sum("day_delta").over(carry_w) - F.col("day_delta")
+        )
+        .select(
+            F.col("d").alias("day"),
+            (F.col("max_run") + F.col("carry"))
+            .cast("bigint")
+            .alias("peak_concurrency"),
+        )
+    )
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH sessions AS (
+  SELECT session_start, session_end FROM ({SESSION_SQL.strip()})
+),
+deltas AS (
+  SELECT session_start AS t, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT session_end AS t, -1 AS delta FROM sessions
+),
+runs AS (
+  SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS d, t, delta,
+         SUM(delta) OVER (ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM deltas
+)
+SELECT d AS day, CAST(MAX(run) AS BIGINT) AS peak_concurrency
+FROM runs GROUP BY d
+"""
+
 QUERIES = {
     "scd2_user_state": scd2_user_state,
     "event_path_analysis": event_path_analysis,
@@ -1271,6 +1343,7 @@ QUERIES = {
     "stream_sessionization": stream_sessionization,
     "stream_dedup_events": stream_dedup_events,
     "stream_click_attribution": stream_click_attribution,
+    "stream_peak_concurrency": stream_peak_concurrency,
 }
 
 ORACLES = {
@@ -1286,4 +1359,5 @@ ORACLES = {
     "stream_sessionization": SESSION_SQL,
     "stream_dedup_events": DEDUP_EVENTS_SQL,
     "stream_click_attribution": ATTRIBUTION_SQL,
+    "stream_peak_concurrency": PEAK_CONCURRENCY_SQL,
 }

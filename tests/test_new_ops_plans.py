@@ -1418,3 +1418,30 @@ class TestPackingStats:
         ls = sorted(rows)
         for a, b in zip(ls, ls[1:]):
             assert rows[a].overlong_docs >= rows[b].overlong_docs
+
+
+class TestPeakConcurrency:
+    def test_peak_matches_bruteforce_sweep(self, spark):
+        from dbsurveyor_spark.streaming import events as se
+
+        got = {r.day: r.peak_concurrency for r in
+               se.stream_peak_concurrency(spark, SF).collect()}
+        assert got
+        sessions = se.stream_sessionization(spark, SF).select(
+            "session_start", "session_end"
+        ).collect()
+        deltas = sorted(
+            [(r.session_start, 1) for r in sessions]
+            + [(r.session_end, -1) for r in sessions],
+            key=lambda x: (x[0], x[1]),
+        )
+        run, peaks = 0, {}
+        for t, d in deltas:
+            run += d
+            day = t.strftime("%Y-%m-%d")
+            peaks[day] = max(peaks.get(day, -10**9), run)
+        assert got == peaks
+        # a day whose only deltas are prior-day sessions ENDING can peak
+        # as low as the post-drop level; concurrency itself never < 0
+        assert all(v >= 0 for v in got.values())
+        assert max(got.values()) >= 1
