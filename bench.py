@@ -61,6 +61,10 @@ HEADLINE = [
     "dedup_semantic_corpus",
     "graph_pagerank_parts",
     "stream_click_attribution",
+    "sketch_cm_heavy_hitters",
+    "rfm_segmentation",
+    "active_users_report",
+    "text_cooccurrence_pmi",
     "funnel_conversion",
     "event_transitions",
 ]

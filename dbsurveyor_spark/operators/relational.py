@@ -1169,9 +1169,98 @@ SELECT month, ROUND(revenue, 6) AS revenue,
 FROM monthly
 """
 
+
+
+# -------------------------------------------------------------- ABC/Pareto
+
+
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: class A = parts
+    covering the first 80% of cumulative revenue, B = next 15%, C = tail —
+    the inventory-prioritization table every ops team keeps. Reports each
+    class's part count, revenue, and share.
+
+    Plan: one exact-decimal groupBy(part) revenue aggregate; the Pareto
+    math (rank by revenue desc, running share, class fences) runs over the
+    bounded \|parts\| frame — at 100 TB the fact scan dominates and the
+    per-part frame stays millions, not billions. The running share uses
+    the part-frame window only; nothing data-sized sorts.
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(30,6)"
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = lines.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+        ).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    classed = (
+        rev.join(F.broadcast(tot))
+        .withColumn("cum", F.sum("revenue").over(w))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum") / F.col("total") <= 0.80, "A")
+            .when(F.col("cum") / F.col("total") <= 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("revenue").alias("rev_dec"),
+            F.max("total").alias("total"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            F.round(F.col("rev_dec").cast("double"), 6).alias("class_revenue"),
+            F.round(
+                F.col("rev_dec").cast("double")
+                / F.col("total").cast("double"),
+                9,
+            ).alias("revenue_share"),
+        )
+    )
+
+
+ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+           AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(revenue) AS total FROM rev),
+classed AS (
+  SELECT revenue, total,
+         CASE WHEN SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
+                                      ROWS UNBOUNDED PRECEDING) / total
+                   <= 0.80 THEN 'A'
+              WHEN SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
+                                      ROWS UNBOUNDED PRECEDING) / total
+                   <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM rev CROSS JOIN tot
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(revenue) AS DOUBLE), 6) AS class_revenue,
+       ROUND(CAST(SUM(revenue) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 9)
+         AS revenue_share
+FROM classed GROUP BY abc_class
+"""
+
 QUERIES = {
     "rfm_segmentation": rfm_segmentation,
     "window_yoy_revenue": window_yoy_revenue,
+    "abc_part_classification": abc_part_classification,
     "cohort_revenue_ltv": cohort_revenue_ltv,
     "fuzzy_name_match": fuzzy_name_match,
     "basket_copurchase_lift": basket_copurchase_lift,
@@ -1198,6 +1287,7 @@ QUERIES = {
 ORACLES = {
     "rfm_segmentation": _rfm_sql(),
     "window_yoy_revenue": YOY_SQL,
+    "abc_part_classification": ABC_SQL,
     "cohort_revenue_ltv": COHORT_LTV_SQL,
     "fuzzy_name_match": FUZZY_SQL,
     "basket_copurchase_lift": BASKET_SQL,

@@ -771,9 +771,101 @@ SELECT rank, tok_a, tok_b, support, pmi, npmi FROM (
 ) t WHERE rank <= {PMI_TOP_K}
 """
 
+
+
+# --------------------------------------------------------- vocab growth
+
+VOCAB_LEVELS = 10  # corpus fractions 10%..100%
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-token count at nested
+    10%..100% corpus samples — the statistic behind tokenizer-vocab and
+    OOV budgeting (vocabulary grows ~nᵝ, β≈0.5-0.7; if it doesn't bend,
+    the corpus is template spam). Samples NEST (each level contains the
+    previous) via the deterministic doc-hash bucket, so the curve is
+    monotone by construction.
+
+    Single-pass trick: a token is IN the level-k vocabulary iff its
+    MINIMUM doc-bucket ≤ k, so one (token → min bucket) aggregate + a
+    ≤\|vocab\|-row bucket histogram + running sum yields every level —
+    ONE scan total, instead of the naive L scans with L distinct-counts.
+    """
+    from ..functions.hashing import portable_hash64
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (
+        portable_hash64(F.concat(F.lit("vg_"), F.col("doc_id").cast("string")))
+        % VOCAB_LEVELS
+    ) + 1
+    tok = docs.select(
+        bucket.alias("b"), F.explode(tokens(F.col("text"))).alias("t")
+    )
+    first_seen = tok.groupBy("t").agg(F.min("b").alias("min_b"))
+    hist = first_seen.groupBy("min_b").agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    # docs per level ride along so the curve has its x-axis
+    doc_hist = docs.select(bucket.alias("min_b")).groupBy("min_b").agg(
+        F.count(F.lit(1)).alias("new_docs")
+    )
+    w = Window.orderBy("level").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.join(doc_hist, "min_b", "full")
+        .select(
+            F.col("min_b").alias("level"),
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+            F.coalesce("new_docs", F.lit(0)).alias("new_docs"),
+        )
+        .withColumn("vocab_size", F.sum("new_tokens").over(w).cast("bigint"))
+        .withColumn("n_docs", F.sum("new_docs").over(w).cast("bigint"))
+        .select(
+            F.col("level").cast("bigint").alias("level"),
+            "n_docs",
+            "vocab_size",
+            F.col("new_tokens").cast("bigint").alias("new_tokens"),
+        )
+    )
+
+
+def _vocab_growth_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    key = "'vg_' || CAST(doc_id AS VARCHAR)"
+    b = f"({portable_hash64_sql(key)} % {VOCAB_LEVELS}) + 1"
+    return f"""
+WITH tok AS (
+  SELECT {b} AS b, unnest({tokens_sql("text")}) AS t FROM documents
+),
+first_seen AS (SELECT t, MIN(b) AS min_b FROM tok GROUP BY t),
+hist AS (SELECT min_b, CAST(COUNT(*) AS BIGINT) AS new_tokens
+         FROM first_seen GROUP BY min_b),
+doc_hist AS (SELECT {b} AS min_b, CAST(COUNT(*) AS BIGINT) AS new_docs
+             FROM documents GROUP BY 1),
+merged AS (
+  SELECT COALESCE(h.min_b, d.min_b) AS level,
+         COALESCE(h.new_tokens, 0) AS new_tokens,
+         COALESCE(d.new_docs, 0) AS new_docs
+  FROM hist h FULL JOIN doc_hist d ON h.min_b = d.min_b
+)
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(SUM(new_docs) OVER (ORDER BY level
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_docs,
+       CAST(SUM(new_tokens) OVER (ORDER BY level
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS vocab_size,
+       CAST(new_tokens AS BIGINT) AS new_tokens
+FROM merged
+"""
+
 QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_cooccurrence_pmi": text_cooccurrence_pmi,
+    "text_vocab_growth": text_vocab_growth,
     "text_lm_score": text_lm_score,
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -790,6 +882,7 @@ QUERIES = {
 ORACLES = {
     "text_char_entropy": _char_entropy_sql(),
     "text_cooccurrence_pmi": _pmi_sql(),
+    "text_vocab_growth": _vocab_growth_sql(),
     "text_lm_score": _lm_score_sql(),
     "text_stats": _stats_sql(),
     "text_langid": _langid_sql(),

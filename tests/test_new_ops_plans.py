@@ -1445,3 +1445,44 @@ class TestPeakConcurrency:
         # as low as the post-drop level; concurrency itself never < 0
         assert all(v >= 0 for v in got.values())
         assert max(got.values()) >= 1
+
+
+class TestAbcAndVocabGrowth:
+    def test_abc_partition_and_order(self, spark):
+        from dbsurveyor_spark.operators import relational
+
+        rows = {r.abc_class: r for r in
+                relational.abc_part_classification(spark, SF).collect()}
+        assert set(rows) == {"A", "B", "C"}
+        total_share = sum(r.revenue_share for r in rows.values())
+        assert abs(total_share - 1.0) < 1e-6
+        # Pareto: A has fewer parts than C but more revenue
+        assert rows["A"].n_parts < rows["C"].n_parts or rows["A"].class_revenue > rows["C"].class_revenue
+        assert rows["A"].revenue_share >= 0.75
+
+    def test_vocab_growth_monotone_and_exact_at_ends(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import textstats
+        from dbsurveyor_spark.functions.text import tokens
+
+        rows = sorted(
+            textstats.text_vocab_growth(spark, SF).collect(),
+            key=lambda r: r.level,
+        )
+        assert [r.level for r in rows] == list(
+            range(1, textstats.VOCAB_LEVELS + 1)
+        )
+        sizes = [r.vocab_size for r in rows]
+        assert sizes == sorted(sizes)
+        docs_counts = [r.n_docs for r in rows]
+        assert docs_counts == sorted(docs_counts)
+        # level L == full corpus: exact distinct tokens and doc count
+        full_vocab = (
+            load_table(spark, SF, "documents")
+            .select(F.explode(tokens(F.col("text"))).alias("t"))
+            .select("t")
+            .distinct()
+            .count()
+        )
+        assert sizes[-1] == full_vocab
+        assert docs_counts[-1] == load_table(spark, SF, "documents").count()
