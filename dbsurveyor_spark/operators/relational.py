@@ -1127,7 +1127,7 @@ def window_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-month-last-year revenue, and the YoY percentage change (null for
     the first year — no fabricated zeros).
 
-    Plan: the scan reduces to a ≤\|months\|-row exact-decimal aggregate
+    Plan: the scan reduces to a ≤ months-row exact-decimal aggregate
     immediately; the lag window and growth arithmetic run on that
     metadata frame (single-partition window over ~84 rows — the
     documented metadata-frame exception, same as CUSUM/mix-plan).
@@ -1182,7 +1182,7 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one exact-decimal groupBy(part) revenue aggregate; the Pareto
     math (rank by revenue desc, running share, class fences) runs over the
-    bounded \|parts\| frame — at 100 TB the fact scan dominates and the
+    bounded |parts| frame — at 100 TB the fact scan dominates and the
     per-part frame stays millions, not billions. The running share uses
     the part-frame window only; nothing data-sized sorts.
     """

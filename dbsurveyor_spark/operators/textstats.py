@@ -788,7 +788,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single-pass trick: a token is IN the level-k vocabulary iff its
     MINIMUM doc-bucket ≤ k, so one (token → min bucket) aggregate + a
-    ≤\|vocab\|-row bucket histogram + running sum yields every level —
+    ≤|vocab|-row bucket histogram + running sum yields every level —
     ONE scan total, instead of the naive L scans with L distinct-counts.
     """
     from ..functions.hashing import portable_hash64

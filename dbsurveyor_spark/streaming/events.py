@@ -1269,7 +1269,7 @@ def stream_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The running sum is GLOBAL over arrival order, so it computes as the
     TWO-LEVEL parallel prefix (§6): per-day within-block running sum (one
-    shuffle on the day key) + a ≤\|days\|-row carry frame of prior-day
+    shuffle on the day key) + a ≤ days-row carry frame of prior-day
     delta totals — no data-sized single-partition window. Sessions that
     span midnight carry into the next day through exactly that carry term.
     Sessions come from `stream_sessionization` (same 30-min gap).
