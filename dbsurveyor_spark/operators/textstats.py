@@ -862,10 +862,98 @@ SELECT CAST(level AS BIGINT) AS level,
 FROM merged
 """
 
+
+
+# ------------------------------------------------------------- Zipf fit
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token-frequency distribution: the
+    least-squares slope of log(freq) on log(rank) — natural language sits
+    near −1; a much flatter slope means template spam, a much steeper one
+    a degenerate vocabulary. The companion diagnostic to
+    `text_vocab_growth`'s Heaps curve (the two laws are duals).
+
+    Plan: one token groupBy, rank via row_number over the \|vocab\|-row
+    aggregate (bounded — vocabulary, not corpus), closed-form OLS from
+    decimal-summed rounded log terms (partition-order-free), slope and
+    intercept in identical double expression trees both engines.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("t"))
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+    dec = "decimal(38,12)"
+    terms = counts.withColumn("rank", F.row_number().over(w)).select(
+        F.round(lx, 12).cast(dec).alias("x"),
+        F.round(ly, 12).cast(dec).alias("y"),
+        F.round(lx * lx, 12).cast(dec).alias("xx"),
+        F.round(lx * ly, 12).cast(dec).alias("xy"),
+    )
+    agg = terms.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 9
+        ).alias("log_intercept"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({tokens_sql("text")}) AS t FROM documents)
+  GROUP BY t
+),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS rank
+  FROM counts
+),
+terms AS (
+  SELECT
+    CAST(ROUND(LN(CAST(rank AS DOUBLE)), 12) AS DECIMAL(38,12)) AS x,
+    CAST(ROUND(LN(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(38,12)) AS y,
+    CAST(ROUND(LN(CAST(rank AS DOUBLE)) * LN(CAST(rank AS DOUBLE)), 12)
+         AS DECIMAL(38,12)) AS xx,
+    CAST(ROUND(LN(CAST(rank AS DOUBLE)) * LN(CAST(cnt AS DOUBLE)), 12)
+         AS DECIMAL(38,12)) AS xy
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xx) AS DOUBLE) AS sxx, CAST(SUM(xy) AS DOUBLE) AS sxy
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope,
+  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+    AS log_intercept
+FROM agg
+"""
+
 QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_cooccurrence_pmi": text_cooccurrence_pmi,
     "text_vocab_growth": text_vocab_growth,
+    "text_zipf_fit": text_zipf_fit,
     "text_lm_score": text_lm_score,
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -883,6 +971,7 @@ ORACLES = {
     "text_char_entropy": _char_entropy_sql(),
     "text_cooccurrence_pmi": _pmi_sql(),
     "text_vocab_growth": _vocab_growth_sql(),
+    "text_zipf_fit": ZIPF_SQL,
     "text_lm_score": _lm_score_sql(),
     "text_stats": _stats_sql(),
     "text_langid": _langid_sql(),

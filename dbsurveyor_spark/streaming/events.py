@@ -1330,6 +1330,116 @@ SELECT d AS day, CAST(MAX(run) AS BIGINT) AS peak_concurrency
 FROM runs GROUP BY d
 """
 
+
+
+# ------------------------------------------------------------ bot scoring
+
+BOT_USER_ID = 999_983  # synthetic high-rate user assembled in-query
+BOT_MOD = 37
+BOT_MIN_EVENTS = 20
+BOT_MAX_CV = 0.4  # coefficient of variation of inter-event gaps
+
+
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic bot / automation scoring per user: event volume, median
+    inter-event gap, and the gap coefficient of variation — humans are
+    bursty (CV ≈ 1 for Poisson-ish arrivals, higher with sessions), while
+    schedulers and scrapers tick metronomically (CV → 0). Flag = high
+    volume AND short median gap AND low CV, the standard first-pass
+    abuse screen.
+
+    The organic feed has no bots, so one is ASSEMBLED in-query in both
+    engines: every BOT_MOD-th event re-attributes to a synthetic user id,
+    which (events arriving in dense id order) yields a near-constant gap
+    stream — the detector must flag exactly that user and no organic one.
+    The flag rests on volume + CV (scale-free signals); the median gap is
+    REPORTED, not gated — an absolute rate threshold would be a deployment
+    parameter, not a property of metronomic behavior.
+
+    Plan: one user_id shuffle; gaps via lag on that partitioning; median
+    via exact percentile and CV via decimal-exact power sums, all inside
+    the per-user aggregate (state = |users| rows).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    attributed = ev.select(
+        F.when(F.col("event_id") % BOT_MOD == 0, F.lit(BOT_USER_ID))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        attributed.withColumn(
+            "gap_us",
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        # exact integer µs for the MEDIAN (interpolating two ints is exact
+        # in both engines; interpolating arbitrary doubles diverged by one
+        # ulp at sf0.1), doubles only for the moment sums
+        .withColumn("gap_s", F.col("gap_us").cast("double") / 1_000_000.0)
+    )
+    dec = "decimal(38,9)"
+    per_user = gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+        # NO rounding: the interpolated µs median is integer-or-half —
+        # exactly representable — and /1e6 is the identical double op in
+        # both engines; rounding at 6 dp hits the .5 tie engines break
+        # differently (observed at sf0.1)
+        (F.percentile(F.col("gap_us"), F.lit(0.5)) / 1_000_000.0).alias(
+            "median_gap_s"
+        ),
+        F.sum(F.col("gap_s").cast(dec)).cast("double").alias("s1"),
+        F.sum((F.col("gap_s") * F.col("gap_s")).cast(dec))
+        .cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).cast("double").alias("ng"),
+    )
+    mean = F.col("s1") / F.col("ng")
+    cv = F.sqrt(F.col("s2") / F.col("ng") - mean * mean) / mean
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "median_gap_s",
+        F.round(cv, 6).alias("gap_cv"),
+        (
+            (F.col("n_events") >= BOT_MIN_EVENTS) & (cv <= BOT_MAX_CV)
+        ).alias("is_bot"),
+    )
+
+
+BOT_SQL = f"""
+WITH attributed AS (
+  SELECT CASE WHEN event_id % {BOT_MOD} = 0 THEN {BOT_USER_ID}
+              ELSE user_id END AS user_id, ts, event_id
+  FROM events
+),
+gaps AS (
+  SELECT user_id, gap_us, CAST(gap_us AS DOUBLE) / 1000000.0 AS gap_s
+  FROM (
+    SELECT user_id, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+    FROM attributed
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+),
+per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+         quantile_cont(gap_us, 0.5) / 1000000.0 AS median_gap_s,
+         CAST(SUM(CAST(gap_s AS DECIMAL(38,9))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(gap_s * gap_s AS DECIMAL(38,9))) AS DOUBLE) AS s2,
+         CAST(COUNT(*) AS DOUBLE) AS ng
+  FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_events, median_gap_s,
+  ROUND(SQRT(s2 / ng - (s1 / ng) * (s1 / ng)) / (s1 / ng), 6) AS gap_cv,
+  (n_events >= {BOT_MIN_EVENTS}
+   AND SQRT(s2 / ng - (s1 / ng) * (s1 / ng)) / (s1 / ng) <= {BOT_MAX_CV})
+    AS is_bot
+FROM per_user
+"""
+
 QUERIES = {
     "scd2_user_state": scd2_user_state,
     "event_path_analysis": event_path_analysis,
@@ -1344,6 +1454,7 @@ QUERIES = {
     "stream_dedup_events": stream_dedup_events,
     "stream_click_attribution": stream_click_attribution,
     "stream_peak_concurrency": stream_peak_concurrency,
+    "events_bot_detection": events_bot_detection,
 }
 
 ORACLES = {
@@ -1360,4 +1471,5 @@ ORACLES = {
     "stream_dedup_events": DEDUP_EVENTS_SQL,
     "stream_click_attribution": ATTRIBUTION_SQL,
     "stream_peak_concurrency": PEAK_CONCURRENCY_SQL,
+    "events_bot_detection": BOT_SQL,
 }

@@ -1486,3 +1486,30 @@ class TestAbcAndVocabGrowth:
         )
         assert sizes[-1] == full_vocab
         assert docs_counts[-1] == load_table(spark, SF, "documents").count()
+
+
+class TestZipfAndBots:
+    def test_zipf_slope_negative(self, spark):
+        from dbsurveyor_spark.operators import textstats
+
+        row = textstats.text_zipf_fit(spark, SF).collect()[0]
+        assert row.vocab_size > 0
+        # frequencies strictly decrease with rank → negative slope
+        assert row.zipf_slope < 0
+        assert row.log_intercept > 0
+
+    def test_bot_flagged_exactly_injected(self, spark):
+        from dbsurveyor_spark.streaming import events as se
+
+        rows = se.events_bot_detection(spark, SF).collect()
+        bots = {r.user_id for r in rows if r.is_bot}
+        assert bots == {se.BOT_USER_ID}
+        bot = next(r for r in rows if r.user_id == se.BOT_USER_ID)
+        assert bot.gap_cv <= se.BOT_MAX_CV
+        assert bot.n_events >= se.BOT_MIN_EVENTS
+        organic = [r for r in rows if r.user_id != se.BOT_USER_ID]
+        # organic users are bursty: median CV well above the gate
+        import statistics
+
+        cvs = [r.gap_cv for r in organic if r.gap_cv is not None]
+        assert statistics.median(cvs) > se.BOT_MAX_CV
