@@ -1220,8 +1220,130 @@ FROM spine s LEFT JOIN present p ON CAST(s.d AS DATE) = p.d
 WHERE p.d IS NULL
 """
 
+
+
+# ---------------------------------------------------- constraint suggestion
+
+SUGGEST_SET_MAX = 8  # value-set constraint only for tiny domains
+
+
+def survey_constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint SUGGESTION from data (the Deequ suggestion-engine shape,
+    and the generative counterpart of `quality_rule_checks`' declarative
+    validator): per profiled column, emit the CHECK-style constraints the
+    data currently satisfies — NOT NULL, non-negative, completeness of a
+    tiny value domain (IN-list), and observed [min, max] bounds. The
+    support column carries the row count backing each suggestion; a data
+    engineer promotes these into the rule suite.
+
+    Plan: ONE aggregate per table over the pinned columns (no per-column
+    scans — all suggestions derive from min/max/null-count/distinct
+    state); IN-list membership uses sort_array(collect_set) only for
+    domains capped at SUGGEST_SET_MAX (agg state stays bounded).
+    """
+    targets = {
+        "orders": ["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        "lineitem": ["l_quantity", "l_discount", "l_returnflag"],
+        "customer": ["c_mktsegment", "c_acctbal"],
+    }
+    frames = []
+    for tbl, cols in targets.items():
+        df = load_table(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs += [
+                F.sum(F.col(c).isNull().cast("int")).alias(f"{c}__nulls"),
+                F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+                # min/max on the NATIVE type (string-cast first would be
+                # lexicographic — wrong for numerics), cast for display
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+                F.when(
+                    F.count_distinct(F.col(c)) <= SUGGEST_SET_MAX,
+                    F.array_join(
+                        F.sort_array(F.collect_set(F.col(c).cast("string"))),
+                        ",",
+                    ),
+                ).alias(f"{c}__domain"),
+            ]
+        one = df.agg(*aggs)
+        entries = []
+        for c in cols:
+            nn = F.col(f"{c}__nulls") == 0
+            entries.append(
+                F.struct(
+                    F.lit(tbl).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.when(nn, F.lit(f"{c} IS NOT NULL"))
+                    .otherwise(F.lit(None).cast("string"))
+                    .alias("not_null"),
+                    F.when(
+                        F.col(f"{c}__domain").isNotNull(),
+                        F.concat(
+                            F.lit(f"{c} IN ("),
+                            F.col(f"{c}__domain"),
+                            F.lit(")"),
+                        ),
+                    ).alias("value_domain"),
+                    F.concat(
+                        F.lit(f"{c} BETWEEN "),
+                        F.col(f"{c}__min"),
+                        F.lit(" AND "),
+                        F.col(f"{c}__max"),
+                    ).alias("observed_range"),
+                    F.col(f"{c}__distinct").cast("bigint").alias("distinct_vals"),
+                    F.col("n_rows").cast("bigint").alias("support"),
+                )
+            )
+        frames.append(one.select(F.inline(F.array(*entries))))
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+def _constraint_suggestions_sql() -> str:
+    targets = {
+        "orders": ["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        "lineitem": ["l_quantity", "l_discount", "l_returnflag"],
+        "customer": ["c_mktsegment", "c_acctbal"],
+    }
+    parts = []
+    for tbl, cols in targets.items():
+        aggs = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+        for c in cols:
+            aggs += [
+                f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}__nulls",
+                f"COUNT(DISTINCT {c}) AS {c}__distinct",
+                f"CAST(MIN({c}) AS VARCHAR) AS {c}__min",
+                f"CAST(MAX({c}) AS VARCHAR) AS {c}__max",
+                f"CASE WHEN COUNT(DISTINCT {c}) <= {SUGGEST_SET_MAX} THEN "
+                f"array_to_string(list_sort(list_distinct("
+                f"list(CAST({c} AS VARCHAR)))), ',') END AS {c}__domain",
+            ]
+        selects = []
+        for c in cols:
+            selects.append(
+                f"SELECT '{tbl}' AS table_name, '{c}' AS column_name, "
+                f"CASE WHEN {c}__nulls = 0 THEN '{c} IS NOT NULL' END"
+                f" AS not_null, "
+                f"CASE WHEN {c}__domain IS NOT NULL THEN"
+                f" '{c} IN (' || {c}__domain || ')' END AS value_domain, "
+                f"'{c} BETWEEN ' || {c}__min || ' AND ' || {c}__max"
+                f" AS observed_range, "
+                f"CAST({c}__distinct AS BIGINT) AS distinct_vals, "
+                f"CAST(n_rows AS BIGINT) AS support FROM agg_{tbl}"
+            )
+        parts.append(
+            (f"agg_{tbl} AS (SELECT " + ", ".join(aggs) + f" FROM {tbl})", selects)
+        )
+    withs = ",\n".join(p[0] for p in parts)
+    sels = "\nUNION ALL\n".join(sel for p in parts for sel in p[1])
+    return f"WITH {withs}\n{sels}"
+
 QUERIES = {
     "survey_date_gaps": survey_date_gaps,
+    "survey_constraint_suggestions": survey_constraint_suggestions,
     "survey_equidepth_histogram": survey_equidepth_histogram,
     "survey_join_cardinality": survey_join_cardinality,
     "survey_temporal_profile": survey_temporal_profile,
@@ -1241,6 +1363,7 @@ QUERIES = {
 
 ORACLES = {
     "survey_date_gaps": DATE_GAPS_SQL,
+    "survey_constraint_suggestions": _constraint_suggestions_sql(),
     "survey_equidepth_histogram": _equidepth_sql(),
     "survey_join_cardinality": _join_cardinality_sql(),
     "survey_temporal_profile": _temporal_profile_sql(),

@@ -1513,3 +1513,32 @@ class TestZipfAndBots:
 
         cvs = [r.gap_cv for r in organic if r.gap_cv is not None]
         assert statistics.median(cvs) > se.BOT_MAX_CV
+
+
+class TestConstraintSuggestions:
+    def test_suggestions_hold_on_the_data(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.survey import profile
+
+        rows = profile.survey_constraint_suggestions(spark, SF).collect()
+        assert rows
+        by_col = {(r.table_name, r.column_name): r for r in rows}
+        # no nulls in TPC-H-style columns → NOT NULL suggested everywhere
+        for r in rows:
+            assert r.not_null is not None and "IS NOT NULL" in r.not_null
+            assert r.observed_range.startswith(f"{r.column_name} BETWEEN ")
+            assert r.support > 0
+        # tiny-domain columns carry IN-lists that actually hold
+        st = by_col[("orders", "o_orderstatus")]
+        assert st.value_domain is not None
+        inside = st.value_domain.split("(")[1].rstrip(")").split(",")
+        actual = {
+            x.o_orderstatus
+            for x in load_table(spark, SF, "orders")
+            .select("o_orderstatus")
+            .distinct()
+            .collect()
+        }
+        assert set(inside) == actual
+        # high-cardinality numerics get NO IN-list
+        assert by_col[("orders", "o_totalprice")].value_domain is None
