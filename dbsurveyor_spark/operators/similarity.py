@@ -1542,6 +1542,164 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
 FROM en
 """
 
+
+
+# ----------------------------------------------------------- nprobe curve
+
+NPROBE_CURVE = (1, 2, 3)
+
+
+def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs nprobe — the IVF tuning CURVE (recall_report pins one
+    operating point; this sweeps the recall/cost dial an index owner
+    actually turns). Per nprobe ∈ {1,2,3}: mean and min recall@k against
+    brute-force ground truth, plus the candidate count (the cost side).
+
+    ONE cached assignment pass at max(nprobe) serves every level (lower
+    levels are rn-filters over the same frame — the whole point of
+    ranked multi-cell assignment); ground truth computes once. All
+    recall arithmetic is integer hits over k·|probes| — exact.
+    """
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    cells = tracked_cache(rank_cells(emb, cent_rows, max(NPROBE_CURVE)))
+    assigned = cells.filter(F.col("rn") == 1).select("vec_id", "cell_id")
+    bf = _tracked_bf(spark, sf_dir)
+    cos = cosine_rounded_arrow(
+        F.col("q_emb").cast("array<double>"),
+        F.col("embedding").cast("array<double>"),
+    )
+    outs = []
+    for np_ in NPROBE_CURVE:
+        probes = (
+            cells.filter(
+                (F.col("vec_id") < N_PROBES) & (F.col("rn") <= np_)
+            )
+            .join(emb, "vec_id")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("cell_id").alias("q_cell"),
+            )
+        )
+        w_rank = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        cand = assigned.join(
+            F.broadcast(probes),
+            (F.col("cell_id") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        ivf = (
+            cand.join(emb, "vec_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos_sim"),
+            )
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= IVF_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = bf.join(
+            ivf, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("candidates")
+        )
+        n_probe_rows = bf.select("query_id").distinct().count()
+        outs.append(
+            hits.join(n_cand).select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                F.lit(n_probe_rows).cast("bigint").alias("n_probes"),
+                "candidates",
+                "hits",
+                F.round(
+                    F.col("hits").cast("double")
+                    / F.lit(float(IVF_K * n_probe_rows)),
+                    6,
+                ).alias("mean_recall_at_k"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _tracked_bf(spark: SparkSession, sf_dir: str):
+    """Brute-force top-IVF_K ground truth, cached for the curve's levels."""
+    from ..plans.cache import tracked_cache
+
+    return tracked_cache(
+        ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rank") <= IVF_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _nprobe_curve_sql(dim: int = IVF_SQL_DIM) -> str:
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    cos = cosine_rounded_sql("p.q_emb", "a.embedding")
+    bf_cos = cosine_rounded_sql("p.embedding", "e.embedding")
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
+    levels = []
+    for np_ in NPROBE_CURVE:
+        levels.append(f"""
+SELECT CAST({np_} AS BIGINT) AS nprobe,
+  (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM bf) AS n_probes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{np_}) AS candidates,
+  (SELECT CAST(COUNT(*) AS BIGINT)
+   FROM bf JOIN ivf{np_} USING (query_id, neighbor_id)) AS hits,
+  ROUND((SELECT CAST(COUNT(*) AS DOUBLE)
+         FROM bf JOIN ivf{np_} USING (query_id, neighbor_id))
+        / ({IVF_K}.0 * (SELECT COUNT(DISTINCT query_id) FROM bf)), 6)
+    AS mean_recall_at_k""")
+    cands = []
+    for np_ in NPROBE_CURVE:
+        cands.append(f"""cand{np_} AS (
+  SELECT p.query_id, p.q_emb, a.vec_id, a.embedding
+  FROM (SELECT vec_id AS query_id, embedding AS q_emb, cell_id AS q_cell
+        FROM final WHERE vec_id < {N_PROBES} AND rn <= {np_}) p
+  JOIN assigned a ON a.cell_id = p.q_cell AND a.vec_id <> p.query_id
+),
+ivf{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {cos.replace("a.embedding", "embedding")} DESC,
+                      vec_id ASC) AS rank
+    FROM (SELECT query_id, q_emb, vec_id, embedding FROM cand{np_})
+      AS p(query_id, q_emb, vec_id, embedding)
+  ) WHERE rank <= {IVF_K}
+)""")
+    return f"""
+WITH {train_ctes},
+final AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {cent} c
+),
+assigned AS (SELECT vec_id, embedding, cell_id FROM final WHERE rn = 1),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY {bf_cos} DESC, e.vec_id ASC) AS rank
+    FROM (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < {N_PROBES}) p
+    JOIN embeddings e ON e.vec_id <> p.vec_id
+  ) WHERE rank <= {IVF_K}
+),
+{",".join(cands)}
+{chr(10).join(p if i == 0 else "UNION ALL" + p for i, p in enumerate(levels))}
+"""
+
 QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -1551,6 +1709,7 @@ QUERIES = {
     "knn_graph": knn_graph,
     "ann_filtered_search": ann_filtered_search,
     "embedding_drift_psi": embedding_drift_psi,
+    "ann_nprobe_curve": ann_nprobe_curve,
     "embedding_outlier_report": embedding_outlier_report,
     "embed_dim_stats": embed_dim_stats,
     "ann_range_search": ann_range_search,
@@ -1567,6 +1726,7 @@ ORACLES = {
     "knn_graph": _knn_graph_sql(),
     "ann_filtered_search": _filtered_search_sql(),
     "embedding_drift_psi": _embedding_drift_sql(),
+    "ann_nprobe_curve": _nprobe_curve_sql(),
     "embedding_outlier_report": _embedding_outlier_sql(),
     "embed_dim_stats": EMBED_DIM_STATS_SQL,
     "ann_range_search": _range_search_sql(),

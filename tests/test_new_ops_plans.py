@@ -1542,3 +1542,26 @@ class TestConstraintSuggestions:
         assert set(inside) == actual
         # high-cardinality numerics get NO IN-list
         assert by_col[("orders", "o_totalprice")].value_domain is None
+
+
+class TestNprobeCurve:
+    def test_recall_monotone_in_nprobe(self, spark):
+        from dbsurveyor_spark.operators import similarity
+
+        rows = sorted(
+            similarity.ann_nprobe_curve(spark, SF).collect(),
+            key=lambda r: r.nprobe,
+        )
+        assert [r.nprobe for r in rows] == list(similarity.NPROBE_CURVE)
+        recalls = [r.mean_recall_at_k for r in rows]
+        cands = [r.candidates for r in rows]
+        # more cells probed → monotone candidates and recall
+        assert cands == sorted(cands)
+        assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))
+        for r in rows:
+            assert 0 <= r.mean_recall_at_k <= 1
+            assert r.hits <= similarity.IVF_K * r.n_probes
+        # the nprobe=2 point must agree with the standalone recall report
+        rep = similarity.ann_recall_report(spark, SF).collect()
+        mean_rep = sum(x.recall_at_k for x in rep) / len(rep)
+        assert abs(rows[1].mean_recall_at_k - mean_rep) < 1e-4
