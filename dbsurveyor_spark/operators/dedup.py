@@ -1213,6 +1213,113 @@ WHERE round(CAST(common AS DOUBLE) / sa.n_sh, 9) >= {CONTAIN_T}
 """
 
 
+
+
+# ------------------------------------------------------ dedup effect report
+
+
+def dedup_effect_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executive summary of the dedup pipeline: per stage (raw →
+    exact-hash survivors → near-dup survivors), document / token / char
+    counts and the cumulative token savings vs raw — the table a data lead
+    reads to decide whether near-dup dedup pays for its shuffles on this
+    corpus. Composes the shipped operators' own survivor sets, so the
+    numbers are exactly what the pipeline would materialize.
+
+    All three stages share ONE token-count projection of the augmented
+    corpus; survivor id sets semi-join against it (metadata-slim), and
+    each stage reduces to a 1-row aggregate.
+    """
+    corpus = _corpus(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("h"),
+    )
+    corpus = _tracked_cache(corpus)
+    exact_surv = corpus.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    near_surv = dedup_neardup_clusters(spark, sf_dir).filter(
+        F.col("is_survivor")
+    ).select("doc_id")
+
+    def stage(name, order, ids=None):
+        base = (
+            corpus
+            if ids is None
+            else corpus.join(ids, "doc_id", "left_semi")
+        )
+        return base.agg(
+            F.lit(order).cast("bigint").alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        ).select("stage_order", "stage", "docs", "tokens", "chars")
+
+    raw = stage("raw", 1)
+    exact = stage("exact_dedup", 2, exact_surv.select("doc_id"))
+    near = stage("neardup_dedup", 3, near_surv)
+    out = raw.unionByName(exact).unionByName(near)
+    totals = raw.select(F.col("tokens").alias("raw_tokens"))
+    return out.join(F.broadcast(totals)).select(
+        "stage_order",
+        "stage",
+        "docs",
+        "tokens",
+        "chars",
+        F.round(
+            F.lit(1.0)
+            - F.col("tokens").cast("double") / F.col("raw_tokens"),
+            9,
+        ).alias("token_savings_vs_raw"),
+    )
+
+
+DEDUP_EFFECT_SQL = f"""
+WITH RECURSIVE corpus0 AS ({_CORPUS_SQL}),
+corpus AS (
+  SELECT doc_id, CAST(len({tokens_sql("text")}) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS h, text
+  FROM corpus0
+),
+{_NGRAM_CTES.replace("FROM corpus", "FROM corpus0")},
+pairs AS ({_NGRAM_SELECT}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM corpus0
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+),
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+exact_surv AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY h),
+near_surv AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id),
+stages AS (
+  SELECT CAST(1 AS BIGINT) AS stage_order, 'raw' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS docs,
+         CAST(SUM(n_tok) AS BIGINT) AS tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM corpus
+  UNION ALL
+  SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tok) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+  FROM corpus WHERE doc_id IN (SELECT doc_id FROM exact_surv)
+  UNION ALL
+  SELECT 3, 'neardup_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tok) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+  FROM corpus WHERE doc_id IN (SELECT doc_id FROM near_surv)
+)
+SELECT stage_order, stage, docs, tokens, chars,
+  ROUND(1.0 - CAST(tokens AS DOUBLE)
+        / (SELECT CAST(tokens AS DOUBLE) FROM stages WHERE stage_order = 1),
+        9) AS token_savings_vs_raw
+FROM stages
+"""
+
+
 # ----------------------------------------------------- substring repetition
 
 # Token-window width for cross-document substring detection. Production
@@ -1329,6 +1436,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_neardup_clusters": dedup_neardup_clusters,
     "dedup_semantic_corpus": dedup_semantic_corpus,
+    "dedup_effect_report": dedup_effect_report,
 }
 
 ORACLES = {
@@ -1344,4 +1452,5 @@ ORACLES = {
     "dedup_embedding_cosine": _embedding_sql(),
     "dedup_neardup_clusters": CLUSTERS_SQL,
     "dedup_semantic_corpus": _semantic_corpus_sql(),
+    "dedup_effect_report": DEDUP_EFFECT_SQL,
 }

@@ -1565,3 +1565,25 @@ class TestNprobeCurve:
         rep = similarity.ann_recall_report(spark, SF).collect()
         mean_rep = sum(x.recall_at_k for x in rep) / len(rep)
         assert abs(rows[1].mean_recall_at_k - mean_rep) < 1e-4
+
+
+class TestDedupEffect:
+    def test_stages_shrink_monotonically(self, spark):
+        rows = sorted(
+            dedup.dedup_effect_report(spark, SF).collect(),
+            key=lambda r: r.stage_order,
+        )
+        assert [r.stage for r in rows] == [
+            "raw", "exact_dedup", "neardup_dedup"
+        ]
+        raw, exact, near = rows
+        assert raw.docs > exact.docs >= near.docs
+        assert raw.tokens > exact.tokens >= near.tokens
+        assert raw.token_savings_vs_raw == 0.0
+        assert 0 < exact.token_savings_vs_raw <= near.token_savings_vs_raw < 1
+        # exact stage removes exactly the injected %10 clones
+        n_clones = (
+            dedup._corpus(spark, SF).count()
+            - dedup.load_table(spark, SF, "documents").count()
+        )
+        assert raw.docs - exact.docs == n_clones
