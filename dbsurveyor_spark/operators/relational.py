@@ -1257,10 +1257,68 @@ SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
 FROM classed GROUP BY abc_class
 """
 
+
+
+# ------------------------------------------------------------- churn risk
+
+CHURN_DAYS = 365
+
+
+def customer_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk roster: per customer, days since last order (measured
+    against the dataset's own watermark — deterministic, like
+    `quality_timeliness`) and the churned flag at the CHURN_DAYS horizon,
+    plus lifetime order count and revenue for triage — the list a
+    retention campaign pulls. Complements `rfm_segmentation` (scores) with
+    the binary operational flag.
+
+    Plan: ONE groupBy(custkey) aggregate; the watermark is a 1-row
+    broadcast. Never a window, never a sort.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    dec = "decimal(30,6)"
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(dec)).cast("double").alias("ltv"),
+    )
+    wm = orders.agg(F.max("o_orderdate").alias("wm"))
+    return per_cust.join(F.broadcast(wm)).select(
+        "o_custkey",
+        F.datediff(F.col("wm"), F.col("last_order"))
+        .cast("bigint")
+        .alias("days_since_last_order"),
+        "n_orders",
+        F.round("ltv", 6).alias("lifetime_revenue"),
+        (F.datediff(F.col("wm"), F.col("last_order")) > CHURN_DAYS).alias(
+            "churned"
+        ),
+    )
+
+
+CHURN_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS ltv
+  FROM orders GROUP BY o_custkey
+),
+wm AS (SELECT MAX(o_orderdate) AS wm FROM orders)
+SELECT o_custkey,
+       CAST(date_diff('day', last_order, wm) AS BIGINT)
+         AS days_since_last_order,
+       n_orders, ROUND(ltv, 6) AS lifetime_revenue,
+       (date_diff('day', last_order, wm) > {CHURN_DAYS}) AS churned
+FROM per_cust CROSS JOIN wm
+"""
+
 QUERIES = {
     "rfm_segmentation": rfm_segmentation,
     "window_yoy_revenue": window_yoy_revenue,
     "abc_part_classification": abc_part_classification,
+    "customer_churn_flags": customer_churn_flags,
     "cohort_revenue_ltv": cohort_revenue_ltv,
     "fuzzy_name_match": fuzzy_name_match,
     "basket_copurchase_lift": basket_copurchase_lift,
@@ -1288,6 +1346,7 @@ ORACLES = {
     "rfm_segmentation": _rfm_sql(),
     "window_yoy_revenue": YOY_SQL,
     "abc_part_classification": ABC_SQL,
+    "customer_churn_flags": CHURN_SQL,
     "cohort_revenue_ltv": COHORT_LTV_SQL,
     "fuzzy_name_match": FUZZY_SQL,
     "basket_copurchase_lift": BASKET_SQL,

@@ -1440,6 +1440,82 @@ SELECT user_id, n_events, median_gap_s,
 FROM per_user
 """
 
+
+
+# ----------------------------------------------------- payload schema drift
+
+SCHEMA_V2_DATE = "2024-01-20 00:00:00"  # injected producer redeploy
+
+
+def events_payload_schema_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload schema-VERSION tracking: per day, the distinct props
+    key-set signatures in flight and the dominant signature's share — the
+    monitor that catches a producer silently adding/renaming payload
+    fields (table-level schema drift tooling can't see inside a JSON
+    column; `survey_json_schema_inference` profiles one snapshot, this
+    watches the mix over time).
+
+    A producer redeploy is injected in-query in BOTH engines: events at or
+    after SCHEMA_V2_DATE carry an extra `v` field on every 2nd event_id —
+    the report must show exactly two signatures in flight after that date
+    and one before.
+
+    Plan: map-side key-set signature (sorted keys joined — canonical) →
+    one bounded (day, signature) aggregate → share window over the ≤
+    days×versions frame.
+    """
+    split = F.lit(SCHEMA_V2_DATE).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "props")
+    upgraded = F.when(
+        (F.col("ts") >= split) & (F.col("event_id") % 2 == 0),
+        F.concat(
+            F.regexp_replace(F.col("props"), "\\}$", ""), F.lit(', "v": 2}')
+        ),
+    ).otherwise(F.col("props"))
+    signature = F.array_join(
+        F.array_sort(F.json_object_keys(upgraded)), ","
+    )
+    counts = ev.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        signature.alias("key_signature"),
+    ).groupBy("day", "key_signature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    w = Window.partitionBy("day")
+    return counts.select(
+        "day",
+        "key_signature",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(w).cast("double"),
+            9,
+        ).alias("share"),
+        (F.count(F.lit(1)).over(w) > 1).alias("mixed_versions"),
+    )
+
+
+PAYLOAD_SCHEMA_SQL = f"""
+WITH upgraded AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CASE WHEN ts >= TIMESTAMP '{SCHEMA_V2_DATE}' AND event_id % 2 = 0
+              THEN regexp_replace(props, '}}$', '') || ', "v": 2}}'
+              ELSE props END AS p
+  FROM events
+),
+counts AS (
+  SELECT day,
+         array_to_string(list_sort(json_keys(p)), ',') AS key_signature,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM upgraded GROUP BY 1, 2
+)
+SELECT day, key_signature, n_events,
+  ROUND(CAST(n_events AS DOUBLE)
+        / SUM(CAST(n_events AS DOUBLE)) OVER (PARTITION BY day), 9) AS share,
+  (COUNT(*) OVER (PARTITION BY day) > 1) AS mixed_versions
+FROM counts
+"""
+
 QUERIES = {
     "scd2_user_state": scd2_user_state,
     "event_path_analysis": event_path_analysis,
@@ -1455,6 +1531,7 @@ QUERIES = {
     "stream_click_attribution": stream_click_attribution,
     "stream_peak_concurrency": stream_peak_concurrency,
     "events_bot_detection": events_bot_detection,
+    "events_payload_schema_versions": events_payload_schema_versions,
 }
 
 ORACLES = {
@@ -1472,4 +1549,5 @@ ORACLES = {
     "stream_click_attribution": ATTRIBUTION_SQL,
     "stream_peak_concurrency": PEAK_CONCURRENCY_SQL,
     "events_bot_detection": BOT_SQL,
+    "events_payload_schema_versions": PAYLOAD_SCHEMA_SQL,
 }

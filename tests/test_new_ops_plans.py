@@ -1587,3 +1587,41 @@ class TestDedupEffect:
             - dedup.load_table(spark, SF, "documents").count()
         )
         assert raw.docs - exact.docs == n_clones
+
+
+class TestSchemaVersionsAndChurn:
+    def test_versions_mix_only_after_redeploy(self, spark):
+        from dbsurveyor_spark.streaming import events as se
+
+        rows = se.events_payload_schema_versions(spark, SF).collect()
+        split = se.SCHEMA_V2_DATE[:10]
+        before = [r for r in rows if r.day < split]
+        after = [r for r in rows if r.day >= split]
+        assert before and after
+        assert all(not r.mixed_versions for r in before)
+        assert all(r.mixed_versions for r in after)
+        # shares per day sum to 1
+        import collections
+
+        by_day = collections.defaultdict(float)
+        for r in rows:
+            by_day[r.day] += r.share
+        assert all(abs(v - 1.0) < 1e-6 for v in by_day.values())
+
+    def test_churn_consistency(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import relational
+
+        rows = relational.customer_churn_flags(spark, SF).collect()
+        n_cust = (
+            load_table(spark, SF, "orders")
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+        assert len(rows) == n_cust
+        for r in rows:
+            assert r.churned == (r.days_since_last_order > relational.CHURN_DAYS)
+            assert r.days_since_last_order >= 0 and r.n_orders >= 1
+        # the watermark customer itself is never churned
+        assert any(r.days_since_last_order == 0 for r in rows)
