@@ -1314,11 +1314,102 @@ SELECT o_custkey,
 FROM per_cust CROSS JOIN wm
 """
 
+
+
+# -------------------------------------------------------------------- HHI
+
+
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration per nation: the Herfindahl-Hirschman
+    index (Σ market-share², 0 = atomized, 1 = monopoly) over supplier
+    revenue within each supplier nation, with the DOJ-style band
+    (unconcentrated < 0.15 ≤ moderate < 0.25 ≤ concentrated) — the
+    supply-risk screen a procurement team runs.
+
+    Plan: one lineitem⋈supplier join (supplier side broadcast — dimension
+    at TPC-H ratios) → exact-decimal revenue per (nation, supplier) →
+    share math on the bounded \|nations × suppliers\| frame; shares are
+    rationals of decimal sums, squared/summed through rounded decimal
+    terms so the index is engine-identical.
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(30,6)"
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev = (
+        lines.join(F.broadcast(supp), lines["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    dec
+                )
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("s_nationkey")
+    share = F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")
+    terms = rev.select(
+        "s_nationkey",
+        F.round(share * share, 12).cast("decimal(38,12)").alias("t"),
+    )
+    hhi = F.col("hhi_d")
+    return (
+        terms.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("t").cast("double").alias("hhi_d"),
+        )
+        .select(
+            F.col("s_nationkey").cast("bigint").alias("nation_key"),
+            "n_suppliers",
+            F.round(hhi, 9).alias("hhi"),
+            F.when(hhi < 0.15, "unconcentrated")
+            .when(hhi < 0.25, "moderate")
+            .otherwise("concentrated")
+            .alias("band"),
+        )
+    )
+
+
+HHI_SQL = """
+WITH rev AS (
+  SELECT s.s_nationkey, s.s_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+           AS rev
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, s.s_suppkey
+),
+terms AS (
+  SELECT s_nationkey,
+         CAST(ROUND(
+           (CAST(rev AS DOUBLE)
+            / CAST(SUM(rev) OVER (PARTITION BY s_nationkey) AS DOUBLE))
+           * (CAST(rev AS DOUBLE)
+              / CAST(SUM(rev) OVER (PARTITION BY s_nationkey) AS DOUBLE)),
+           12) AS DECIMAL(38,12)) AS t
+  FROM rev
+)
+SELECT CAST(s_nationkey AS BIGINT) AS nation_key,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(SUM(t) AS DOUBLE), 9) AS hhi,
+       CASE WHEN CAST(SUM(t) AS DOUBLE) < 0.15 THEN 'unconcentrated'
+            WHEN CAST(SUM(t) AS DOUBLE) < 0.25 THEN 'moderate'
+            ELSE 'concentrated' END AS band
+FROM terms GROUP BY s_nationkey
+"""
+
 QUERIES = {
     "rfm_segmentation": rfm_segmentation,
     "window_yoy_revenue": window_yoy_revenue,
     "abc_part_classification": abc_part_classification,
     "customer_churn_flags": customer_churn_flags,
+    "supplier_concentration_hhi": supplier_concentration_hhi,
     "cohort_revenue_ltv": cohort_revenue_ltv,
     "fuzzy_name_match": fuzzy_name_match,
     "basket_copurchase_lift": basket_copurchase_lift,
@@ -1347,6 +1438,7 @@ ORACLES = {
     "window_yoy_revenue": YOY_SQL,
     "abc_part_classification": ABC_SQL,
     "customer_churn_flags": CHURN_SQL,
+    "supplier_concentration_hhi": HHI_SQL,
     "cohort_revenue_ltv": COHORT_LTV_SQL,
     "fuzzy_name_match": FUZZY_SQL,
     "basket_copurchase_lift": BASKET_SQL,

@@ -1625,3 +1625,20 @@ class TestSchemaVersionsAndChurn:
             assert r.days_since_last_order >= 0 and r.n_orders >= 1
         # the watermark customer itself is never churned
         assert any(r.days_since_last_order == 0 for r in rows)
+
+
+class TestHhi:
+    def test_hhi_bounds_and_bands(self, spark):
+        from dbsurveyor_spark.operators import relational
+
+        rows = relational.supplier_concentration_hhi(spark, SF).collect()
+        assert rows
+        for r in rows:
+            # 1/n ≤ HHI ≤ 1
+            assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi <= 1 + 1e-9
+            expect = (
+                "unconcentrated"
+                if r.hhi < 0.15
+                else ("moderate" if r.hhi < 0.25 else "concentrated")
+            )
+            assert r.band == expect
