@@ -671,6 +671,52 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ/ADC search against exact ground truth — the
+    COMPRESSION-loss measurement (64× smaller vectors buy how much
+    recall?), completing the quality triad: `ann_recall_report` scores the
+    IVF candidate-generation loss, `ann_nprobe_curve` its dial, and this
+    one the quantization loss. Per probe: |PQ top-k ∩ exact top-k| / k.
+
+    Both searches are the shipped operators; the comparison joins two
+    k×|probes| frames — metadata-scale.
+    """
+    pq = ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rank") <= IVF_K)
+        .select("query_id", "neighbor_id")
+    )
+    matches = (
+        bf.join(pq, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    probes = bf.select("query_id").distinct()
+    return probes.join(matches, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(IVF_K)), 6
+        ).alias("recall_at_k"),
+    )
+
+
+def _pq_recall_sql() -> str:
+    return f"""
+SELECT b.query_id,
+       CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits,
+       ROUND(COUNT(p.neighbor_id) / {float(IVF_K)}, 6) AS recall_at_k
+FROM (SELECT query_id, neighbor_id FROM ({_bruteforce_sql()})
+      WHERE rank <= {IVF_K}) b
+LEFT JOIN (SELECT query_id, neighbor_id FROM ({_pq_sql()})) p
+  ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
 def _pq_sql(dim: int = IVF_SQL_DIM) -> str:
     dsub = dim // PQ_M
     parts, code_ctes = [], []
@@ -1710,6 +1756,7 @@ QUERIES = {
     "ann_filtered_search": ann_filtered_search,
     "embedding_drift_psi": embedding_drift_psi,
     "ann_nprobe_curve": ann_nprobe_curve,
+    "pq_recall_report": pq_recall_report,
     "embedding_outlier_report": embedding_outlier_report,
     "embed_dim_stats": embed_dim_stats,
     "ann_range_search": ann_range_search,
@@ -1727,6 +1774,7 @@ ORACLES = {
     "ann_filtered_search": _filtered_search_sql(),
     "embedding_drift_psi": _embedding_drift_sql(),
     "ann_nprobe_curve": _nprobe_curve_sql(),
+    "pq_recall_report": _pq_recall_sql(),
     "embedding_outlier_report": _embedding_outlier_sql(),
     "embed_dim_stats": EMBED_DIM_STATS_SQL,
     "ann_range_search": _range_search_sql(),

@@ -1854,7 +1854,88 @@ SELECT day, CAST(COUNT(*) AS BIGINT) AS events,
 FROM ev GROUP BY day
 """
 
+
+
+# ------------------------------------------------------- null patterns
+
+# deterministic in-query missingness (the synthetic lake is fully dense):
+# phone-style column null on %7, email-style on %11, both on %77
+NULLPAT_COLS = ("c_acctbal", "c_mktsegment", "c_name")
+
+
+def quality_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null co-MISSINGNESS patterns (R md.pattern / missingno style): per
+    distinct null-indicator signature across the monitored columns, the
+    row count and share — the table that distinguishes MCAR noise from
+    structural missingness (two fields always missing together = an
+    upstream join, not random loss). Column-wise null COUNTS
+    (`quality_completeness`) cannot see the joint structure.
+
+    Missingness is injected in-query in BOTH engines (c_acctbal on
+    custkey %7, c_mktsegment on %11 — so the joint %77 pattern must
+    surface with exactly 1/77 density). One map-side signature projection
+    → one bounded (≤2^cols) aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    dirtied = cust.select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 11 != 0, F.col("c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+        F.when(F.col("c_custkey") % 7 != 0, F.col("c_acctbal")).alias(
+            "c_acctbal"
+        ),
+    )
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1"))
+            for c in NULLPAT_COLS
+        ],
+    )
+    total = dirtied.count()
+    return (
+        dirtied.select(sig.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            F.lit("customer").alias("table_name"),
+            F.lit(",".join(NULLPAT_COLS)).alias("columns"),
+            "pattern",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.lit(float(total)), 9
+            ).alias("share"),
+        )
+    )
+
+
+NULL_PATTERNS_SQL = f"""
+WITH dirtied AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 11 <> 0 THEN c_mktsegment END AS c_mktsegment,
+         CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal END AS c_acctbal
+  FROM customer
+),
+sig AS (
+  SELECT (CASE WHEN c_acctbal IS NULL THEN '0' ELSE '1' END)
+      || (CASE WHEN c_mktsegment IS NULL THEN '0' ELSE '1' END)
+      || (CASE WHEN c_name IS NULL THEN '0' ELSE '1' END) AS pattern
+  FROM dirtied
+)
+SELECT 'customer' AS table_name,
+       '{",".join(NULLPAT_COLS)}' AS columns,
+       pattern, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM customer), 9) AS share
+FROM sig GROUP BY pattern
+"""
+
 QUERIES = {
+    "quality_null_patterns": quality_null_patterns,
     "quality_malformed_json": quality_malformed_json,
     "quality_categorical_drift": quality_categorical_drift,
     "quality_outlier_report": quality_outlier_report,
@@ -1874,6 +1955,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_null_patterns": NULL_PATTERNS_SQL,
     "quality_malformed_json": MALFORMED_JSON_SQL,
     "quality_categorical_drift": CATEGORICAL_DRIFT_SQL,
     "quality_outlier_report": OUTLIER_REPORT_SQL,

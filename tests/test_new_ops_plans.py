@@ -1642,3 +1642,30 @@ class TestHhi:
                 else ("moderate" if r.hhi < 0.25 else "concentrated")
             )
             assert r.band == expect
+
+
+class TestPqRecallAndNullPatterns:
+    def test_pq_recall_bounds(self, spark):
+        from dbsurveyor_spark.operators import similarity
+
+        rows = similarity.pq_recall_report(spark, SF).collect()
+        assert len(rows) == similarity.N_PROBES
+        for r in rows:
+            assert 0 <= r.hits <= similarity.IVF_K
+            # recall_at_k is rounded to 6 dp by the operator
+            assert abs(r.recall_at_k - r.hits / similarity.IVF_K) < 1e-6
+
+    def test_null_patterns_partition_rows(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.survey import quality
+
+        rows = quality.quality_null_patterns(spark, SF).collect()
+        n_cust = load_table(spark, SF, "customer").count()
+        assert sum(r.n_rows for r in rows) == n_cust
+        pats = {r.pattern: r.n_rows for r in rows}
+        # all-present, acctbal-missing, segment-missing, both-missing
+        assert set(pats) == {"111", "011", "101", "001"}
+        # joint pattern is the %77 density
+        assert pats["001"] == sum(
+            1 for k in range(1, n_cust + 1) if k % 7 == 0 and k % 11 == 0
+        )
