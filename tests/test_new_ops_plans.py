@@ -1665,7 +1665,14 @@ class TestPqRecallAndNullPatterns:
         pats = {r.pattern: r.n_rows for r in rows}
         # all-present, acctbal-missing, segment-missing, both-missing
         assert set(pats) == {"111", "011", "101", "001"}
-        # joint pattern is the %77 density
+        # joint pattern matches the actual custkey range (keys are not
+        # guaranteed 1-based)
+        keys = [
+            r.c_custkey
+            for r in load_table(spark, SF, "customer")
+            .select("c_custkey")
+            .collect()
+        ]
         assert pats["001"] == sum(
-            1 for k in range(1, n_cust + 1) if k % 7 == 0 and k % 11 == 0
+            1 for k in keys if k % 7 == 0 and k % 11 == 0
         )
