@@ -1215,6 +1215,8 @@ WHERE round(CAST(common AS DOUBLE) / sa.n_sh, 9) >= {CONTAIN_T}
 
 
 
+
+
 # ------------------------------------------------------ dedup effect report
 
 
@@ -1423,6 +1425,96 @@ FROM per_doc p LEFT JOIN sh s USING (doc_id)
 """
 
 
+# ------------------------------------------------------------- winnowing
+
+WINNOW_K = 5  # token-gram size
+WINNOW_W = 4  # fingerprint window (grams per window)
+WINNOW_MIN_SHARED = 2
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint candidates (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS plagiarism-detection algorithm): per document,
+    keep the MINIMUM k-gram hash of every w-gram window (local sampling
+    with a GUARANTEE: any shared substring of ≥ w+k−1 tokens shares at
+    least one fingerprint), then pair documents on shared fingerprints.
+    Distinct from MinHash (global sampling, probabilistic recall) and
+    from the full-gram substring report: winnowing ships ~1/w of the
+    grams with a deterministic detection floor.
+
+    Plan: the codegen rolling-hash construction (posexplode → lead
+    chain — never HOF+explode, §6), min over a w-row window frame on the
+    SAME doc partitioning, distinct (doc, fingerprint), then in-bucket
+    pair expansion exactly like the LSH band pipeline. Only int64
+    fingerprints shuffle.
+    """
+    release_caches()
+    corpus = _corpus(spark, sf_dir)
+    hrows = corpus.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("t"), 1, 7), 16, 10).cast("bigint").alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = F.col("h")
+    for j in range(1, WINNOW_K):
+        g = (g * _SUB_BASE + F.lead("h", j).over(w)) % _SUB_MOD
+    grams = hrows.select("doc_id", "pos", g.alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    frame = w.rowsBetween(Window.currentRow, WINNOW_W - 1)
+    fps = (
+        grams.select(
+            "doc_id",
+            F.min("g").over(frame).alias("fp"),
+            # completeness flag: the window's last gram must exist
+            F.lead("g", WINNOW_W - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .dropDuplicates(["doc_id", "fp"])
+        .select("doc_id", "fp")
+    )
+    buckets = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("docs")
+    )
+    pairs = (
+        buckets.select(F.explode(_bucket_pairs(F.col("docs"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= WINNOW_MIN_SHARED)
+    )
+    return pairs
+
+
+WINNOW_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tk AS (SELECT doc_id,
+  list_transform({tokens_sql("text")},
+    t -> CAST(('0x' || substring(md5(t), 1, 7)) AS BIGINT)) AS th
+  FROM corpus),
+g AS (SELECT doc_id,
+  CASE WHEN len(th) >= {WINNOW_K} THEN
+    list_transform(range(1, len(th) - {WINNOW_K - 1} + 1),
+      i -> list_reduce(th[i : i + {WINNOW_K - 1}],
+             (acc, h) -> (acc * {_SUB_BASE} + h) % {_SUB_MOD}))
+  ELSE [] END AS grams FROM tk),
+fp AS (SELECT doc_id,
+  CASE WHEN len(grams) >= {WINNOW_W} THEN
+    list_distinct(list_transform(range(1, len(grams) - {WINNOW_W - 1} + 1),
+      i -> list_aggregate(grams[i : i + {WINNOW_W - 1}], 'min')))
+  ELSE [] END AS fps FROM g),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+
 QUERIES = {
     "dedup_substring": dedup_substring,
     "dedup_survivor_corpus": dedup_survivor_corpus,
@@ -1437,6 +1529,7 @@ QUERIES = {
     "dedup_neardup_clusters": dedup_neardup_clusters,
     "dedup_semantic_corpus": dedup_semantic_corpus,
     "dedup_effect_report": dedup_effect_report,
+    "dedup_winnowing": dedup_winnowing,
 }
 
 ORACLES = {
@@ -1453,4 +1546,5 @@ ORACLES = {
     "dedup_neardup_clusters": CLUSTERS_SQL,
     "dedup_semantic_corpus": _semantic_corpus_sql(),
     "dedup_effect_report": DEDUP_EFFECT_SQL,
+    "dedup_winnowing": WINNOW_SQL,
 }

@@ -1676,3 +1676,65 @@ class TestPqRecallAndNullPatterns:
         assert pats["001"] == sum(
             1 for k in keys if k % 7 == 0 and k % 11 == 0
         )
+
+
+class TestWinnowing:
+    def test_clones_dominate_and_guarantee_holds(self, spark):
+        rows = dedup.dedup_winnowing(spark, SF).collect()
+        assert rows
+        pairs = {(r.doc_a, r.doc_b): r.shared_fingerprints for r in rows}
+        clones = [
+            (d, d + dedup.ID_OFFSET)
+            for d in range(0, 1_000, 10)
+            if (d, d + dedup.ID_OFFSET) in pairs
+        ]
+        assert clones
+        # identical docs share EVERY fingerprint — they must be the
+        # highest-overlap pairs
+        top = max(pairs.values())
+        assert all(pairs[c] >= dedup.WINNOW_MIN_SHARED for c in clones)
+        assert max(pairs[c] for c in clones) == top
+
+    def test_fingerprints_subset_of_grams(self, spark):
+        # winnowing only SELECTS existing gram hashes (min over a window)
+        from pyspark.sql import functions as F2
+
+        corpus = dedup._corpus(spark, SF)
+        hrows = corpus.select(
+            "doc_id",
+            F2.posexplode(dedup.tokens(F2.col("text"))).alias("pos", "t"),
+        ).select(
+            "doc_id",
+            "pos",
+            F2.conv(F2.substring(F2.md5("t"), 1, 7), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        from pyspark.sql.window import Window as W2
+
+        w = W2.partitionBy("doc_id").orderBy("pos")
+        g = F2.col("h")
+        for j in range(1, dedup.WINNOW_K):
+            g = (g * dedup._SUB_BASE + F2.lead("h", j).over(w)) % dedup._SUB_MOD
+        grams = {
+            (r.doc_id, r.g)
+            for r in hrows.select("doc_id", g.alias("g"))
+            .filter(F2.col("g").isNotNull())
+            .collect()
+        }
+        frame = w.rowsBetween(W2.currentRow, dedup.WINNOW_W - 1)
+        fps = (
+            hrows.select(
+                "doc_id",
+                F2.min(g).over(frame).alias("fp"),
+                F2.lead(g, dedup.WINNOW_W - 1).over(w).alias("_l"),
+            )
+            .filter(F2.col("_l").isNotNull())
+            .dropDuplicates(["doc_id", "fp"])
+            .collect()
+        )
+        assert fps
+        for r in fps:
+            assert (r.doc_id, r.fp) in grams
+        # winnowing compresses: far fewer fingerprints than grams
+        assert len(fps) < 0.8 * len(grams)
