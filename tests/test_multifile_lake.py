@@ -31,6 +31,17 @@ FAMILY_KEYS = [
     "corpus_mix_plan",
     "stream_late_data_report",
     "basket_copurchase_lift",
+    # round-4 families: fixed-point iterative graph math, one-sided prefix
+    # filtering, additive sketches, bounded range-join distincts, fence
+    # bucketing, sweep-line two-level prefix, winnowing fingerprints
+    "graph_pagerank_parts",
+    "dedup_containment",
+    "sketch_cm_heavy_hitters",
+    "sketch_kmv_distinct",
+    "active_users_report",
+    "rfm_segmentation",
+    "stream_peak_concurrency",
+    "dedup_winnowing",
 ]
 
 
