@@ -34,6 +34,36 @@ DAMP_NUM, DAMP_DEN = 17, 20  # 0.85 as an exact fraction
 TELE_NUM = DAMP_DEN - DAMP_NUM  # (1 - d) numerator = 3
 
 
+def _pagerank_step(
+    edges_deg: DataFrame, ranks: DataFrame, teleport: int
+) -> DataFrame:
+    """One PageRank iteration: join ranks onto the cached src-partitioned
+    edge frame, sum contributions per dst, apply damping + teleport.
+
+    The rank side carries a SHUFFLE_HASH hint, NOT a broadcast: at 100×
+    scale |V| grows linearly and an O(|V|) per-iteration broadcast OOMs
+    every executor. A shuffled hash join moves only the slim (node, r)
+    frame — `edges_deg` is cached already repartition()-ed on src, so its
+    exchange is reused across all iterations and only the rank rows
+    shuffle each round. (An explicit hint is still required: estimated-size
+    stats on the unmaterialized cache are unreliable and the planner was
+    observed broadcasting the 2.4M-row EDGE side at sf0.1, OOMing the
+    driver.) Fixed-point integer math makes the result bit-identical under
+    either join strategy, which is what lets this swap keep the oracle
+    green.
+    """
+    damp = F.expr(f"({DAMP_NUM} * c) div {DAMP_DEN}")
+    return (
+        edges_deg.join(
+            ranks.hint("SHUFFLE_HASH"), edges_deg["src"] == ranks["node"]
+        )
+        .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("c"))
+        .select("node", (F.lit(teleport) + damp).alias("r"))
+    )
+
+
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected co-purchase graph (parts are adjacent
     iff some order contains both): the standard product-affinity /
@@ -92,23 +122,12 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = edges_deg.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(PR_SCALE // n_nodes).alias("r")
     )
-    damp = F.expr(f"({DAMP_NUM} * c) div {DAMP_DEN}")
     for _ in range(PAGERANK_ITERS):
-        # BROADCAST the slim rank frame against the big cached edge frame
-        # (left to statistics, the planner can pick the edge side:
-        # estimated-size stats on an unmaterialized cache are unreliable,
-        # observed at sf0.1). Each round ends in a localCheckpoint (§6
-        # iterative doctrine): the next broadcast then ships materialized
-        # rows, not a deepening logical plan.
-        ranks = (
-            edges_deg.join(
-                F.broadcast(ranks), edges_deg["src"] == ranks["node"]
-            )
-            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("c"))
-            .select("node", (F.lit(teleport) + damp).alias("r"))
-            .localCheckpoint(eager=False)
+        # Each round ends in a localCheckpoint (§6 iterative doctrine): the
+        # next iteration's join then reads materialized rows, not a
+        # deepening logical plan.
+        ranks = _pagerank_step(edges_deg, ranks, teleport).localCheckpoint(
+            eager=False
         )
     isolated = nodes.join(ranks.select("node"), "node", "left_anti").select(
         "node", F.lit(teleport).alias("r")

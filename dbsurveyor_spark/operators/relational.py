@@ -1328,7 +1328,7 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one lineitem⋈supplier join (supplier side broadcast — dimension
     at TPC-H ratios) → exact-decimal revenue per (nation, supplier) →
-    share math on the bounded \|nations × suppliers\| frame; shares are
+    share math on the bounded |nations × suppliers| frame; shares are
     rationals of decimal sums, squared/summed through rounded decimal
     terms so the index is engine-identical.
     """

@@ -940,6 +940,26 @@ class TestPageRank:
         hub = max(lines, key=lambda r: r["count"]).l_partkey
         assert ranks[hub] > teleport
 
+    def test_iteration_join_never_broadcasts_ranks(self, spark):
+        """The per-iteration rank join must be a shuffled hash join: an
+        O(|V|) rank broadcast OOMs at 100× scale (VERDICT r4 #1)."""
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import graph
+
+        edges = (
+            load_table(spark, SF, "part")
+            .select(F.col("p_partkey").alias("src"))
+            .withColumn("dst", F.col("src") + 1)
+            .withColumn("deg", F.lit(2).cast("bigint"))
+            .repartition(4, "src")
+        )
+        ranks = edges.select(
+            F.col("src").alias("node"), F.lit(10**9).alias("r")
+        )
+        plan = formatted_plan(graph._pagerank_step(edges, ranks, 123))
+        assert "ShuffledHashJoin" in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+
     def test_lineage_truncated_no_python(self, spark):
         from dbsurveyor_spark.operators import graph
 
