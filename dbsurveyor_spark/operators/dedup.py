@@ -1430,6 +1430,13 @@ FROM per_doc p LEFT JOIN sh s USING (doc_id)
 WINNOW_K = 5  # token-gram size
 WINNOW_W = 4  # fingerprint window (grams per window)
 WINNOW_MIN_SHARED = 2
+# MOSS's common-fingerprint drop: a fingerprint shared by more than
+# WINNOW_DF_CAP documents is boilerplate (license header, template), not
+# plagiarism signal — and an uncapped bucket pair-expands |bucket|², the
+# one quadratic hazard in this pipeline at 100× scale. MOSS itself
+# discards over-common fingerprints for exactly this reason
+# (Schleimer/Wilkerson/Aiken §5, "noise" suppression).
+WINNOW_DF_CAP = 50
 
 
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,8 +1452,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the codegen rolling-hash construction (posexplode → lead
     chain — never HOF+explode, §6), min over a w-row window frame on the
     SAME doc partitioning, distinct (doc, fingerprint), then in-bucket
-    pair expansion exactly like the LSH band pipeline. Only int64
-    fingerprints shuffle.
+    pair expansion exactly like the LSH band pipeline — after dropping
+    fingerprints with document frequency > WINNOW_DF_CAP (MOSS's own
+    over-common-fingerprint suppression; also the guard that keeps
+    boilerplate from pair-expanding |bucket|²). Only int64 fingerprints
+    shuffle.
     """
     release_caches()
     corpus = _corpus(spark, sf_dir)
@@ -1476,16 +1486,35 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id", "fp"])
         .select("doc_id", "fp")
     )
-    buckets = fps.groupBy("fp").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("docs")
+    return _winnow_pairs(fps)
+
+
+def _winnow_pairs(fps: DataFrame) -> DataFrame:
+    """(doc_id, fp) rows → capped in-bucket pair expansion.
+
+    Document-frequency cap BEFORE any bucket materializes: the count agg
+    is map-side combinable (tiny partials), hot fingerprints are dropped
+    by the filter, and only then does collect_set build buckets — so no
+    agg buffer ever holds an uncapped doc list. Three fp-shuffles of
+    slim (fp, doc_id) rows, never |bucket|² on boilerplate.
+    """
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("fp")
     )
-    pairs = (
+    buckets = (
+        fps.join(df_ok, "fp")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+    )
+    return (
         buckets.select(F.explode(_bucket_pairs(F.col("docs"))).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= WINNOW_MIN_SHARED)
     )
-    return pairs
 
 
 WINNOW_SQL = f"""
@@ -1505,7 +1534,10 @@ fp AS (SELECT doc_id,
     list_distinct(list_transform(range(1, len(grams) - {WINNOW_W - 1} + 1),
       i -> list_aggregate(grams[i : i + {WINNOW_W - 1}], 'min')))
   ELSE [] END AS fps FROM g),
-ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp)
+ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+keep AS (SELECT fp FROM ex0 GROUP BY fp
+         HAVING COUNT(*) <= {WINNOW_DF_CAP}),
+ex AS (SELECT ex0.doc_id, ex0.fp FROM ex0 JOIN keep USING (fp))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
 FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id

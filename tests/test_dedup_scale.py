@@ -112,6 +112,35 @@ def test_simhash_blocks_cover_all_bits():
     assert HAMMING_MAX < SIMHASH_BLOCKS - 2  # ≤3 flips leave ≥3 intact blocks
 
 
+def test_winnowing_df_cap_drops_boilerplate_fingerprint(spark):
+    """1,000 docs all sharing one boilerplate fingerprint (license header):
+    uncapped, that bucket pair-expands C(1000,2) = 499,500 pairs; with the
+    MOSS df cap it must produce NONE — while true near-dup pairs (docs
+    sharing ≥ MIN_SHARED rare fingerprints) survive."""
+    from dbsurveyor_spark.operators.dedup import (
+        WINNOW_DF_CAP,
+        WINNOW_MIN_SHARED,
+        _winnow_pairs,
+    )
+
+    rows = []
+    boiler = 999_999
+    for d in range(1000):
+        rows.append((d, boiler))  # df=1000 boilerplate fingerprint
+        rows.append((d, 10_000 + d))  # one unique fp per doc
+    # docs 1 and 2 share two RARE fingerprints → a true near-dup pair
+    for fp in (555, 556):
+        rows += [(1, fp), (2, fp)]
+    fps = spark.createDataFrame(rows, "doc_id long, fp long")
+
+    got = {
+        (r.doc_a, r.doc_b): r.shared_fingerprints
+        for r in _winnow_pairs(fps).collect()
+    }
+    assert got == {(1, 2): WINNOW_MIN_SHARED}, got
+    assert WINNOW_DF_CAP < 1000  # the boilerplate fp is actually capped
+
+
 def test_star_contraction_chain_and_mixed_components(spark):
     """Star contraction must label a 5-doc chain plus disjoint shapes
     (triangle, pair) with each component's min, in either edge
