@@ -1,8 +1,9 @@
 """Benchmark harness: wall-clock for headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints TWO JSON lines: the full per-query record, then a compact headline
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>}
+   "steady_value": <sec>, "sf": <sf>, "n_items": N}
+as the LAST line — sized to survive the round driver's bounded stdout tail.
 
 Each query is forced with a cheap full materialization
 (``df.write.format("noop")``) so the timing covers the whole plan without
@@ -268,16 +269,36 @@ def main() -> None:
     for key in passes[1]:
         steady[key] = min(p[key] for p in passes[1:])
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Detailed per-query record first (2dp — r4's 3dp line hit ~3.3 KB)…
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "steady_value": round(sum(steady.values()), 3),
-                "queries_steady": steady,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries_steady": {k: round(v, 2) for k, v in steady.items()},
+                "sf": sf_val,
+            }
+        )
+    )
+    # …then a compact headline as the LAST line: the round driver records a
+    # bounded 2,000-char tail of stdout and parses JSON from it — r4's
+    # full-map line outgrew the tail and the official record got
+    # `parsed: null`. This line is ~200 chars, so the tail always ends
+    # with one complete parseable JSON object.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "steady_value": round(sum(steady.values()), 3),
+                "sf": sf_val,
+                "n_items": len(timings),
+                "detail": "full per-query map on the previous stdout line",
             }
         )
     )
