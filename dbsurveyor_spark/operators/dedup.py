@@ -307,9 +307,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
        (one array_intersect per candidate pair, JVM-side).
     """
     release_caches()
+    return _ngram_jaccard_pairs_from(_corpus(spark, sf_dir))
+
+
+def _ngram_jaccard_pairs_from(corpus: DataFrame) -> DataFrame:
+    """Verified (doc_a, doc_b, jaccard) pairs for an arbitrary
+    (doc_id, text) corpus frame — the PPJoin pipeline body, reusable by
+    consumers that pre-shrink the corpus (exact-group representative
+    collapse in :func:`dedup_neardup_clusters`)."""
     # distinct (set semantics) reuses the window's doc_id partitioning.
     exploded = _tracked_cache(
-        _shingle_rows(spark, sf_dir).dropDuplicates(["doc_id", "shingle"])
+        _shingle_rows_from(corpus).dropDuplicates(["doc_id", "shingle"])
     )
     candidates = _jaccard_candidates(exploded)
     docsets = exploded.groupBy("doc_id").agg(
@@ -900,21 +908,58 @@ def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the left join. Both engines reach the identical fixpoint (min id
     per component is well-defined); the DuckDB oracle derives the same
     labels via recursive transitive closure.
+
+    Hot-template guard (the 100× hazard the plain pipeline has): a corpus
+    with 1M EXACT copies of one template would put all 1M docs in the same
+    prefix buckets and pair-expand |group|² candidates. Since this
+    operator only needs CONNECTIVITY (not the pair list), exact-copy
+    groups are collapsed to their min-id representative FIRST (hash
+    groupBy — the dedup_exact shape), the PPJoin + star contraction runs
+    over representatives only, and labels broadcast back through the
+    (doc → representative) map. Components are provably identical: exact
+    copies share identical shingle sets, so every copy was linked to its
+    representative by a J=1.0 edge, and J(a,b) depends only on shingle
+    sets — the quotient graph has exactly the same components with the
+    same min ids (representatives ARE group minima). Docs too short to
+    shingle (< 3 tokens) never pair in the base pipeline, so they bypass
+    the collapse and stay singletons.
     Reference analog: dbsurveyor has no clustering step — this extends
     §2.E beyond the reference for the 100 TB pipeline story.
     """
     release_caches()
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+    return _neardup_cluster_frame(_corpus(spark, sf_dir))
+
+
+def _neardup_cluster_frame(corpus: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, is_survivor) for a (doc_id, text) corpus —
+    the representative-collapsed clustering body (see
+    :func:`dedup_neardup_clusters` for the equivalence argument)."""
+    shingleable = corpus.filter(F.size(tokens(F.col("text"))) >= 3)
+    groups = shingleable.select("doc_id", F.md5("text").alias("ch"))
+    reps = groups.groupBy("ch").agg(F.min("doc_id").alias("rep_id"))
+    doc_rep = groups.join(reps, "ch").select("doc_id", "rep_id")
+    rep_corpus = corpus.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    pairs = _ngram_jaccard_pairs_from(rep_corpus).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     labels = star_contraction_labels(pairs)
-    return (
-        _corpus(spark, sf_dir)
-        .select("doc_id")
-        .join(labels, F.col("doc_id") == F.col("node"), "left")
+    rep_cluster = (
+        doc_rep.join(labels, doc_rep["rep_id"] == F.col("node"), "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+            F.coalesce(F.col("label"), F.col("rep_id")).alias("cluster_id"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(rep_cluster, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
         )
         .select(
             "doc_id",

@@ -188,6 +188,34 @@ def test_star_contraction_adversarial_chain_logarithmic_rounds(spark):
     assert set(got) >= set(range(2, n + 1))
 
 
+def test_neardup_clusters_collapse_exact_template_group(spark):
+    """300 exact copies of one template (the hot-bucket hazard): the
+    representative collapse must put them all in ONE cluster with the
+    min-id survivor, link a genuine near-dup variant into that cluster,
+    keep unrelated docs singleton, and keep sub-3-token docs singleton
+    even when identical to each other (they cannot shingle-pair)."""
+    from dbsurveyor_spark.operators.dedup import _neardup_cluster_frame
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and once"
+    rows = [(d, template) for d in range(100, 400)]
+    rows.append((50, near))  # near-dup of the template, smaller id
+    rows.append((7, "completely different text about spark partitions here"))
+    rows += [(900, "hi there"), (901, "hi there")]  # < 3 tokens, identical
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_survivor)
+        for r in _neardup_cluster_frame(corpus).collect()
+    }
+    assert len(got) == len(rows)
+    # near-dup doc 50 pulls the whole template group to cluster 50
+    assert got[50] == (50, True)
+    for d in range(100, 400):
+        assert got[d] == (50, False), (d, got[d])
+    assert got[7] == (7, True)
+    assert got[900] == (900, True) and got[901] == (901, True)
+
+
 def test_neardup_clusters_operator_matches_star_labels(spark):
     from dbsurveyor_spark.operators import dedup
 
