@@ -226,10 +226,118 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_feats, FEATURE_ROW_SCHEMA)
 
 
+# ------------------------------------------------- image near-dup (dHash)
+
+# dHash grid: 49 downsampled "cells" → 48 adjacent-gradient bits, the
+# classic difference-hash layout (Krawetz's dHash: resize to 9×8 grayscale,
+# compare neighbors). The stub "luminance" for cell c is the byte-stripe
+# sum Σ payload[c::49] — stride sampling, NOT contiguous chunks, so a
+# small payload edit perturbs one cell (≤ 2 fingerprint bits) exactly like
+# a small image edit perturbs a couple of gradient bits. A real decoder
+# swaps the stripe sums for actual downsampled pixels in the same kernel.
+IMG_CELLS = 49
+
+
+def image_dhash(payload: bytes) -> int:
+    """48-bit stub dHash: bit b = 1 iff cell[b] > cell[b+1]."""
+    cells = [sum(payload[i::IMG_CELLS]) for i in range(IMG_CELLS)]
+    h = 0
+    for b in range(IMG_CELLS - 1):
+        if cells[b] > cells[b + 1]:
+            h |= 1 << b
+    return h
+
+
+DHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+)
+
+
+def image_hashes(media: DataFrame) -> DataFrame:
+    """(doc_id, simhash) perceptual fingerprints, Arrow-batched."""
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "simhash": batch["payload"]
+                    .map(image_dhash)
+                    .astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(_hashes, DHASH_SCHEMA)
+
+
+def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash fingerprints (Arrow-batched
+    mapInPandas decode seam) → Manku C(6,3) block-blocked candidates →
+    exact Hamming ≤ 3 verify — the image-side analog of `dedup_simhash`,
+    sharing its lossless candidate machinery
+    (`operators.dedup.simhash_block_pairs`).
+
+    The corpus has no duplicate media, so near-dup images are injected
+    in-query (both engines): every 10th doc gets a copy with one byte
+    appended — the stride-cell construction turns that into a ≤ 2-bit
+    fingerprint perturbation, a faithful stand-in for recompressed /
+    lightly-edited images. At 100 TB the plan is the simhash scale shape:
+    one Python-kernel scan emits 8-byte fingerprints, 20 block keys per
+    doc in a 2^24 keyspace, in-bucket join + O(1) verify; payloads never
+    shuffle.
+    """
+    from ..operators.dedup import ID_OFFSET, simhash_block_pairs
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("!")).alias("text"),
+    )
+    media = docs.unionByName(edited).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    sims = tracked_cache(image_hashes(media))
+    return simhash_block_pairs(sims)
+
+
+def _image_neardup_sql() -> str:
+    from ..operators.dedup import HAMMING_MAX, ID_OFFSET
+
+    cells = f"""list_transform(range(0, {IMG_CELLS}), c ->
+      COALESCE(list_sum(list_transform(
+        range(CAST(c + 1 AS BIGINT), CAST(strlen(text) + 1 AS BIGINT),
+              {IMG_CELLS}),
+        p -> ord(substr(text, CAST(p AS INTEGER), 1)))), 0))"""
+    return f"""
+WITH media AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_OFFSET} AS doc_id, text || '!' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+cells AS (SELECT doc_id, {cells} AS cs FROM media),
+sims AS (
+  SELECT doc_id,
+         COALESCE(list_sum(list_transform(range(0, {IMG_CELLS - 1}), b ->
+           CASE WHEN cs[CAST(b + 1 AS INTEGER)] > cs[CAST(b + 2 AS INTEGER)]
+                THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)), 0)
+           AS simhash
+  FROM cells
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
+"""
+
+
 QUERIES = {
     "mm_decode_stats": mm_decode_stats,
     "mm_frame_sample": mm_frame_sample,
     "mm_feature_extract": mm_feature_extract,
+    "mm_image_neardup": mm_image_neardup,
 }
 
 # The mapInPandas MECHANISM is not SQL-expressible, but the deterministic
@@ -279,4 +387,5 @@ ORACLES: dict[str, str] = {
     "mm_decode_stats": _DECODE_SQL,
     "mm_frame_sample": _FRAME_SQL,
     "mm_feature_extract": _FEATURE_SQL,
+    "mm_image_neardup": _image_neardup_sql(),
 }

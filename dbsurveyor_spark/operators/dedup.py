@@ -611,6 +611,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-million-element arrays in single tasks; a streamed join + AQE
     # skew splitting handles dense buckets gracefully.
     sims = _tracked_cache(agg.select("doc_id", sim.alias("simhash")))
+    return simhash_block_pairs(sims)
+
+
+def simhash_block_pairs(sims: DataFrame) -> DataFrame:
+    """(doc_id, simhash) → Hamming ≤ HAMMING_MAX pairs via Manku C(6,3)
+    block blocking (lossless for ≤ 3 flips) + exact bit_count verify.
+
+    Shared by the text SimHash and the image dHash near-dup
+    (`multimodal.codec.mm_image_neardup`) — any 48-bit fingerprint family
+    gets the same candidate generation. Callers pass a CACHED frame: the
+    banded view self-joins, and an uncached upstream would evaluate twice.
+    """
 
     def _block(bi: int) -> F.Column:
         return F.shiftright(F.col("simhash"), bi * SIMHASH_BLOCK_BITS).bitwiseAND(

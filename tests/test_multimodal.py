@@ -96,3 +96,33 @@ class TestExtractFeatures:
         assert out1 == out2  # deterministic
         assert all(len(v) == EMBED_DIM for v in out1.values())
         assert all(0.0 <= x < 1.0 for v in out1.values() for x in v)
+
+
+class TestImageNearDup:
+    def test_dhash_one_byte_edit_is_local(self):
+        """Appending one byte perturbs one stride cell → ≤ 2 gradient bits,
+        the locality property the whole near-dup operator rests on."""
+        from dbsurveyor_spark.multimodal.codec import image_dhash
+
+        for text in ("the quick brown fox " * 9, "x" * 300, "abc def " * 40):
+            base = image_dhash(text.encode())
+            edited = image_dhash((text + "!").encode())
+            assert bin(base ^ edited).count("1") <= 2, text
+        # and an unrelated payload differs in many bits
+        a = image_dhash(("spark " * 60).encode())
+        b = image_dhash(("duck! " * 61).encode())
+        assert bin(a ^ b).count("1") > 3
+
+    def test_injected_edits_pair_with_originals(self, spark):
+        from dbsurveyor_spark.multimodal.codec import mm_image_neardup
+        from dbsurveyor_spark.operators.dedup import ID_OFFSET
+
+        rows = mm_image_neardup(spark, "/root/testdata/sf0.001").collect()
+        assert rows, "no near-dup pairs found"
+        pairs = {(r.doc_a, r.doc_b) for r in rows}
+        # every injected edited copy must pair with its original
+        injected = {b - ID_OFFSET for _a, b in pairs if b >= ID_OFFSET}
+        originals_with_copy = {a for a, b in pairs if b == a + ID_OFFSET}
+        assert originals_with_copy, pairs
+        assert injected and injected <= {a for a, _ in pairs}
+        assert all(r.hamming <= 3 for r in rows)
