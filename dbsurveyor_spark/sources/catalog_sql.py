@@ -89,14 +89,20 @@ def primary_key_query(engine: str) -> str:
 
 
 def foreign_key_query(engine: str) -> str:
-    """FK edges with referenced table/column. MySQL's key_column_usage
-    carries the referenced side directly; Postgres needs the
-    referential_constraints hop to the unique constraint's usage."""
+    """FK edges with referenced schema/table/column. MySQL's
+    key_column_usage carries the referenced side directly. Postgres uses
+    pg_constraint's conkey/confkey arrays with positional (ordinality)
+    alignment — the information_schema route (key_column_usage ×
+    constraint_column_usage) has NO ordinal correlation between the two
+    sides, so a composite FK would cross-product into misaligned column
+    pairs; the reference aligns via array_position(conkey/confkey) for
+    exactly this reason (postgres/schema_collection.rs:616-642)."""
     sys_in = _system_schemas(engine)
     if engine == "mysql":
         return (
             "SELECT kcu.table_schema AS schema_name, kcu.table_name, "
             "kcu.constraint_name, kcu.column_name, kcu.ordinal_position, "
+            "kcu.referenced_table_schema AS referenced_schema_name, "
             "kcu.referenced_table_name, kcu.referenced_column_name "
             "FROM information_schema.key_column_usage kcu "
             "WHERE kcu.referenced_table_name IS NOT NULL "
@@ -105,20 +111,25 @@ def foreign_key_query(engine: str) -> str:
             "kcu.constraint_name, kcu.ordinal_position"
         )
     return (
-        "SELECT kcu.table_schema AS schema_name, kcu.table_name, "
-        "kcu.constraint_name, kcu.column_name, kcu.ordinal_position, "
-        "ccu.table_name AS referenced_table_name, "
-        "ccu.column_name AS referenced_column_name "
-        "FROM information_schema.referential_constraints rc "
-        "JOIN information_schema.key_column_usage kcu "
-        "ON kcu.constraint_name = rc.constraint_name "
-        "AND kcu.constraint_schema = rc.constraint_schema "
-        "JOIN information_schema.constraint_column_usage ccu "
-        "ON ccu.constraint_name = rc.unique_constraint_name "
-        "AND ccu.constraint_schema = rc.unique_constraint_schema "
-        f"WHERE kcu.table_schema NOT IN {sys_in} "
-        "ORDER BY kcu.table_schema, kcu.table_name, "
-        "kcu.constraint_name, kcu.ordinal_position"
+        "SELECT ns.nspname AS schema_name, tc.relname AS table_name, "
+        "con.conname AS constraint_name, att.attname AS column_name, "
+        "k.ord AS ordinal_position, "
+        "fns.nspname AS referenced_schema_name, "
+        "ftc.relname AS referenced_table_name, "
+        "fatt.attname AS referenced_column_name "
+        "FROM pg_constraint con "
+        "JOIN pg_class tc ON tc.oid = con.conrelid "
+        "JOIN pg_namespace ns ON ns.oid = tc.relnamespace "
+        "JOIN pg_class ftc ON ftc.oid = con.confrelid "
+        "JOIN pg_namespace fns ON fns.oid = ftc.relnamespace "
+        "CROSS JOIN LATERAL unnest(con.conkey) WITH ORDINALITY AS k(attnum, ord) "
+        "JOIN pg_attribute att "
+        "ON att.attrelid = con.conrelid AND att.attnum = k.attnum "
+        "JOIN pg_attribute fatt "
+        "ON fatt.attrelid = con.confrelid AND fatt.attnum = con.confkey[k.ord] "
+        "WHERE con.contype = 'f' "
+        f"AND ns.nspname NOT IN {_PG_SYSTEM} "
+        "ORDER BY schema_name, table_name, constraint_name, ordinal_position"
     )
 
 
@@ -140,9 +151,14 @@ def index_query(engine: str) -> str:
         )
     if engine != "postgresql":
         raise ValueError(f"unsupported engine {engine!r}")
+    # pg_attribute is LEFT-joined: expression-index entries carry attnum 0
+    # (no attribute row) and would silently vanish under an inner join —
+    # they surface as the '<expression>' placeholder instead (the full
+    # definition is recoverable via pg_get_indexdef on a live server).
     return (
         "SELECT ns.nspname AS schema_name, tc.relname AS table_name, "
-        "ic.relname AS index_name, att.attname AS column_name, "
+        "ic.relname AS index_name, "
+        "COALESCE(att.attname, '<expression>') AS column_name, "
         "k.ord AS seq_in_index, ix.indisunique AS is_unique, "
         "ix.indisprimary AS is_primary, am.amname AS index_type "
         "FROM pg_index ix "
@@ -151,7 +167,7 @@ def index_query(engine: str) -> str:
         "JOIN pg_namespace ns ON ns.oid = tc.relnamespace "
         "JOIN pg_am am ON am.oid = ic.relam "
         "CROSS JOIN LATERAL unnest(ix.indkey) WITH ORDINALITY AS k(attnum, ord) "
-        "JOIN pg_attribute att "
+        "LEFT JOIN pg_attribute att "
         "ON att.attrelid = tc.oid AND att.attnum = k.attnum "
         f"WHERE ns.nspname NOT IN {_PG_SYSTEM} "
         "ORDER BY schema_name, table_name, index_name, seq_in_index"

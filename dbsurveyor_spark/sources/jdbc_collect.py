@@ -31,9 +31,23 @@ def _rows(df: DataFrame) -> list[dict[str, Any]]:
 
 def _map_column_type(engine: str, c: dict[str, Any]) -> Any:
     if engine == "mysql":
+        # Map from the BARE information_schema DATA_TYPE ('varchar', 'int',
+        # …), not COLUMN_TYPE ('varchar(255)', 'int(11) unsigned'): the
+        # mapper matches base names, so parameterized engine types would
+        # all fall through to Custom/STRING. COLUMN_TYPE contributes only
+        # the modifiers it alone carries — the 'unsigned' suffix and the
+        # TINYINT(1)-means-boolean display width — mirroring the reference
+        # adapter (mysql/schema_collection.rs:326-335).
+        engine_type = (c.get("engine_type") or "").lower()
+        base = (c.get("data_type") or engine_type).lower()
+        if "unsigned" in engine_type and "unsigned" not in base:
+            base += " unsigned"
+        char_max = c.get("character_maximum_length")
+        if base.startswith("tinyint") and engine_type.startswith("tinyint(1)"):
+            char_max = 1
         return map_mysql_type(
-            c["engine_type"] or c["data_type"],
-            char_max_length=c.get("character_maximum_length"),
+            base,
+            char_max_length=char_max,
             numeric_precision=c.get("numeric_precision"),
             numeric_scale=c.get("numeric_scale"),
         )
@@ -75,6 +89,7 @@ def collect_jdbc_schema(
             {
                 "name": r["constraint_name"],
                 "columns": [],
+                "referenced_schema": r.get("referenced_schema_name"),
                 "referenced_table": r["referenced_table_name"],
                 "referenced_columns": [],
             },

@@ -23,8 +23,17 @@ from typing import Any
 ROWCOUNT_DRIFT_MIN_REL = 0.1  # report row drift beyond ±10%
 
 
+def _table_key(t: dict[str, Any]) -> str:
+    """Schema-qualified table label: in a multi-schema JDBC document
+    (public.users vs app.users) a name-only key would silently overwrite
+    one table with the other and mis-report every change list. Lake
+    documents carry no schema → bare name, keeping their labels stable."""
+    schema = t.get("schema")
+    return f"{schema}.{t['name']}" if schema else t["name"]
+
+
 def _tables(doc: dict[str, Any]) -> dict[str, dict[str, Any]]:
-    return {t["name"]: t for t in doc.get("tables", [])}
+    return {_table_key(t): t for t in doc.get("tables", [])}
 
 
 def _columns(table: dict[str, Any]) -> dict[str, dict[str, Any]]:

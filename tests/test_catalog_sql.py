@@ -46,10 +46,20 @@ class TestContract:
         # the ONE engine-specific catalog: index metadata
         assert "pg_index" in index_query("postgresql")
         assert "information_schema.statistics" in index_query("mysql")
-        # mysql FKs come straight off key_column_usage; postgres hops
-        # through referential_constraints to the unique side
+        # mysql FKs come straight off key_column_usage; postgres aligns
+        # composite-FK column pairs positionally via pg_constraint's
+        # conkey/confkey arrays (the information_schema kcu×ccu join has
+        # no ordinal correlation and cross-products composite FKs)
         assert "referenced_table_name" in foreign_key_query("mysql")
-        assert "referential_constraints" in foreign_key_query("postgresql")
+        pg_fk = foreign_key_query("postgresql")
+        assert "pg_constraint" in pg_fk
+        assert "unnest(con.conkey) WITH ORDINALITY" in pg_fk
+        assert "con.confkey[k.ord]" in pg_fk
+        assert "referenced_schema_name" in pg_fk
+        # expression-index entries (attnum 0) must survive via LEFT JOIN
+        pg_ix = index_query("postgresql")
+        assert "LEFT JOIN pg_attribute" in pg_ix
+        assert "'<expression>'" in pg_ix
         # unified-type-mapper inputs: engine-native type column
         assert "udt_name" in column_query("postgresql")
         assert "column_type" in column_query("mysql")

@@ -183,3 +183,48 @@ class TestQualityDrift:
         # sub-threshold moves are ignored
         new["quality_metrics"] = self._metrics(score=0.951)
         assert not diff_schema_documents(old, new)["has_changes"]
+
+
+class TestMultiSchemaDocuments:
+    def test_same_name_tables_in_different_schemas_diff_independently(self):
+        """public.users vs app.users must not overwrite each other in the
+        diff (ADVICE r4: name-only keys silently collapsed multi-schema
+        JDBC documents)."""
+
+        def doc(app_users_cols):
+            return {
+                "database_info": {"name": "db"},
+                "tables": [
+                    {
+                        "name": "users",
+                        "schema": "public",
+                        "columns": [
+                            {"name": "id", "data_type": "BIGINT",
+                             "is_nullable": False},
+                        ],
+                        "row_count": 10,
+                    },
+                    {
+                        "name": "users",
+                        "schema": "app",
+                        "columns": app_users_cols,
+                        "row_count": 20,
+                    },
+                ],
+            }
+
+        old = doc([{"name": "id", "data_type": "BIGINT", "is_nullable": False}])
+        new = doc(
+            [
+                {"name": "id", "data_type": "BIGINT", "is_nullable": False},
+                {"name": "email", "data_type": "VARCHAR", "is_nullable": True},
+            ]
+        )
+        r = diff_schema_documents(old, new)
+        assert r["has_changes"]
+        # exactly ONE table changed, and it's the schema-qualified app.users
+        (tc,) = r["table_changes"]
+        assert tc["table"] == "app.users"
+        assert tc["columns_added"] == ["email"]
+        # identical documents with two same-named tables stay clean
+        assert not diff_schema_documents(new, copy.deepcopy(new))["has_changes"]

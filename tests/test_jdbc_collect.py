@@ -48,10 +48,11 @@ def _stub_reader(spark):
         qs["foreign_keys"]: spark.createDataFrame(
             [
                 ("public", "orders", "orders_user_fk", "user_id", 1,
-                 "users", "id"),
+                 "public", "users", "id"),
             ],
             "schema_name string, table_name string, constraint_name string, "
             "column_name string, ordinal_position int, "
+            "referenced_schema_name string, "
             "referenced_table_name string, referenced_column_name string",
         ),
         qs["indexes"]: spark.createDataFrame(
@@ -139,3 +140,43 @@ class TestJdbcCollect:
         doc = collect_jdbc_schema(_stub_reader(spark), "postgresql")
         assert validate_schema_doc(doc) == []
         assert not diff_schema_documents(doc, copy.deepcopy(doc))["has_changes"]
+
+
+class TestMysqlTypeMapping:
+    """Live-MySQL catalogs carry parameterized COLUMN_TYPE ('varchar(255)',
+    'int(11)', 'bigint(20) unsigned'); the mapper must receive the bare
+    DATA_TYPE plus only the modifiers COLUMN_TYPE alone carries (unsigned,
+    TINYINT(1)-as-boolean) — ADVICE r4 high item."""
+
+    def test_parameterized_column_types_map_to_real_types(self, spark):
+        from dbsurveyor_spark.sources.jdbc_collect import _map_column_type
+
+        def col(data_type, engine_type, cml=None, np=None, ns=None):
+            return {
+                "data_type": data_type,
+                "engine_type": engine_type,
+                "character_maximum_length": cml,
+                "numeric_precision": np,
+                "numeric_scale": ns,
+            }
+
+        assert _map_column_type("mysql", col("varchar", "varchar(255)", cml=255)) == {
+            "String": {"max_length": 255}
+        }
+        assert _map_column_type("mysql", col("int", "int(11)", np=10, ns=0)) == {
+            "Integer": {"bits": 32, "signed": True}
+        }
+        assert _map_column_type(
+            "mysql", col("bigint", "bigint(20) unsigned", np=20, ns=0)
+        ) == {"Integer": {"bits": 64, "signed": False}}
+        assert _map_column_type(
+            "mysql", col("decimal", "decimal(10,2)", np=10, ns=2)
+        ) == {"Float": {"precision": 10}}
+        # TINYINT(1) is boolean by convention; wider tinyints are ints
+        assert _map_column_type("mysql", col("tinyint", "tinyint(1)")) == "Boolean"
+        assert _map_column_type("mysql", col("tinyint", "tinyint(4)")) == {
+            "Integer": {"bits": 8, "signed": True}
+        }
+        assert _map_column_type(
+            "mysql", col("tinyint", "tinyint(3) unsigned")
+        ) == {"Integer": {"bits": 8, "signed": False}}
