@@ -61,11 +61,24 @@ def column_query(engine: str) -> str:
     nullability, default, char length, numeric precision/scale."""
     sys_in = _system_schemas(engine)
     udt = "c.udt_name" if engine == "postgresql" else "c.column_type"
+    # auto-increment detection feeds OrderingStrategy::AutoIncrement
+    # (models.rs:362; postgres/sampling.rs ordering detection): serial
+    # columns carry a nextval() default, identity columns set is_identity;
+    # MySQL flags auto_increment in the `extra` column.
+    # is_identity is VARCHAR 'YES'/'NO' on Postgres but BOOL in DuckDB's
+    # compatibility layer (where the bind test runs) — CAST keeps the
+    # predicate portable across both.
+    autoinc = (
+        "(c.column_default LIKE 'nextval(%' "
+        "OR CAST(c.is_identity AS VARCHAR) IN ('YES', 'true'))"
+        if engine == "postgresql"
+        else "(c.extra LIKE '%auto_increment%')"
+    )
     return (
         "SELECT c.table_schema AS schema_name, c.table_name, c.column_name, "
         f"c.ordinal_position, c.data_type, {udt} AS engine_type, "
         "c.is_nullable, c.column_default, c.character_maximum_length, "
-        "c.numeric_precision, c.numeric_scale "
+        f"c.numeric_precision, c.numeric_scale, {autoinc} AS is_auto_increment "
         "FROM information_schema.columns c "
         f"WHERE c.table_schema NOT IN {sys_in} "
         "ORDER BY c.table_schema, c.table_name, c.ordinal_position"

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 
 from ..security import detect_sensitive_columns
 from .catalog_sql import catalog_queries
+from .ordering import relational_ordering_strategy
 from .typemap import map_mysql_type, map_postgres_type, unified_to_spark_ddl
 
 ReadQuery = Callable[[str], DataFrame]
@@ -134,7 +135,7 @@ def collect_jdbc_schema(
                     and c["column_name"] not in pk
                 ),
                 "is_primary_key": c["column_name"] in pk,
-                "is_auto_increment": False,
+                "is_auto_increment": bool(c.get("is_auto_increment")),
                 "default_value": c.get("column_default"),
                 "comment": None,
                 "ordinal_position": c["ordinal_position"],
@@ -181,6 +182,9 @@ def collect_jdbc_schema(
                 "constraints": constraints,
                 "comment": None,
                 "row_count": t.get("approx_rows"),
+                "ordering_strategy": relational_ordering_strategy(
+                    columns, pk
+                ),
             }
         )
 

@@ -24,6 +24,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .ordering import relational_ordering_strategy
+
 # SQLite declared type → unified type (type_mapping.rs, affinity rules).
 _AFFINITY = (
     ("INT", "BIGINT"),
@@ -98,7 +100,29 @@ class SqliteSource:
                 ]
                 for idx in idxs
             }
+            create_sql = (
+                con.execute(
+                    "SELECT sql FROM sqlite_master "
+                    "WHERE type = 'table' AND name = ?",
+                    (table,),
+                ).fetchone()
+                or (None,)
+            )[0] or ""
         pk_cols = [c[1] for c in sorted(cols, key=lambda c: c[5]) if c[5] > 0]
+        # rowid table unless declared WITHOUT ROWID; a single INTEGER
+        # PRIMARY KEY column is SQLite's rowid alias and auto-assigns
+        # monotonically — the AutoIncrement analog (models.rs:362).
+        has_rowid = "WITHOUT ROWID" not in create_sql.upper()
+        rowid_alias = (
+            pk_cols[0]
+            if has_rowid
+            and len(pk_cols) == 1
+            and any(
+                c[1] == pk_cols[0] and (c[2] or "").upper() == "INTEGER"
+                for c in cols
+            )
+            else None
+        )
         columns = [
             {
                 "name": c[1],
@@ -107,7 +131,7 @@ class SqliteSource:
                 # otherwise (schema_collection.rs:263).
                 "is_nullable": not c[3] and c[1] not in pk_cols,
                 "is_primary_key": c[1] in pk_cols,
-                "is_auto_increment": False,
+                "is_auto_increment": c[1] == rowid_alias,
                 "default_value": c[4],
                 "comment": None,
                 "ordinal_position": i + 1,
@@ -174,6 +198,9 @@ class SqliteSource:
             "constraints": constraints,
             "comment": None,
             "row_count": self.row_count(table),
+            "ordering_strategy": relational_ordering_strategy(
+                columns, pk_cols, has_rowid=has_rowid
+            ),
         }
 
     def row_count(self, table: str) -> int:

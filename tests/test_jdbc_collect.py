@@ -21,21 +21,21 @@ def _stub_reader(spark):
         qs["columns"]: spark.createDataFrame(
             [
                 ("public", "users", "id", 1, "bigint", "int8", "NO",
-                 None, None, 64, 0),
+                 "nextval('users_id_seq')", None, 64, 0, True),
                 ("public", "users", "email", 2, "character varying",
-                 "varchar", "YES", None, 255, None, None),
+                 "varchar", "YES", None, 255, None, None, False),
                 ("public", "orders", "order_id", 1, "bigint", "int8",
-                 "NO", None, None, 64, 0),
+                 "NO", None, None, 64, 0, False),
                 ("public", "orders", "user_id", 2, "bigint", "int8",
-                 "YES", None, None, 64, 0),
+                 "YES", None, None, 64, 0, False),
                 ("public", "orders", "amount", 3, "numeric", "numeric",
-                 "YES", None, None, 12, 2),
+                 "YES", None, None, 12, 2, False),
             ],
             "schema_name string, table_name string, column_name string, "
             "ordinal_position int, data_type string, engine_type string, "
             "is_nullable string, column_default string, "
             "character_maximum_length int, numeric_precision int, "
-            "numeric_scale int",
+            "numeric_scale int, is_auto_increment boolean",
         ),
         qs["primary_keys"]: spark.createDataFrame(
             [
@@ -180,3 +180,80 @@ class TestMysqlTypeMapping:
         assert _map_column_type(
             "mysql", col("tinyint", "tinyint(3) unsigned")
         ) == {"Integer": {"bits": 8, "signed": False}}
+
+
+class TestOrderingStrategy:
+    """OrderingStrategy detection (models.rs:362; postgres/sampling.rs) —
+    recorded per table in the collected document, VERDICT r4 item 5."""
+
+    def test_jdbc_document_records_strategy_and_roundtrips(self, spark):
+        from dbsurveyor_spark.survey.export import to_reference_document
+
+        doc = collect_jdbc_schema(_stub_reader(spark), "postgresql")
+        tables = {t["name"]: t for t in doc["tables"]}
+        # users.id has a nextval() default → AutoIncrement beats PrimaryKey
+        assert tables["users"]["ordering_strategy"] == {
+            "AutoIncrement": {"column": "id"}
+        }
+        assert tables["users"]["columns"][0]["is_auto_increment"]
+        # orders has a plain PK
+        assert tables["orders"]["ordering_strategy"] == {
+            "PrimaryKey": {"columns": ["order_id"]}
+        }
+        # the strategy survives reference-format serialization
+        ref = to_reference_document(doc)
+        assert {t["name"]: t["ordering_strategy"] for t in ref["tables"]} == {
+            "users": {"AutoIncrement": {"column": "id"}},
+            "orders": {"PrimaryKey": {"columns": ["order_id"]}},
+        }
+
+    def test_precedence_unit(self):
+        from dbsurveyor_spark.sources.ordering import (
+            relational_ordering_strategy as strat,
+        )
+
+        ts = {"name": "created_at", "data_type": "TIMESTAMP",
+              "ordinal_position": 2}
+        plain = {"name": "v", "data_type": "VARCHAR", "ordinal_position": 1}
+        auto = {"name": "id", "data_type": "BIGINT", "is_auto_increment": True,
+                "ordinal_position": 1}
+        assert strat([auto, ts], ["id"]) == {"AutoIncrement": {"column": "id"}}
+        assert strat([plain, ts], ["v"]) == {"PrimaryKey": {"columns": ["v"]}}
+        assert strat([plain, ts], []) == {
+            "Timestamp": {"column": "created_at", "direction": "Descending"}
+        }
+        # unnamed-but-typed timestamp: first temporal by ordinal
+        odd = {"name": "seen", "data_type": "TIMESTAMP", "ordinal_position": 3}
+        assert strat([plain, odd], []) == {
+            "Timestamp": {"column": "seen", "direction": "Descending"}
+        }
+        assert strat([plain], [], has_rowid=True) == {
+            "SystemRowId": {"column": "rowid"}
+        }
+        assert strat([plain], []) == "Unordered"
+
+    def test_sqlite_rowid_alias_detected(self, tmp_path):
+        import sqlite3
+
+        from dbsurveyor_spark.sources.sqlite import SqliteSource
+
+        db = str(tmp_path / "t.db")
+        con = sqlite3.connect(db)
+        con.executescript(
+            """
+            CREATE TABLE a (id INTEGER PRIMARY KEY, v TEXT);
+            CREATE TABLE b (k TEXT PRIMARY KEY, v TEXT) WITHOUT ROWID;
+            CREATE TABLE c (v TEXT, created_at TIMESTAMP);
+            CREATE TABLE d (v TEXT);
+            """
+        )
+        con.commit(); con.close()
+        src = SqliteSource(db)
+        t = {n: src.collect_table_schema(n) for n in src.table_names()}
+        assert t["a"]["ordering_strategy"] == {"AutoIncrement": {"column": "id"}}
+        assert t["a"]["columns"][0]["is_auto_increment"]
+        assert t["b"]["ordering_strategy"] == {"PrimaryKey": {"columns": ["k"]}}
+        assert t["c"]["ordering_strategy"] == {
+            "Timestamp": {"column": "created_at", "direction": "Descending"}
+        }
+        assert t["d"]["ordering_strategy"] == {"SystemRowId": {"column": "rowid"}}
