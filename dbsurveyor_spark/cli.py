@@ -796,7 +796,86 @@ def build_parser() -> argparse.ArgumentParser:
         help="exit 2 when drift is detected (CI gate)",
     )
     d.set_defaults(fn=cmd_diff)
+
+    cp = sub.add_parser(
+        "completions",
+        help="emit a shell completion script (bash or zsh)",
+    )
+    cp.add_argument("shell", choices=("bash", "zsh"))
+    cp.set_defaults(fn=cmd_completions)
     return p
+
+
+# -------------------------------------------------------------- completions
+
+
+def _parser_surface(p: argparse.ArgumentParser) -> dict[str, list[str]]:
+    """verb → option strings, introspected from the live parser so the
+    emitted script can never drift from the real CLI surface."""
+    sub_action = next(
+        a for a in p._actions if isinstance(a, argparse._SubParsersAction)
+    )
+    return {
+        verb: sorted(
+            opt
+            for act in sp._actions
+            for opt in act.option_strings
+        )
+        for verb, sp in sub_action.choices.items()
+    }
+
+
+def cmd_completions(args: argparse.Namespace) -> int:
+    """Shell-completions verb (reference: dbsurveyor-collect/src/main.rs:156
+    `Commands::Completions` via clap_complete; both reference binaries
+    ship it). Static script generated from the parser itself."""
+    surface = _parser_surface(build_parser())
+    verbs = " ".join(surface)
+    if args.shell == "bash":
+        cases = "\n".join(
+            f'        {verb}) opts="{" ".join(opts)}" ;;'
+            for verb, opts in surface.items()
+        )
+        print(f"""# bash completion for dbsurveyor-spark
+# install: eval "$(dbsurveyor-spark completions bash)"
+_dbsurveyor_spark() {{
+    local cur verb opts
+    cur="${{COMP_WORDS[COMP_CWORD]}}"
+    if [ "$COMP_CWORD" -eq 1 ]; then
+        COMPREPLY=( $(compgen -W "{verbs}" -- "$cur") )
+        return 0
+    fi
+    verb="${{COMP_WORDS[1]}}"
+    case "$verb" in
+{cases}
+        *) opts="" ;;
+    esac
+    case "$cur" in
+        -*) COMPREPLY=( $(compgen -W "$opts" -- "$cur") ) ;;
+        *) COMPREPLY=( $(compgen -f -- "$cur") ) ;;
+    esac
+}}
+complete -F _dbsurveyor_spark dbsurveyor-spark""")
+    else:
+        cases = "\n".join(
+            f"        {verb}) _arguments '*: :({' '.join(opts)})' ;;"
+            for verb, opts in surface.items()
+        )
+        print(f"""#compdef dbsurveyor-spark
+# zsh completion for dbsurveyor-spark
+# install: dbsurveyor-spark completions zsh > "${{fpath[1]}}/_dbsurveyor-spark"
+_dbsurveyor_spark() {{
+    if (( CURRENT == 2 )); then
+        _values 'command' {verbs}
+        return
+    fi
+    case "$words[2]" in
+{cases}
+        *) _files ;;
+    esac
+}}
+_dbsurveyor_spark "$@\"""")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -350,3 +350,33 @@ class TestCheckVerb:
         text = capsys.readouterr().out
         assert "| table | rule |" in text
         assert "rule(s) failed" in text
+
+
+class TestCompletions:
+    """Shell-completions verb parity (dbsurveyor-collect/src/main.rs:156)."""
+
+    def test_bash_script_covers_all_verbs(self, capsys):
+        from dbsurveyor_spark.cli import build_parser, main
+
+        assert main(["completions", "bash"]) == 0
+        out = capsys.readouterr().out
+        assert "complete -F _dbsurveyor_spark dbsurveyor-spark" in out
+        # every verb from the live parser appears (incl. completions itself)
+        import argparse
+
+        sub = next(
+            a
+            for a in build_parser()._actions
+            if isinstance(a, argparse._SubParsersAction)
+        )
+        for verb in sub.choices:
+            assert verb in out, verb
+        assert "--fail-on-change" in out  # per-verb options present
+
+    def test_zsh_script_emits_compdef(self, capsys):
+        from dbsurveyor_spark.cli import main
+
+        assert main(["completions", "zsh"]) == 0
+        out = capsys.readouterr().out
+        assert out.startswith("#compdef dbsurveyor-spark")
+        assert "_values 'command'" in out
