@@ -1,0 +1,152 @@
+"""Scale smoke: run the most expensive operators at a synthetic sf1.
+
+The per-round bench measures at sf0.1; every 100 TB claim in SURVEY §6
+rests on the plans scaling linearly from there. This harness validates one
+10× point: it synthesizes an sf1-shaped lake from the sf0.1 tables (10
+replicas with shifted keys), runs the top-cost operators once at each SF
+in the same session, and prints per-op wall-clock ratios. A plan that is
+secretly quadratic in corpus size shows up as ratio >> 10.
+
+Replica construction keeps the WORKLOAD shape linear — the point is to
+scale the data, not to inject 100× more duplicate pairs:
+- documents: every token gets a per-replica suffix, so shingles/hashes are
+  DISTINCT across replicas (near-dup structure replicates within each
+  copy; no cross-replica pair explosion). doc_ids shift by 10^8 per
+  replica, far above the dedup suite's 10^6 injection offset.
+- embeddings: per-replica dimension rotation — norms and within-replica
+  geometry preserved (IVF/PQ workload replicates), cross-replica cosines
+  decorrelate to the random-vector baseline.
+- lineitem/part: keys shift per replica → 10 disjoint co-purchase graphs.
+
+Output: ONE JSON line {op: {"sf01_sec", "sf1_sec", "ratio"}, ...}.
+Usage: python scripts/scale_smoke.py [ops_csv]
+Data lands in .tmp/sf1 (gitignored); ~170 MB, rebuilt only when absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbsurveyor_spark import registry  # noqa: E402
+from dbsurveyor_spark.session import get_session  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(REPO, ".tmp", "sf1")
+REPLICAS = 10
+KEY_OFF = 100_000_000
+
+DEFAULT_OPS = [
+    "graph_pagerank_parts",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_corpus",
+    "dedup_containment",
+    "split_leakage_neardup",
+    "knn_graph",
+    "ann_ivfpq_topk",
+    "dedup_substring",
+    "dedup_winnowing",
+    "dedup_neardup_clusters",
+]
+
+
+def _replicate(spark) -> None:
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    embs = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    part = spark.read.parquet(f"{SRC}/part.parquet")
+
+    def doc_rep(k: int):
+        text = (
+            F.col("text")
+            if k == 0
+            else F.regexp_replace(F.col("text"), r"(\S+)", f"$1x{k}")
+        )
+        return docs.select(
+            (F.col("doc_id") + k * KEY_OFF).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            F.length(text).cast("int").alias("n_chars"),
+        )
+
+    def emb_rep(k: int):
+        e = F.col("embedding")
+        rot = (
+            e
+            if k == 0
+            else F.concat(F.slice(e, k + 1, 4096), F.slice(e, 1, k))
+        )
+        return embs.select(
+            (F.col("vec_id") + k * KEY_OFF).alias("vec_id"),
+            rot.alias("embedding"),
+            "label",
+        )
+
+    def li_rep(k: int):
+        return li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + k * KEY_OFF
+        ).withColumn("l_partkey", F.col("l_partkey") + k * KEY_OFF)
+
+    def part_rep(k: int):
+        return part.withColumn("p_partkey", F.col("p_partkey") + k * KEY_OFF)
+
+    for name, rep in (
+        ("documents", doc_rep),
+        ("embeddings", emb_rep),
+        ("lineitem", li_rep),
+        ("part", part_rep),
+    ):
+        frames = rep(0)
+        for k in range(1, REPLICAS):
+            frames = frames.unionByName(rep(k))
+        (
+            frames.repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{DST}/{name}.parquet")
+        )
+
+
+def _time_op(spark, fn, sf_dir: str) -> float:
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    ops = sys.argv[1].split(",") if len(sys.argv) > 1 else DEFAULT_OPS
+    spark = get_session("dbsurveyor-spark-scale-smoke")
+    if not os.path.isdir(f"{DST}/documents.parquet"):
+        _replicate(spark)
+    qs = registry.queries()
+    out = {}
+    for key in ops:
+        fn = qs[key]
+        # warm pass at the small SF absorbs plan-compile costs so the
+        # ratio compares execution, not Janino
+        _time_op(spark, fn, SRC)
+        s01 = _time_op(spark, fn, SRC)
+        s1 = _time_op(spark, fn, DST)
+        out[key] = {
+            "sf01_sec": s01,
+            "sf1_sec": s1,
+            "ratio": round(s1 / s01, 1) if s01 > 0 else None,
+        }
+        print(f"# {key}: {s01}s -> {s1}s ({out[key]['ratio']}x)", flush=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
