@@ -333,11 +333,204 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
 """
 
 
+# -------------------------------------------- video near-dup (frame overlap)
+
+FRAME_MATCH_MIN = 2  # videos pair when they share ≥ this many frame hashes
+FRAME_DF_CAP = 50  # drop frame hashes shared by more docs (intro/outro cards)
+
+
+def mm_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by sampled-frame overlap: the standard video-dedup
+    shape (sample frames → perceptual hash per frame → videos pairing on
+    shared frame hashes). Re-encoded or trimmed copies keep most frame
+    hashes, so the overlap count is the dedup signal; an intro/outro card
+    shared by thousands of videos is dropped by the same
+    document-frequency cap the winnowing pipeline uses (a hot frame hash
+    would otherwise pair-expand |bucket|²).
+
+    Plumbing: frame sampling fans out INSIDE the Arrow batch
+    (frame_sample's chunker stub stands in for an ffmpeg demuxer), each
+    frame chunk hashes to a 48-bit dHash (image_dhash — a real pipeline
+    would decode the frame first), then df-capped bucket pair expansion on
+    exact hash equality. Only (doc_id, frame hash) int64 rows shuffle;
+    payloads never leave the scan. Trimmed copies (every 10th doc loses
+    its tail frames) are injected in-query, both engines.
+    """
+    from ..operators.dedup import ID_OFFSET
+    from ..plans.cache import release_caches
+
+    release_caches()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # trimmed copy: first half of the payload → shares the leading frames
+    trimmed = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, (F.length("text") / 2).cast("int")
+        ).alias("text"),
+    )
+    media = docs.unionByName(trimmed).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def _frame_hashes(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n_frames = max(1, len(payload) // FRAME_SIZE)
+                # near-dup hashes EVERY frame (keyframe-level dedup);
+                # the strided sampler is the browse/preview path
+                for fi in range(n_frames):
+                    chunk = payload[fi * FRAME_SIZE : (fi + 1) * FRAME_SIZE]
+                    ids.append(doc_id)
+                    hashes.append(image_dhash(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fh": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    fps = media.mapInPandas(
+        _frame_hashes,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("fh", LongType())]
+        ),
+    ).dropDuplicates(["doc_id", "fh"])
+    df_ok = (
+        fps.groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= FRAME_DF_CAP)
+        .select("fh")
+    )
+    kept = fps.join(df_ok, "fh")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= FRAME_MATCH_MIN)
+    )
+
+
+def _frame_neardup_sql() -> str:
+    from ..operators.dedup import ID_OFFSET
+
+    # replay: frames = stride-sampled FRAME_SIZE chunks; per chunk the
+    # image_dhash stride-cell gradient bits over chunk bytes
+    cells = f"""list_transform(range(0, {IMG_CELLS}), c ->
+      COALESCE(list_sum(list_transform(
+        range(CAST(c + 1 AS BIGINT), CAST(strlen(chunk) + 1 AS BIGINT),
+              {IMG_CELLS}),
+        p -> ord(substr(chunk, CAST(p AS INTEGER), 1)))), 0))"""
+    return f"""
+WITH media AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_OFFSET} AS doc_id,
+         substr(text, 1, CAST(strlen(text) // 2 AS INTEGER)) AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+frames AS (
+  SELECT doc_id,
+         substr(text, CAST(fi * {FRAME_SIZE} + 1 AS INTEGER), {FRAME_SIZE})
+           AS chunk
+  FROM media,
+       unnest(range(0, GREATEST(1, strlen(text) // {FRAME_SIZE}))) AS t(fi)
+),
+cells AS (SELECT doc_id, {cells} AS cs FROM frames),
+fps AS (
+  SELECT DISTINCT doc_id,
+         COALESCE(list_sum(list_transform(range(0, {IMG_CELLS - 1}), b ->
+           CASE WHEN cs[CAST(b + 1 AS INTEGER)] > cs[CAST(b + 2 AS INTEGER)]
+                THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)), 0)
+           AS fh
+  FROM cells
+),
+keep AS (SELECT fh FROM fps GROUP BY fh HAVING COUNT(*) <= {FRAME_DF_CAP}),
+kept AS (SELECT fps.doc_id, fps.fh FROM fps JOIN keep USING (fh))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_frames
+FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {FRAME_MATCH_MIN}
+"""
+
+
+# ------------------------------------------------------ modality mix report
+
+
+def mm_modality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level modality mix: per media format, document count, byte
+    volume, and stub-decoded dimension stats — the coverage report a
+    multimodal training-mix planner reads first (the media analog of
+    `corpus_mix_report`). One decode pass (metadata only — the Arrow
+    kernel emits 5 scalar columns per doc), one map-side-combinable agg;
+    exact byte sums go through DECIMAL per the §6 float doctrine (here
+    all-integer, so plain bigint sums are exact).
+    """
+    from ..plans.cache import release_caches
+
+    release_caches()
+    docs = load_table(spark, sf_dir, "documents")
+    stats = decode_stats(attach_payload(docs))
+    return (
+        stats.groupBy("media_format")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("n_bytes").cast("bigint").alias("min_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+            F.min("width").cast("bigint").alias("min_width"),
+            F.max("width").cast("bigint").alias("max_width"),
+            F.min("height").cast("bigint").alias("min_height"),
+            F.max("height").cast("bigint").alias("max_height"),
+        )
+        .orderBy("media_format")
+    )
+
+
+_MODALITY_SQL = f"""
+WITH media AS (
+  SELECT doc_id, strlen(text) AS n,
+         (['jpeg', 'png', 'webp'])[(doc_id % {len(_FORMATS)}) + 1]
+           AS media_format
+  FROM documents
+),
+decoded AS (
+  SELECT media_format, n AS n_bytes,
+         64 + n % 640 AS width, 64 + (n * 7) % 480 AS height
+  FROM media
+)
+SELECT media_format,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+       CAST(MIN(width) AS BIGINT) AS min_width,
+       CAST(MAX(width) AS BIGINT) AS max_width,
+       CAST(MIN(height) AS BIGINT) AS min_height,
+       CAST(MAX(height) AS BIGINT) AS max_height
+FROM decoded
+GROUP BY media_format
+ORDER BY media_format
+"""
+
+
 QUERIES = {
     "mm_decode_stats": mm_decode_stats,
     "mm_frame_sample": mm_frame_sample,
     "mm_feature_extract": mm_feature_extract,
     "mm_image_neardup": mm_image_neardup,
+    "mm_frame_neardup": mm_frame_neardup,
+    "mm_modality_report": mm_modality_report,
 }
 
 # The mapInPandas MECHANISM is not SQL-expressible, but the deterministic
@@ -388,4 +581,6 @@ ORACLES: dict[str, str] = {
     "mm_frame_sample": _FRAME_SQL,
     "mm_feature_extract": _FEATURE_SQL,
     "mm_image_neardup": _image_neardup_sql(),
+    "mm_frame_neardup": _frame_neardup_sql(),
+    "mm_modality_report": _MODALITY_SQL,
 }
