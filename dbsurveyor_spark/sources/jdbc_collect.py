@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 
 from ..security import detect_sensitive_columns
 from .catalog_sql import catalog_queries
+from .jdbc_sampling import collect_jdbc_samples
 from .ordering import relational_ordering_strategy
 from .typemap import map_mysql_type, map_postgres_type, unified_to_spark_ddl
 
@@ -66,8 +67,12 @@ def collect_jdbc_schema(
     engine: str,
     name: str = "jdbc",
     warn_sensitive: bool = True,
+    sample_size: int = 0,
+    throttle_ms: int = 0,
 ) -> dict[str, Any]:
-    """Run the full catalog sweep and assemble the schema document."""
+    """Run the full catalog sweep and assemble the schema document.
+    ``sample_size > 0`` additionally pulls ordering-aware per-table samples
+    (jdbc_sampling.collect_jdbc_samples, throttled between tables)."""
     import time
     from datetime import datetime, timezone
 
@@ -250,7 +255,16 @@ def collect_jdbc_schema(
         "functions": functions,
         "triggers": triggers,
         "custom_types": [],
-        "samples": None,
+        "samples": (
+            collect_jdbc_samples(
+                read_query,
+                tables,
+                sample_size=sample_size,
+                throttle_ms=throttle_ms,
+            )
+            if sample_size > 0
+            else None
+        ),
         "quality_metrics": None,
         "collection_metadata": {
             "collector_version": COLLECTOR,

@@ -257,3 +257,37 @@ class TestOrderingStrategy:
             "Timestamp": {"column": "created_at", "direction": "Descending"}
         }
         assert t["d"]["ordering_strategy"] == {"SystemRowId": {"column": "rowid"}}
+
+
+class TestCollectWithSamples:
+    def test_samples_attached_using_recorded_strategies(self, spark):
+        base = _stub_reader(spark)
+
+        def reader(sql):
+            if sql.startswith("SELECT * FROM"):
+                if '"users"' in sql:
+                    assert 'ORDER BY "id" DESC' in sql  # AutoIncrement col
+                    return spark.createDataFrame(
+                        [(2, "b@x.com"), (1, "a@x.com")],
+                        "id long, email string",
+                    )
+                assert 'ORDER BY "order_id" DESC' in sql  # PrimaryKey
+                return spark.createDataFrame(
+                    [(7, 1, 9.5)], "order_id long, user_id long, amount double"
+                )
+            return base(sql)
+
+        doc = collect_jdbc_schema(
+            reader, "postgresql", sample_size=2, throttle_ms=0
+        )
+        samples = {s["table_name"]: s for s in doc["samples"]}
+        assert set(samples) == {"users", "orders"}
+        assert samples["users"]["sampling_strategy"] == {
+            "MostRecent": {"limit": 2}
+        }
+        assert samples["users"]["rows"][0]["id"] == 2
+        assert samples["users"]["sample_status"] == "Complete"
+        assert samples["orders"]["sample_size"] == 1
+        assert any(
+            "less than requested" in w for w in samples["orders"]["warnings"]
+        )
