@@ -464,6 +464,122 @@ HAVING COUNT(*) >= {FRAME_MATCH_MIN}
 """
 
 
+# ----------------------------------------------------- scene-cut detection
+
+SCENE_CUT_HAMMING = 20  # adjacent-frame dHash distance that counts as a cut
+
+
+def mm_frame_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection per video: a scene cut is an adjacent-frame
+    pair whose perceptual-hash Hamming distance exceeds a threshold — the
+    classic hash-difference shot detector, used in a training pipeline to
+    pick one keyframe per shot instead of near-identical consecutive
+    frames. Emits per-video (n_frames, n_cuts, mean_adjacent_hamming).
+
+    Plan shape is SEQUENTIAL-window, unlike the bucket joins of the
+    near-dup family: one Arrow-batched pass emits (doc_id, frame_idx,
+    dHash), a lag() window over the SAME doc partitioning compares
+    neighbors JVM-side (bit_count(xor)), and one map-side-combinable agg
+    folds per video. Only (doc_id, idx, int64) rows shuffle, once.
+    """
+    from ..plans.cache import release_caches
+
+    release_caches()
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def _frame_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n_frames = max(1, len(payload) // FRAME_SIZE)
+                for fi in range(n_frames):
+                    chunk = payload[fi * FRAME_SIZE : (fi + 1) * FRAME_SIZE]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    hashes.append(image_dhash(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "fh": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    frames = media.mapInPandas(
+        _frame_rows,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("frame_idx", LongType()),
+                StructField("fh", LongType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    ham = F.bit_count(
+        F.col("fh").bitwiseXOR(F.lag("fh", 1).over(w))
+    ).cast("bigint")
+    stepped = frames.select("doc_id", ham.alias("ham"))
+    return (
+        stepped.groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1))).cast("bigint").alias("n_frames"),
+            F.sum(
+                F.when(F.col("ham") > SCENE_CUT_HAMMING, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_cuts"),
+            F.round(F.avg("ham"), 9).alias("mean_adjacent_hamming"),
+        )
+        .select("doc_id", "n_frames", "n_cuts", "mean_adjacent_hamming")
+    )
+
+
+def _scene_cuts_sql() -> str:
+    cells = f"""list_transform(range(0, {IMG_CELLS}), c ->
+      COALESCE(list_sum(list_transform(
+        range(CAST(c + 1 AS BIGINT), CAST(strlen(chunk) + 1 AS BIGINT),
+              {IMG_CELLS}),
+        p -> ord(substr(chunk, CAST(p AS INTEGER), 1)))), 0))"""
+    return f"""
+WITH media AS (SELECT doc_id, text FROM documents),
+frames AS (
+  SELECT doc_id, fi AS frame_idx,
+         substr(text, CAST(fi * {FRAME_SIZE} + 1 AS INTEGER), {FRAME_SIZE})
+           AS chunk
+  FROM media,
+       unnest(range(0, GREATEST(1, strlen(text) // {FRAME_SIZE}))) AS t(fi)
+),
+cells AS (SELECT doc_id, frame_idx, {cells} AS cs FROM frames),
+fps AS (
+  SELECT doc_id, frame_idx,
+         COALESCE(list_sum(list_transform(range(0, {IMG_CELLS - 1}), b ->
+           CASE WHEN cs[CAST(b + 1 AS INTEGER)] > cs[CAST(b + 2 AS INTEGER)]
+                THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)), 0)
+           AS fh
+  FROM cells
+),
+stepped AS (
+  SELECT doc_id,
+         bit_count(xor(fh, lag(fh) OVER
+           (PARTITION BY doc_id ORDER BY frame_idx))) AS ham
+  FROM fps
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN ham > {SCENE_CUT_HAMMING} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cuts,
+       round(AVG(ham), 9) AS mean_adjacent_hamming
+FROM stepped
+GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------ modality mix report
 
 
@@ -530,6 +646,7 @@ QUERIES = {
     "mm_feature_extract": mm_feature_extract,
     "mm_image_neardup": mm_image_neardup,
     "mm_frame_neardup": mm_frame_neardup,
+    "mm_frame_scene_cuts": mm_frame_scene_cuts,
     "mm_modality_report": mm_modality_report,
 }
 
@@ -582,5 +699,6 @@ ORACLES: dict[str, str] = {
     "mm_feature_extract": _FEATURE_SQL,
     "mm_image_neardup": _image_neardup_sql(),
     "mm_frame_neardup": _frame_neardup_sql(),
+    "mm_frame_scene_cuts": _scene_cuts_sql(),
     "mm_modality_report": _MODALITY_SQL,
 }
