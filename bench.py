@@ -63,6 +63,8 @@ HEADLINE = [
     "graph_pagerank_parts",
     "stream_click_attribution",
     "sketch_cm_heavy_hitters",
+    "mm_image_neardup",
+    "mm_frame_neardup",
     "rfm_segmentation",
     "active_users_report",
     "text_cooccurrence_pmi",

@@ -126,3 +126,42 @@ class TestImageNearDup:
         assert originals_with_copy, pairs
         assert injected and injected <= {a for a, _ in pairs}
         assert all(r.hamming <= 3 for r in rows)
+
+
+class TestMultimodalPlans:
+    """Plan-shape guards: Arrow-batched mapInPandas is the ONLY Python on
+    these paths (never row-at-a-time), scans prune to (doc_id, text), and
+    the frame near-dup join carries no uncapped broadcast."""
+
+    def test_neardup_plans_prune_and_stay_arrow(self, spark):
+        from dbsurveyor_spark.multimodal.codec import (
+            mm_frame_neardup,
+            mm_frame_scene_cuts,
+            mm_image_neardup,
+        )
+        from dbsurveyor_spark.plans.asserts import (
+            assert_read_schema_only,
+            formatted_plan,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        for q in (mm_image_neardup, mm_frame_neardup, mm_frame_scene_cuts):
+            df = q(spark, sf)
+            plan = formatted_plan(df)
+            # Arrow-batched kernels show up as MapInPandas; row-at-a-time
+            # Python would be BatchEvalPython
+            assert "MapInPandas" in plan, plan
+            assert "BatchEvalPython" not in plan, plan
+            assert_read_schema_only(
+                df, "documents.parquet", {"doc_id", "text"}
+            )
+
+    def test_scene_cuts_single_shuffle(self, spark):
+        from dbsurveyor_spark.multimodal.codec import mm_frame_scene_cuts
+        from dbsurveyor_spark.plans.asserts import formatted_plan
+
+        plan = formatted_plan(
+            mm_frame_scene_cuts(spark, "/root/testdata/sf0.001")
+        )
+        # one exchange: hash(doc_id) for the window; the groupBy reuses it
+        assert plan.count("Exchange (") == 1, plan
