@@ -1,0 +1,229 @@
+"""Audio fingerprint matching (SURVEY §2.I) — the chromaprint shape.
+
+Acoustic matching (Chromaprint/AcoustID, Shazam's constellation papers)
+works on a SEQUENCE of subfingerprints: per short overlapping window,
+quantize the spectral-energy gradient into a small integer; two recordings
+match when many subfingerprints agree AT A CONSISTENT TIME OFFSET — the
+offset histogram is what separates a real match (one dominant offset bin)
+from chance collisions (spread). That alignment step is what the set-based
+near-dup operators (minhash / simhash / dHash buckets) cannot express.
+
+The container has no audio libs, so "spectral energy" is the deterministic
+stub: 8 byte-sum bands per 32-byte window (stride 16); a subfingerprint
+packs the 24 temporal×band gradient bits of a 4-frame window. Pure byte
+arithmetic → the DuckDB oracle replays it exactly. A real FFT frontend
+drops into the same Arrow-batched kernel.
+
+Scale shape: one mapInPandas pass emits (doc_id, t, sfp) int64 rows; a
+document-frequency cap drops degenerate subfingerprints (silence,
+constant tones — the |bucket|² hazard, same rule as winnowing); the
+in-bucket join emits (pair, offset) votes; two map-side-combinable
+aggregations pick the dominant offset per pair. Payloads never shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+AUDIO_WIN = 32  # stub spectral window (bytes)
+AUDIO_STRIDE = 16  # hop size (bytes) — 50% overlap like chromaprint
+AUDIO_BANDS = 8  # byte-sum "spectral" bands per window
+AUDIO_DEPTH = 3  # temporal gradient steps per subfingerprint (4-frame span)
+AUDIO_DF_CAP = 50  # drop subfingerprints shared by more docs
+AUDIO_MIN_ALIGNED = 4  # pairs need this many votes at the dominant offset
+AUDIO_SHIFT_BYTES = 2 * AUDIO_STRIDE  # injected copies start 2 frames late
+
+
+def audio_subfingerprints(payload: bytes) -> list[int]:
+    """Per-window 24-bit subfingerprints of the stub spectrogram."""
+    n_frames = max(0, (len(payload) - AUDIO_WIN) // AUDIO_STRIDE + 1)
+    band_w = AUDIO_WIN // AUDIO_BANDS
+    energies = [
+        [
+            sum(
+                payload[
+                    t * AUDIO_STRIDE + b * band_w : t * AUDIO_STRIDE
+                    + (b + 1) * band_w
+                ]
+            )
+            for b in range(AUDIO_BANDS)
+        ]
+        for t in range(n_frames)
+    ]
+    out = []
+    for t in range(n_frames - AUDIO_DEPTH):
+        sfp = 0
+        for dt in range(AUDIO_DEPTH):
+            for b in range(AUDIO_BANDS):
+                if energies[t + dt][b] > energies[t + dt + 1][b]:
+                    sfp |= 1 << (dt * AUDIO_BANDS + b)
+        out.append(sfp)
+    return out
+
+
+def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs with time-offset alignment: documents pair when
+    ≥ AUDIO_MIN_ALIGNED subfingerprints agree at one consistent offset;
+    emits (doc_a, doc_b, offset, aligned_matches). Injected copies (every
+    10th doc re-encoded with a 2-frame leading pad — a time-shifted
+    re-upload) must surface at offset = 2, which is exactly what the
+    offset-vote histogram recovers and a set-overlap dedup cannot.
+    """
+    from ..operators.dedup import ID_OFFSET
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pad = "x" * AUDIO_SHIFT_BYTES
+    shifted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit(pad), F.col("text")).alias("text"),
+    )
+    media = docs.unionByName(shifted).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def _sfps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, ts, sfps = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                for t, sfp in enumerate(audio_subfingerprints(payload)):
+                    ids.append(doc_id)
+                    ts.append(t)
+                    sfps.append(sfp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "t": pd.Series(ts, dtype="int64"),
+                    "sfp": pd.Series(sfps, dtype="int64"),
+                }
+            )
+
+    rows = tracked_cache(
+        media.mapInPandas(
+            _sfps,
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("t", LongType()),
+                    StructField("sfp", LongType()),
+                ]
+            ),
+        )
+    )
+    df_ok = (
+        rows.select("doc_id", "sfp")
+        .distinct()
+        .groupBy("sfp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= AUDIO_DF_CAP)
+        .select("sfp")
+    )
+    kept = rows.join(df_ok, "sfp")
+    a, b = kept.alias("a"), kept.alias("b")
+    votes = (
+        a.join(
+            b,
+            (F.col("a.sfp") == F.col("b.sfp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.col("a.t") - F.col("b.t")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("aligned_matches"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.col("aligned_matches").desc(), F.col("offset").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("aligned_matches") >= AUDIO_MIN_ALIGNED)
+        )
+        .select("doc_a", "doc_b", "offset", "aligned_matches")
+    )
+
+
+def _audio_sql() -> str:
+    from ..operators.dedup import ID_OFFSET
+
+    band_w = AUDIO_WIN // AUDIO_BANDS
+    # E[t][b] replay: sum of band_w bytes at t*stride + b*band_w (1-based)
+    energy = f"""list_transform(range(0, CAST(nf AS BIGINT)), t ->
+      list_transform(range(0, {AUDIO_BANDS}), b ->
+        COALESCE(list_sum(list_transform(
+          range(CAST(t * {AUDIO_STRIDE} + b * {band_w} + 1 AS BIGINT),
+                CAST(t * {AUDIO_STRIDE} + (b + 1) * {band_w} + 1 AS BIGINT)),
+          p -> ord(substr(text, CAST(p AS INTEGER), 1)))), 0)))"""
+    bits = " + ".join(
+        f"""CASE WHEN e[CAST(t + {dt} + 1 AS INTEGER)]
+                   [CAST({b} + 1 AS INTEGER)]
+                 > e[CAST(t + {dt} + 2 AS INTEGER)]
+                   [CAST({b} + 1 AS INTEGER)]
+            THEN CAST({1 << (dt * AUDIO_BANDS + b)} AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END"""
+        for dt in range(AUDIO_DEPTH)
+        for b in range(AUDIO_BANDS)
+    )
+    return f"""
+WITH media AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_OFFSET} AS doc_id,
+         repeat('x', {AUDIO_SHIFT_BYTES}) || text AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+framed AS (
+  SELECT doc_id, text,
+         GREATEST(0, (strlen(text) - {AUDIO_WIN}) // {AUDIO_STRIDE} + 1)
+           AS nf
+  FROM media
+),
+en AS (SELECT doc_id, nf, {energy} AS e FROM framed),
+sfps AS (
+  SELECT doc_id, t, ({bits}) AS sfp
+  FROM en, unnest(range(0, CAST(nf - {AUDIO_DEPTH} AS BIGINT))) AS u(t)
+  WHERE nf > {AUDIO_DEPTH}
+),
+keep AS (
+  SELECT sfp FROM (SELECT DISTINCT doc_id, sfp FROM sfps)
+  GROUP BY sfp HAVING COUNT(*) <= {AUDIO_DF_CAP}
+),
+kept AS (SELECT s.doc_id, s.t, s.sfp FROM sfps s JOIN keep USING (sfp)),
+votes AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t - b.t AS "offset",
+         CAST(COUNT(*) AS BIGINT) AS aligned_matches
+  FROM kept a JOIN kept b ON a.sfp = b.sfp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT doc_a, doc_b, "offset", aligned_matches,
+         row_number() OVER (PARTITION BY doc_a, doc_b
+                            ORDER BY aligned_matches DESC, "offset" ASC)
+           AS rn
+  FROM votes
+)
+SELECT doc_a, doc_b, "offset", aligned_matches
+FROM ranked
+WHERE rn = 1 AND aligned_matches >= {AUDIO_MIN_ALIGNED}
+"""
+
+
+QUERIES = {
+    "mm_audio_fingerprint_match": mm_audio_fingerprint_match,
+}
+
+ORACLES = {
+    "mm_audio_fingerprint_match": _audio_sql(),
+}

@@ -11,6 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import harden_session
+from .multimodal import audio as multimodal_audio
 from .multimodal import codec as multimodal_codec
 from .operators import (
     asof,
@@ -47,6 +48,7 @@ _MODULES = [
     funnel,
     streaming_events,
     multimodal_codec,
+    multimodal_audio,
 ]
 
 

@@ -165,3 +165,34 @@ class TestMultimodalPlans:
         )
         # one exchange: hash(doc_id) for the window; the groupBy reuses it
         assert plan.count("Exchange (") == 1, plan
+
+
+class TestAudioFingerprintMatch:
+    def test_shift_invariance_of_subfingerprints(self):
+        """A 2-frame pad shifts the subfingerprint SEQUENCE without
+        changing its values — the property offset voting exploits."""
+        from dbsurveyor_spark.multimodal.audio import (
+            AUDIO_SHIFT_BYTES,
+            audio_subfingerprints,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog " * 8).encode()
+        shifted = b"x" * AUDIO_SHIFT_BYTES + base
+        s0, s1 = audio_subfingerprints(base), audio_subfingerprints(shifted)
+        assert s1[2 : 2 + len(s0)] == s0  # same values, two frames later
+
+    def test_injected_shifted_copies_found_at_offset_two(self, spark):
+        from dbsurveyor_spark.multimodal.audio import (
+            mm_audio_fingerprint_match,
+        )
+        from dbsurveyor_spark.operators.dedup import ID_OFFSET
+
+        rows = mm_audio_fingerprint_match(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows, "no audio matches found"
+        injected = [r for r in rows if r.doc_b == r.doc_a + ID_OFFSET]
+        assert injected, rows
+        # the shifted copy's frames sit 2 later → copy.t - orig.t = 2,
+        # and doc_b (the copy) is the larger id, so offset = a.t - b.t = -2
+        assert all(r.offset == -2 for r in injected), injected
