@@ -261,6 +261,7 @@ def collect_jdbc_schema(
                 tables,
                 sample_size=sample_size,
                 throttle_ms=throttle_ms,
+                engine=engine,
             )
             if sample_size > 0
             else None

@@ -63,13 +63,45 @@ def generate_order_by_clause(
     return "ORDER BY RANDOM()"
 
 
+TABLESAMPLE_MIN_ROWS = 1000  # sampling.rs:34
+TABLESAMPLE_OVERSAMPLING_FACTOR = 2.0  # sampling.rs:39
+
+
 def sample_sql(
     schema: str | None,
     table: str,
     strategy: dict[str, Any] | str,
     limit: int,
+    total_rows: int | None = None,
+    engine: str = "postgresql",
 ) -> str:
-    """The one-shot sample query (sampling.rs:621 shape)."""
+    """The one-shot sample query (sampling.rs:606-621 shapes).
+
+    Unordered tables with a large-enough row estimate use Postgres
+    TABLESAMPLE BERNOULLI (oversampled 2× so the LIMIT almost always
+    fills) instead of ORDER BY RANDOM() — which is a full-table sort
+    server-side, the one sampling query that would hurt on a big
+    production table. MySQL has no TABLESAMPLE, so it keeps the RANDOM()
+    fallback (as does any monotone strategy, which never sorts more than
+    an index scan)."""
+    monotone = bool(_strategy_key_columns(strategy))
+    if (
+        not monotone
+        and engine == "postgresql"
+        and total_rows is not None
+        and total_rows >= TABLESAMPLE_MIN_ROWS
+    ):
+        pct = min(
+            100.0,
+            max(
+                0.01,
+                limit * TABLESAMPLE_OVERSAMPLING_FACTOR / total_rows * 100.0,
+            ),
+        )
+        return (
+            f"SELECT * FROM {_qual(schema, table)} "
+            f"TABLESAMPLE BERNOULLI({pct:.4f}) LIMIT {int(limit)}"
+        )
     return (
         f"SELECT * FROM {_qual(schema, table)} "
         f"{generate_order_by_clause(strategy, descending=True)} "
@@ -191,6 +223,7 @@ def sample_table(
     strategy: dict[str, Any] | str,
     sample_size: int = 100,
     total_rows: int | None = None,
+    engine: str = "postgresql",
     retries: int = DEFAULT_RETRIES,
     backoff_s: float = DEFAULT_BACKOFF_S,
     sleep: Callable[[float], None] = time.sleep,
@@ -214,7 +247,14 @@ def sample_table(
             lambda: [
                 r.asDict()
                 for r in read_query(
-                    sample_sql(schema, table, strategy, sample_size)
+                    sample_sql(
+                        schema,
+                        table,
+                        strategy,
+                        sample_size,
+                        total_rows=total_rows,
+                        engine=engine,
+                    )
                 ).collect()
             ],
             retries=retries,
@@ -250,6 +290,7 @@ def collect_jdbc_samples(
     tables: list[dict[str, Any]],
     sample_size: int = 100,
     throttle_ms: int = 0,
+    engine: str = "postgresql",
     retries: int = DEFAULT_RETRIES,
     backoff_s: float = DEFAULT_BACKOFF_S,
     sleep: Callable[[float], None] = time.sleep,
@@ -272,6 +313,7 @@ def collect_jdbc_samples(
                 t.get("ordering_strategy", "Unordered"),
                 sample_size=sample_size,
                 total_rows=t.get("row_count"),
+                engine=engine,
                 retries=retries,
                 backoff_s=backoff_s,
                 sleep=sleep,

@@ -212,3 +212,34 @@ class TestSampleTable:
         )
         assert [s["table_name"] for s in out] == ["a", "b"]
         assert naps == [0.25]  # once, between the two tables
+
+
+class TestTablesampleFastPath:
+    """sampling.rs:606-621 — large unordered Postgres tables use
+    TABLESAMPLE BERNOULLI (2x oversampled) instead of ORDER BY RANDOM()."""
+
+    def test_large_unordered_uses_bernoulli(self):
+        sql = sample_sql(
+            "public", "t", "Unordered", 100, total_rows=1_000_000
+        )
+        assert "TABLESAMPLE BERNOULLI(0.0200)" in sql  # 100*2/1e6*100
+        assert "RANDOM()" not in sql and sql.endswith("LIMIT 100")
+
+    def test_pct_clamped_to_bounds(self):
+        lo = sample_sql(None, "t", "Unordered", 1, total_rows=10**9)
+        assert "BERNOULLI(0.0100)" in lo  # clamped up to 0.01
+        hi = sample_sql(None, "t", "Unordered", 900, total_rows=1000)
+        assert "BERNOULLI(100.0000)" in hi  # clamped down to 100
+
+    def test_small_or_unknown_or_mysql_falls_back(self):
+        assert "RANDOM()" in sample_sql(None, "t", "Unordered", 10,
+                                        total_rows=999)
+        assert "RANDOM()" in sample_sql(None, "t", "Unordered", 10)
+        assert "RANDOM()" in sample_sql(
+            None, "t", "Unordered", 10, total_rows=10**6, engine="mysql"
+        )
+
+    def test_monotone_strategy_never_tablesamples(self):
+        s = {"PrimaryKey": {"columns": ["id"]}}
+        sql = sample_sql(None, "t", s, 10, total_rows=10**6)
+        assert "TABLESAMPLE" not in sql and 'ORDER BY "id" DESC' in sql
