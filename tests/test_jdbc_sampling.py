@@ -243,3 +243,84 @@ class TestTablesampleFastPath:
         s = {"PrimaryKey": {"columns": ["id"]}}
         sql = sample_sql(None, "t", s, 10, total_rows=10**6)
         assert "TABLESAMPLE" not in sql and 'ORDER BY "id" DESC' in sql
+
+
+class _FakeRow:
+    def __init__(self, d):
+        self._d = d
+
+    def asDict(self):
+        return dict(self._d)
+
+
+class _FakeFrame:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return [_FakeRow(r) for r in self._rows]
+
+
+class TestKeysetPagingProperty:
+    """Randomized (seed-fixed, batched in-process — the repo's §5 property
+    style): under arbitrary table sizes, page sizes, composite keys, and
+    injected transient failures, the paged reader yields every row exactly
+    once in key order, and every retry re-issues an identical query."""
+
+    def test_never_skips_never_duplicates(self):
+        import random as rnd
+
+        rng = rnd.Random(20260815)
+        for _trial in range(200):
+            n = rng.randrange(0, 120)
+            composite = rng.random() < 0.4
+            if composite:
+                keys = sorted(
+                    {(rng.randrange(50), rng.randrange(50)) for _ in range(n)}
+                )
+                strategy = {"PrimaryKey": {"columns": ["a", "b"]}}
+                table = [{"a": a, "b": b, "v": i}
+                         for i, (a, b) in enumerate(keys)]
+                keycols = ("a", "b")
+            else:
+                keys = sorted({(rng.randrange(10_000),) for _ in range(n)})
+                strategy = {"AutoIncrement": {"column": "a"}}
+                table = [{"a": a[0], "v": i} for i, a in enumerate(keys)]
+                keycols = ("a",)
+            page_size = rng.randrange(1, 40)
+            fail_budget = rng.randrange(0, 3)
+            issued = []
+
+            def read_query(sql, _t=table, _fb=[fail_budget], _iss=issued,
+                           _kc=keycols, _rng=rng):
+                _iss.append(sql)
+                if _fb[0] > 0 and _rng.random() < 0.3:
+                    _fb[0] -= 1
+                    raise ConnectionError("transient")
+                lo = None
+                if "WHERE" in sql:
+                    frag = sql.split("> ")[1].rsplit(" ORDER BY")[0]
+                    vals = [v.strip(" ()'") for v in frag.split(",")]
+                    lo = tuple(int(v) for v in vals)
+                rows = [
+                    r for r in _t
+                    if lo is None or tuple(r[c] for c in _kc) > lo
+                ]
+                limit = int(sql.rsplit("LIMIT ", 1)[1])
+                return _FakeFrame(rows[:limit])
+
+            got = [
+                r
+                for page in paged_reader(
+                    read_query, None, "t", strategy,
+                    page_size=page_size, sleep=lambda _s: None,
+                )
+                for r in page
+            ]
+            assert [tuple(r[c] for c in keycols) for r in got] == keys
+            # no OFFSET ever; retried queries are byte-identical reissues
+            assert all("OFFSET" not in q for q in issued)
+            from collections import Counter
+
+            for q, cnt in Counter(issued).items():
+                assert cnt <= 1 + fail_budget
