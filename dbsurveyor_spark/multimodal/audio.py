@@ -38,6 +38,7 @@ AUDIO_STRIDE = 16  # hop size (bytes) — 50% overlap like chromaprint
 AUDIO_BANDS = 8  # byte-sum "spectral" bands per window
 AUDIO_DEPTH = 3  # temporal gradient steps per subfingerprint (4-frame span)
 AUDIO_DF_CAP = 50  # drop subfingerprints shared by more docs
+AUDIO_OCC_CAP = 8  # keep at most this many positions per (doc, sfp)
 AUDIO_MIN_ALIGNED = 4  # pairs need this many votes at the dominant offset
 AUDIO_SHIFT_BYTES = 2 * AUDIO_STRIDE  # injected copies start 2 frames late
 
@@ -127,7 +128,20 @@ def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= AUDIO_DF_CAP)
         .select("sfp")
     )
-    kept = rows.join(df_ok, "sfp")
+    # Per-(doc, sfp) OCCURRENCE cap, on top of the cross-doc df cap: a
+    # constant-tone/silent payload repeats ONE subfingerprint at thousands
+    # of positions while its distinct-doc df stays tiny — two such docs
+    # would join |occ|² pairs. Real matchers collapse repeats too (a
+    # repeated subfingerprint adds no alignment information beyond its
+    # first few positions). Earliest positions win, deterministically, so
+    # both engines keep identical rows.
+    occ = Window.partitionBy("doc_id", "sfp").orderBy("t")
+    deduped = (
+        rows.withColumn("occ", F.row_number().over(occ))
+        .filter(F.col("occ") <= AUDIO_OCC_CAP)
+        .drop("occ")
+    )
+    kept = deduped.join(df_ok, "sfp")
     a, b = kept.alias("a"), kept.alias("b")
     votes = (
         a.join(
@@ -200,7 +214,16 @@ keep AS (
   SELECT sfp FROM (SELECT DISTINCT doc_id, sfp FROM sfps)
   GROUP BY sfp HAVING COUNT(*) <= {AUDIO_DF_CAP}
 ),
-kept AS (SELECT s.doc_id, s.t, s.sfp FROM sfps s JOIN keep USING (sfp)),
+occ AS (
+  SELECT doc_id, t, sfp,
+         row_number() OVER (PARTITION BY doc_id, sfp ORDER BY t) AS rn_occ
+  FROM sfps
+),
+kept AS (
+  SELECT o.doc_id, o.t, o.sfp
+  FROM occ o JOIN keep USING (sfp)
+  WHERE o.rn_occ <= 8
+),
 votes AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t - b.t AS "offset",
          CAST(COUNT(*) AS BIGINT) AS aligned_matches

@@ -196,3 +196,16 @@ class TestAudioFingerprintMatch:
         # the shifted copy's frames sit 2 later → copy.t - orig.t = 2,
         # and doc_b (the copy) is the larger id, so offset = a.t - b.t = -2
         assert all(r.offset == -2 for r in injected), injected
+
+    def test_constant_payload_hazard_is_capped(self):
+        """A constant-byte 'silent' payload repeats ONE subfingerprint at
+        every position (the |occ|^2 join hazard); the operator caps
+        per-(doc,sfp) occurrences at AUDIO_OCC_CAP."""
+        from dbsurveyor_spark.multimodal.audio import (
+            AUDIO_OCC_CAP,
+            audio_subfingerprints,
+        )
+
+        sfps = audio_subfingerprints(b"\x07" * 4096)
+        assert len(sfps) > 200 and len(set(sfps)) == 1  # the degenerate case
+        assert AUDIO_OCC_CAP <= 8
