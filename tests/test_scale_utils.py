@@ -91,3 +91,69 @@ class TestSaltedJoin:
         out = salted_join(left, right, "k", salt_factor=4, how="left")
         rows = {r.k: r.w for r in out.collect()}
         assert rows == {1: "x", 2: "y", 99: None}
+
+
+class TestZorderRewrite:
+    """The rewrite must deliver what layout_zorder_stats predicts: after
+    Z-ordering orders by (o_custkey, o_orderdate), a small box predicate
+    intersects far fewer parquet row groups than under the natural
+    (orderkey-ingest) layout — measured from real footer min/max stats,
+    the exact mechanism zone-map pruning uses."""
+
+    def _intersecting_row_groups(self, path, cust_box, date_box):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        hit = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                cs_c = g.column(names["o_custkey"]).statistics
+                cs_d = g.column(names["o_orderdate"]).statistics
+                total += 1
+                if (cs_c.min <= cust_box[1] and cs_c.max >= cust_box[0]
+                        and str(cs_d.min) <= date_box[1]
+                        and str(cs_d.max) >= date_box[0]):
+                    hit += 1
+        return hit, total
+
+    def test_box_predicate_prunes_after_rewrite(self, spark, tmp_path):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.plans.scale import zorder_rewrite
+
+        orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        natural = str(tmp_path / "natural")
+        zordered = str(tmp_path / "zordered")
+        # natural = ingest order, same file/row-group granularity
+        (
+            orders.repartitionByRange(16, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .parquet(natural)
+        )
+        zorder_rewrite(orders, ["o_custkey", "o_orderdate"], zordered,
+                       n_files=16)
+        # a ~1/7 × ~1/7 box of the (customer, date) space
+        # (custkey spans 0..1500 at sf0.01)
+        cust_box = (100, 300)
+        date_box = ("1996-01-01", "1996-12-31")
+        nat_hit, nat_total = self._intersecting_row_groups(
+            natural, cust_box, date_box
+        )
+        z_hit, z_total = self._intersecting_row_groups(
+            zordered, cust_box, date_box
+        )
+        # natural layout: every file spans the full customer+date range
+        assert nat_hit == nat_total
+        # z-order: the box touches at most a third of the row groups
+        assert z_hit <= z_total // 3, (z_hit, z_total)
+        # and the rewrite lost no rows
+        assert (
+            spark.read.parquet(zordered).count() == orders.count()
+        )
