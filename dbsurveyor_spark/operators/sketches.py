@@ -339,14 +339,205 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+# ------------------------------------------------------- theta set ops
+
+THETA_K = 64
+THETA_SPACE_I = 1 << 60  # portable_hash64 range, exact int (2^60)
+
+
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS (union / intersection / difference
+    cardinality estimates between two key sets) — the cross-period /
+    cross-tenant distinct-overlap question ("how many of last year's
+    customers came back?") answered from two bounded K-row sketches
+    instead of a distinct-join of both full key sets. KMV
+    (`sketch_kmv_distinct`) estimates ONE set's cardinality; the theta
+    framework (Dasgupta et al., "Theta Sketch Framework", 2016 — the
+    DataSketches model) composes sketches: with θ = min(θ_A, θ_B), every
+    retained hash < θ is a uniform sample of the underlying set, so
+    |A∘B| ≈ |{h ∈ sketch_A ∘ sketch_B : h < θ}| / θ for ∘ ∈
+    {∪, ∩, \\}. The difference estimate is sound because sketch_B contains
+    ALL of B's hashes below θ_B ≥ θ — membership below θ is decidable
+    from the sketch alone.
+
+    Sets: customers who ordered in 1995 (A) vs 1996 (B). Exact counts
+    ride along, so the gate proves the estimator, not just row counts.
+
+    Plan: each sketch is one pruned scan → distinct-hash dedup →
+    TakeOrderedAndProject(K); all set arithmetic then runs on two ≤K-row
+    frames (broadcast joins, metadata-scale). At 100 TB the sketches are
+    additionally MERGEABLE (union-of-sketches = sketch-of-union), so
+    per-partition/per-day sketches roll up without touching raw keys
+    again. All hashing is md5-derived, so the DuckDB oracle replays the
+    exact construction bit-for-bit.
+    """
+
+    def sketch(year: int) -> DataFrame:
+        keys = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate") == year)
+            .select(portable_hash64(F.col("o_custkey")).alias("h"))
+            .distinct()
+        )
+        return keys.orderBy("h").limit(THETA_K)
+
+    sk_a = sketch(1995).cache()
+    sk_b = sketch(1996).cache()
+
+    def theta_h(sk: DataFrame) -> DataFrame:
+        # θ in hash units: the K-th smallest hash when saturated, else the
+        # full space (an unsaturated sketch retains everything → exact).
+        return sk.agg(
+            F.when(
+                F.count(F.lit(1)) == THETA_K, F.max("h")
+            )
+            .otherwise(F.lit(THETA_SPACE_I).cast("bigint"))
+            .alias("th")
+        )
+
+    thetas = (
+        theta_h(sk_a)
+        .withColumnRenamed("th", "th_a")
+        .crossJoin(theta_h(sk_b))
+        .select(F.least("th_a", "th").alias("theta_h"))
+    )
+
+    a_ret = sk_a.crossJoin(F.broadcast(thetas)).filter(F.col("h") < F.col("theta_h"))
+    b_ret = sk_b.crossJoin(F.broadcast(thetas)).filter(F.col("h") < F.col("theta_h"))
+    n_union = (
+        a_ret.select("h")
+        .union(b_ret.select("h"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained"))
+    )
+    n_inter = (
+        a_ret.join(sk_b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained"))
+    )
+    n_diff = (
+        a_ret.join(sk_b, "h", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained"))
+    )
+
+    def keys_of(year: int) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    ka, kb = keys_of(1995), keys_of(1996)
+    exacts = {
+        "union": ka.union(kb).distinct(),
+        "intersection": ka.join(kb, "o_custkey", "left_semi"),
+        "a_only": ka.join(kb, "o_custkey", "left_anti"),
+    }
+    retained = {"union": n_union, "intersection": n_inter, "a_only": n_diff}
+
+    outs = []
+    for op in ("union", "intersection", "a_only"):
+        ex = exacts[op].agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_count")
+        )
+        est = (
+            F.col("retained").cast("double")
+            * F.lit(float(THETA_SPACE_I))
+            / F.col("theta_h").cast("double")
+        )
+        outs.append(
+            retained[op]
+            .crossJoin(F.broadcast(thetas))
+            .crossJoin(F.broadcast(ex))
+            .select(
+                F.lit(op).alias("set_op"),
+                "exact_count",
+                "retained",
+                F.round(est, 4).alias("theta_estimate"),
+                F.round(
+                    F.abs(est - F.col("exact_count").cast("double"))
+                    / F.col("exact_count").cast("double"),
+                    4,
+                ).alias("rel_error"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _theta_sql() -> str:
+    h = portable_hash64_sql("o_custkey")
+    space = float(THETA_SPACE_I)
+    ops = {
+        "union": "SELECT h FROM a_ret UNION SELECT h FROM b_ret",
+        "intersection": "SELECT h FROM a_ret WHERE h IN (SELECT h FROM sk_b)",
+        "a_only": "SELECT h FROM a_ret WHERE h NOT IN (SELECT h FROM sk_b)",
+    }
+    exacts = {
+        "union": "SELECT o_custkey FROM keys_a UNION SELECT o_custkey FROM keys_b",
+        "intersection": (
+            "SELECT o_custkey FROM keys_a "
+            "WHERE o_custkey IN (SELECT o_custkey FROM keys_b)"
+        ),
+        "a_only": (
+            "SELECT o_custkey FROM keys_a "
+            "WHERE o_custkey NOT IN (SELECT o_custkey FROM keys_b)"
+        ),
+    }
+    branches = "\nUNION ALL\n".join(
+        f"""
+SELECT '{op}' AS set_op,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ({exacts[op]})) AS exact_count,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ({ops[op]})) AS retained,
+       ROUND(CAST((SELECT COUNT(*) FROM ({ops[op]})) AS DOUBLE) * {space}
+             / (SELECT CAST(theta_h AS DOUBLE) FROM thetas), 4)
+         AS theta_estimate,
+       ROUND(ABS(CAST((SELECT COUNT(*) FROM ({ops[op]})) AS DOUBLE) * {space}
+                 / (SELECT CAST(theta_h AS DOUBLE) FROM thetas)
+                 - (SELECT CAST(COUNT(*) AS DOUBLE) FROM ({exacts[op]})))
+             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM ({exacts[op]})), 4)
+         AS rel_error"""
+        for op in ("union", "intersection", "a_only")
+    )
+    return f"""
+WITH keys_a AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+),
+keys_b AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+),
+sk_a AS (
+  SELECT h FROM (SELECT DISTINCT {h} AS h FROM keys_a) ORDER BY h LIMIT {THETA_K}
+),
+sk_b AS (
+  SELECT h FROM (SELECT DISTINCT {h} AS h FROM keys_b) ORDER BY h LIMIT {THETA_K}
+),
+thetas AS (
+  SELECT LEAST(
+    (SELECT CASE WHEN COUNT(*) = {THETA_K} THEN MAX(h)
+                 ELSE CAST({THETA_SPACE_I} AS BIGINT) END FROM sk_a),
+    (SELECT CASE WHEN COUNT(*) = {THETA_K} THEN MAX(h)
+                 ELSE CAST({THETA_SPACE_I} AS BIGINT) END FROM sk_b)
+  ) AS theta_h
+),
+a_ret AS (SELECT h FROM sk_a WHERE h < (SELECT theta_h FROM thetas)),
+b_ret AS (SELECT h FROM sk_b WHERE h < (SELECT theta_h FROM thetas))
+{branches}
+"""
+
+
 QUERIES = {
     "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
     "sketch_bloom_membership": sketch_bloom_membership,
     "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_theta_set_ops": sketch_theta_set_ops,
 }
 
 ORACLES = {
     "sketch_cm_heavy_hitters": _cm_sql(),
     "sketch_bloom_membership": _bloom_sql(),
     "sketch_kmv_distinct": _kmv_sql(),
+    "sketch_theta_set_ops": _theta_sql(),
 }

@@ -1255,6 +1255,31 @@ class TestSketches:
         assert "BroadcastHashJoin" in plan, plan
         assert_no_python_eval(sketches.sketch_bloom_membership(spark, SF))
 
+    def test_theta_set_ops_algebra(self, spark):
+        """Theta set-op estimates obey the sketch algebra: retained counts
+        decompose (|A∪B| retained ≥ each side's contribution, intersection +
+        difference = A's retained), estimates track exact counts, and the
+        estimator is genuinely approximate (saturated sketches at SF:
+        retained < exact for union)."""
+        from dbsurveyor_spark.operators import sketches
+
+        rows = {r.set_op: r for r in sketches.sketch_theta_set_ops(spark, SF).collect()}
+        assert set(rows) == {"union", "intersection", "a_only"}
+        u, i, d = rows["union"], rows["intersection"], rows["a_only"]
+        for r in rows.values():
+            assert r.exact_count > 0
+            assert r.retained >= 0
+            assert r.theta_estimate >= 0
+        # A's retained sample splits exactly into (∩B) + (not ∩B)
+        assert i.retained + d.retained <= u.retained
+        # exact set identities hold on the exact side
+        assert i.exact_count + d.exact_count <= u.exact_count
+        # sketches saturate at this SF → the union estimate is a real
+        # estimate, not a passthrough of the exact count
+        assert u.retained <= sketches.THETA_K * 2
+        # relative error is bounded sanely for K=64 (CV ≈ 1/√K ≈ 12.5%)
+        assert u.rel_error < 0.6
+
 
 class TestLayoutAndJoinEstimate:
     def test_zorder_shrinks_both_extents(self, spark):
