@@ -879,9 +879,149 @@ agg AS (
 {chr(10).join("UNION ALL" + p if i else p for i, p in enumerate(parts))}
 """
 
+# ---------------------------------------------- semantic decontamination
+
+# Benchmark membership for the EMBEDDING corpus (independent hash family
+# from the text benchmark flag; applied to base ids only — injected
+# near-dup clones can never be "benchmark" items). 10% keeps the detector
+# non-vacuous at the 500-vector small-SF lakes (a real pipeline joins its
+# actual eval-suite embeddings, which are fixed-size at any corpus scale).
+SEM_BENCH_PCT = 10
+
+
+def _sem_bench_pred() -> Column:
+    from .dedup import ID_OFFSET
+
+    return (
+        portable_hash64(F.concat(F.lit("semb_"), F.col("vec_id").cast("string")))
+        % 100
+        < SEM_BENCH_PCT
+    ) & (F.col("vec_id") < ID_OFFSET)
+
+
+def corpus_decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: corpus vectors whose embedding is
+    near-identical (cosine ≥ COSINE_T) to a benchmark item's embedding —
+    the paraphrase/translation/reformat contamination that n-gram overlap
+    (`corpus_decontamination`) is blind to, run as standard practice in
+    public LLM data reports alongside the string check. Emits one row per
+    contaminated corpus vector: its closest benchmark item (deterministic
+    argmax: cosine desc, bench id asc) and how many benchmark items it
+    matched.
+
+    Plan: ONE streaming assignment pass over the (cloned) corpus against
+    the session's memoized IVF quantizer (`similarity.rank_cells` — slim
+    (vec_id, cell_id) rows, embeddings never ride the match), split into
+    benchmark/corpus sides by the deterministic flag; the benchmark side
+    is a fixed-size eval suite at any corpus scale, so it BROADCASTS to
+    the cell join and the corpus never shuffles. Only in-cell candidates
+    get an exact Arrow-kernel cosine; the argmax/count window runs over
+    matched pairs only (≈ |bench| · cell occupancy, metadata-scale).
+    """
+    from ..plans.cache import release_caches, tracked_cache
+    from .dedup import COSINE_T, DEDUP_NPROBE, _vec_corpus
+    from .similarity import rank_cells, trained_centroid_rows
+    from ..functions.vectors import cosine_rounded_arrow
+
+    release_caches()
+    corpus = _vec_corpus(spark, sf_dir)
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    ranked = tracked_cache(
+        rank_cells(corpus, cent_rows, DEDUP_NPROBE).select("vec_id", "cell_id")
+    )
+    bench = ranked.filter(_sem_bench_pred())
+    cside = ranked.filter(~_sem_bench_pred())
+    cand = (
+        cside.alias("c")
+        .join(F.broadcast(bench.alias("b")), F.col("c.cell_id") == F.col("b.cell_id"))
+        .select(
+            F.col("c.vec_id").alias("corpus_vec_id"),
+            F.col("b.vec_id").alias("bench_vec_id"),
+        )
+        .distinct()
+    )
+    emb_c = corpus.select(
+        F.col("vec_id").alias("corpus_vec_id"),
+        F.col("embedding").alias("emb_c"),
+    )
+    emb_b = corpus.select(
+        F.col("vec_id").alias("bench_vec_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = cosine_rounded_arrow(
+        F.col("emb_c").cast("array<double>"), F.col("emb_b").cast("array<double>")
+    )
+    scored = (
+        cand.join(emb_c, "corpus_vec_id")
+        .join(F.broadcast(emb_b), "bench_vec_id")
+        .select("corpus_vec_id", "bench_vec_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_T)
+    )
+    w = Window.partitionBy("corpus_vec_id")
+    return (
+        scored.select(
+            "corpus_vec_id",
+            "bench_vec_id",
+            "cos_sim",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_bench_matches"),
+            F.row_number()
+            .over(w.orderBy(F.desc("cos_sim"), F.asc("bench_vec_id")))
+            .alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _sem_decontamination_sql() -> str:
+    from .dedup import COSINE_T, DEDUP_NPROBE, ID_OFFSET, _VEC_CORPUS_SQL
+    from .similarity import train_sql_ctes
+    from ..functions.vectors import cosine_rounded_sql, cosine_sql
+
+    train_ctes, cent = train_sql_ctes("embeddings")
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    cos = cosine_rounded_sql("c.embedding", "b.embedding")
+    flag = (
+        portable_hash64_sql("'semb_' || CAST(vec_id AS VARCHAR)")
+        + f" % 100 < {SEM_BENCH_PCT} AND vec_id < {ID_OFFSET}"
+    )
+    return f"""
+WITH corpus AS ({_VEC_CORPUS_SQL}),
+{train_ctes},
+ranked AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+    FROM corpus e CROSS JOIN {cent} c
+  ) t WHERE rn <= {DEDUP_NPROBE}
+),
+bench AS (SELECT * FROM ranked WHERE {flag}),
+cside AS (SELECT * FROM ranked WHERE NOT ({flag})),
+cand AS (
+  SELECT DISTINCT c.vec_id AS corpus_vec_id, b.vec_id AS bench_vec_id,
+         {cos} AS cos_sim
+  FROM cside c JOIN bench b ON c.cell_id = b.cell_id
+  WHERE {cos} >= {COSINE_T}
+)
+SELECT corpus_vec_id, bench_vec_id, cos_sim,
+       CAST(n_bench_matches AS BIGINT) AS n_bench_matches
+FROM (
+  SELECT corpus_vec_id, bench_vec_id, cos_sim,
+         COUNT(*) OVER (PARTITION BY corpus_vec_id) AS n_bench_matches,
+         ROW_NUMBER() OVER (
+           PARTITION BY corpus_vec_id
+           ORDER BY cos_sim DESC, bench_vec_id ASC) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "corpus_packing_stats": corpus_packing_stats,
     "corpus_decontamination": corpus_decontamination,
+    "corpus_decontamination_semantic": corpus_decontamination_semantic,
     "split_leakage_report": split_leakage_report,
     "split_leakage_neardup": split_leakage_neardup,
     "corpus_mix_report": corpus_mix_report,
@@ -891,6 +1031,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_decontamination_semantic": _sem_decontamination_sql(),
     "corpus_packing_stats": _packing_sql(),
     "text_pii_scan": _pii_scan_sql(),
     "corpus_curation": _curation_sql(),

@@ -83,6 +83,50 @@ class TestSemantics:
         assert mix["n_docs"].sum() == 500  # every document accounted for
 
 
+class TestSemanticDecontamination:
+    def test_flagged_clones_all_caught_at_cos_one(self, spark):
+        """Every injected clone whose ORIGINAL is benchmark-flagged must be
+        reported contaminated with cosine 1.0 (identical vectors share cell
+        rankings under the same quantizer, so IVF blocking cannot miss
+        them), and its closest bench item must be the original."""
+        from pyspark.sql import functions as F
+
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators.dedup import ID_OFFSET
+
+        out = {
+            r.corpus_vec_id: r
+            for r in pipeline.corpus_decontamination_semantic(spark, SF).collect()
+        }
+        assert out, "detector must be non-vacuous at this SF"
+        base = load_table(spark, SF, "embeddings").select("vec_id")
+        flagged = {
+            r.vec_id
+            for r in base.filter(
+                pipeline._sem_bench_pred() & (F.col("vec_id") % 10 == 0)
+            ).collect()
+        }
+        assert flagged
+        for orig in flagged:
+            clone = orig + ID_OFFSET
+            assert clone in out, f"clone {clone} of bench {orig} missed"
+            assert out[clone].cos_sim == 1.0
+            assert out[clone].bench_vec_id == orig
+            assert out[clone].n_bench_matches >= 1
+
+    def test_one_row_per_contaminated_vector(self, spark):
+        df = pipeline.corpus_decontamination_semantic(spark, SF).toPandas()
+        assert df["corpus_vec_id"].is_unique
+        assert (df["cos_sim"] >= 0.95).all()
+
+    def test_bench_side_broadcast_corpus_never_shuffles_wide(self, spark):
+        df = pipeline.corpus_decontamination_semantic(spark, SF)
+        assert_broadcast_join(df, at_least=2)
+        plan = formatted_plan(df)
+        # the only Python on the path is the Arrow assignment/cosine kernel
+        assert "BatchEvalPython" not in plan
+
+
 class TestPlans:
     def test_decontamination_broadcasts_benchmark(self, spark):
         # the corpus side must never shuffle for the join: benchmark
