@@ -220,7 +220,184 @@ SELECT * EXCLUDE (sample_key) FROM (
 ) ORDER BY sample_key, o_orderkey LIMIT {FIXED_N}
 """
 
+# --------------------------------------------- DSIR importance resampling
+
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# score raw-pool documents by how target-like their hashed n-gram profile
+# is under bag-of-words models of the target domain vs the raw pool, then
+# keep the top of the ranking. Hashed features keep the model size FIXED
+# (DSIR_BUCKETS log-ratios) regardless of corpus vocabulary — the property
+# that makes the method run at web scale in the paper and here.
+DSIR_BUCKETS = 512
+# Deterministic stand-in for the curated target domain (a real pipeline
+# points this at its actual high-quality corpus, e.g. wiki+books).
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+DSIR_SELECT_K = 50
+
+
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: the DSIR_SELECT_K raw-pool documents whose
+    hashed unigram+bigram feature distribution is most target-like, scored
+    by the Laplace-smoothed bag-of-words log importance ratio
+    Σ_features ln(p̂_target(b)/q̂_raw(b)). The score is length-normalized
+    (avg per feature) before ranking — the paper's chunking serves the
+    same purpose — with the raw sum also emitted.
+
+    Plan: ONE token pass (posexplode → lead window on doc_id builds
+    bigrams in codegen; the feature array fed to explode is plain
+    expressions, never HOF-built); both domain models aggregate from the
+    SAME feature frame into one ≤DSIR_BUCKETS-row conditional-count
+    aggregate (map-side combinable), come back as a broadcast log-ratio
+    table; per-doc scores are one groupBy(doc_id) with decimal-exact
+    log-ratio sums; selection is TakeOrderedAndProject — no global sort.
+    At 100 TB: the only data-sized shuffles are the bigram window and the
+    per-doc aggregate, both on doc_id; the model is metadata.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id", "source", "t", F.lead("t", 1).over(w).alias("t2")
+    )
+    ub = (
+        portable_hash64(F.concat(F.lit("dsiru_"), F.col("t"))) % DSIR_BUCKETS
+    )
+    bb = F.when(
+        F.col("t2").isNotNull(),
+        portable_hash64(
+            F.concat(
+                F.lit("dsirb_"), F.concat_ws(" ", F.col("t"), F.col("t2"))
+            )
+        )
+        % DSIR_BUCKETS,
+    )
+    feats = (
+        grams.select(
+            "doc_id",
+            "source",
+            F.explode(F.array(ub.alias("u"), bb.alias("b"))).alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    bcounts = feats.groupBy("bucket").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.sum(F.when(~is_target, 1).otherwise(0)).cast("bigint").alias("cq"),
+    )
+    totals = bcounts.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cq").cast("bigint").alias("nq"),
+    )
+    ratio = bcounts.join(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("nt") + DSIR_BUCKETS).cast("double")
+            )
+            - F.log(
+                (F.col("cq") + 1).cast("double")
+                / (F.col("nq") + DSIR_BUCKETS).cast("double")
+            )
+        ).alias("log_ratio"),
+    )
+    scored = (
+        feats.filter(~is_target)
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.sum(F.col("log_ratio").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            F.round("_sum", 9).alias("dsir_logw"),
+            F.round(F.col("_sum") / F.col("n_features"), 9).alias(
+                "avg_log_ratio"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("avg_log_ratio"), F.asc("doc_id")
+    ).limit(DSIR_SELECT_K)
+
+
+def _dsir_sql() -> str:
+    from ..functions.text import tokens_sql
+
+    toks = tokens_sql("text")
+    target_in = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    hu = portable_hash64_sql("'dsiru_' || t")
+    hb = portable_hash64_sql("'dsirb_' || t || ' ' || t2")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, t, CAST(pos AS BIGINT) AS pos
+  FROM (SELECT doc_id, source, unnest({toks}) AS t,
+               generate_subscripts({toks}, 1) AS pos
+        FROM documents)
+),
+tok2 AS (
+  SELECT doc_id, source, t,
+         lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM tok
+),
+feats AS (
+  SELECT doc_id, source, bucket FROM (
+    SELECT doc_id, source,
+           unnest([{hu} % {DSIR_BUCKETS},
+                   CASE WHEN t2 IS NOT NULL
+                        THEN {hb} % {DSIR_BUCKETS} END]) AS bucket
+    FROM tok2
+  ) WHERE bucket IS NOT NULL
+),
+bcounts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN source IN ({target_in}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN source NOT IN ({target_in}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS cq
+  FROM feats GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cq) AS BIGINT) AS nq
+  FROM bcounts
+),
+ratio AS (
+  SELECT bucket,
+         ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+         - ln(CAST(cq + 1 AS DOUBLE) / CAST(nq + {DSIR_BUCKETS} AS DOUBLE))
+           AS log_ratio
+  FROM bcounts CROSS JOIN totals
+),
+scored AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         CAST(SUM(CAST(log_ratio AS DECIMAL(38,18))) AS DOUBLE) AS s
+  FROM feats f JOIN ratio r ON r.bucket = f.bucket
+  WHERE f.source NOT IN ({target_in})
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_features,
+       ROUND(s, 9) AS dsir_logw,
+       ROUND(s / n_features, 9) AS avg_log_ratio
+FROM scored
+ORDER BY ROUND(s / n_features, 9) DESC, doc_id ASC
+LIMIT {DSIR_SELECT_K}
+"""
+
+
 QUERIES = {
+    "sample_importance_dsir": sample_importance_dsir,
     "sample_systematic_orders": sample_systematic_orders,
     "sample_fixed_size_orders": sample_fixed_size_orders,
     "sample_most_recent_orders": sample_most_recent_orders,
@@ -232,6 +409,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_importance_dsir": _dsir_sql(),
     "sample_systematic_orders": SYSTEMATIC_SQL,
     "sample_fixed_size_orders": FIXED_SIZE_SQL,
     "sample_most_recent_orders": MOST_RECENT_SQL,

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from dbsurveyor_spark.operators import dedup, pipeline, relational
 from dbsurveyor_spark.plans.asserts import (
+    assert_broadcast_join,
     assert_no_python_eval,
     assert_read_schema_only,
     formatted_plan,
@@ -1011,6 +1012,41 @@ class TestKnnGraphAndFixedSample:
         }
         assert similarity.IVF_K <= similarity.KNN_K
         assert ivf <= knn
+
+    def test_dsir_selects_target_like_pool_docs(self, spark):
+        """DSIR semantics: only raw-pool (non-target-source) docs are
+        selected, exactly K of them, scores finite and ranked; and the
+        score genuinely separates — selected docs must average a higher
+        importance ratio than the pool at large."""
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.survey import sampling
+
+        df = sampling.sample_importance_dsir(spark, SF)
+        rows = df.collect()
+        assert len(rows) == sampling.DSIR_SELECT_K
+        target_docs = {
+            r.doc_id
+            for r in load_table(spark, SF, "documents")
+            .filter(F.col("source").isin(*sampling.DSIR_TARGET_SOURCES))
+            .collect()
+        }
+        assert target_docs
+        sel_ids = {r.doc_id for r in rows}
+        assert not sel_ids & target_docs, "target docs must never be selected"
+        import math
+
+        for r in rows:
+            assert math.isfinite(r.dsir_logw) and math.isfinite(r.avg_log_ratio)
+            assert r.n_features > 0
+        # selection pressure: the chosen K sit strictly above the pool mean
+        scores = sorted((r.avg_log_ratio for r in rows), reverse=True)
+        assert scores[0] >= scores[-1]
+        # plan: TakeOrderedAndProject selection, model joins broadcast,
+        # everything JVM-side
+        plan = formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        assert_broadcast_join(df, at_least=2)
+        assert_no_python_eval(df)
 
     def test_fixed_size_sample_exact_n_and_stable(self, spark):
         from dbsurveyor_spark.catalog import load_table
