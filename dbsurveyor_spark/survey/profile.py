@@ -1341,7 +1341,188 @@ def _constraint_suggestions_sql() -> str:
     sels = "\nUNION ALL\n".join(sel for p in parts for sel in p[1])
     return f"WITH {withs}\n{sels}"
 
+# ------------------------------------------------- incremental profiling
+
+# The production re-profile problem: history is already profiled, a new
+# partition lands, and the 100 TB table must NOT be rescanned. Every stat
+# this operator emits is computed as per-side PARTIAL STATE (history /
+# delta split at INCR_CUTOFF) merged with pure algebra — counts/sums add
+# (sums stay DECIMAL through the merge, so merged == full-scan exactly),
+# min/max take min/max, and distinct counts merge through the KMV sketch
+# (K smallest of the union of two K-minima IS the K-minima of the union —
+# lossless, the theta-sketch mergeability theorem). The DuckDB oracle
+# computes the same outputs DIRECTLY from the full table, so the gate
+# PROVES merge == recompute rather than assuming it.
+INCR_CUTOFF = "2000-01-01"
+INCR_COLUMNS = ["l_quantity", "l_extendedprice", "l_discount"]
+INCR_KMV_K = 64
+_INCR_SPACE = 1 << 60
+
+
+def survey_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (mergeable-state) column profile of lineitem: per-column
+    rows/nulls/min/max/sum/mean plus a merged-KMV distinct estimate, all
+    assembled from independent history and delta partials.
+
+    Plan: ONE scan computes both sides' wide partial state (groupBy on the
+    2-value side flag, map-side combinable, agg state = sides × columns ×
+    stats); the merge is arithmetic over a 2-row metadata frame. The KMV
+    side builds per-(side, column) K-minima from one distinct-hash pass
+    and merges them sketch-wise. At 100 TB the history partials are READ
+    (from the stored profile), not recomputed — this operator is that
+    pipeline with both halves materialized in-query so the oracle can
+    check the merge algebra end-to-end.
+    """
+    from ..functions.hashing import portable_hash64
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", *INCR_COLUMNS
+    )
+    side = F.when(
+        F.col("l_shipdate") < F.to_timestamp(F.lit(INCR_CUTOFF)),
+        F.lit("hist"),
+    ).otherwise(F.lit("delta"))
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("rows")]
+    for c in INCR_COLUMNS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).cast(DECIMAL_T)).alias(f"sum_{c}"),
+            F.count(c).cast("bigint").alias(f"cnt_{c}"),
+        ]
+    partials = li.select(side.alias("side"), *INCR_COLUMNS).groupBy("side").agg(*aggs)
+
+    merged_aggs = [
+        F.sum(F.when(F.col("side") == "hist", F.col("rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_hist"),
+        F.sum(F.when(F.col("side") == "delta", F.col("rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_delta"),
+    ]
+    for c in INCR_COLUMNS:
+        merged_aggs += [
+            F.sum(f"nulls_{c}").cast("bigint").alias(f"nulls_{c}"),
+            F.min(f"min_{c}").alias(f"min_{c}"),
+            F.max(f"max_{c}").alias(f"max_{c}"),
+            # decimal + decimal is exact: merged sum == full-scan sum
+            F.sum(f"sum_{c}").alias(f"sum_{c}"),
+            F.sum(f"cnt_{c}").cast("bigint").alias(f"cnt_{c}"),
+        ]
+    merged = partials.agg(*merged_aggs)
+
+    # KMV partials per (side, column) → sketch-merge per column
+    hash_rows = None
+    for c in INCR_COLUMNS:
+        hr = li.select(side.alias("side"), F.col(c).alias("v")).filter(
+            F.col("v").isNotNull()
+        ).select(
+            "side",
+            F.lit(c).alias("column_name"),
+            portable_hash64(F.concat(F.lit(f"incr_{c}_"), F.col("v"))).alias("h"),
+        )
+        hash_rows = hr if hash_rows is None else hash_rows.unionByName(hr)
+    per_side = (
+        hash_rows.dropDuplicates(["side", "column_name", "h"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("side", "column_name").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= INCR_KMV_K)
+    )
+    merged_sketch = (
+        per_side.select("column_name", "h")
+        .dropDuplicates(["column_name", "h"])
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("column_name").orderBy("h")),
+        )
+        .filter(F.col("rn") <= INCR_KMV_K)
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_seen"),
+            F.max("h").alias("kth_hash"),
+        )
+        .select(
+            "column_name",
+            F.round(
+                F.when(
+                    F.col("k_seen") < INCR_KMV_K,
+                    F.col("k_seen").cast("double"),
+                ).otherwise(
+                    F.lit(float(INCR_KMV_K - 1))
+                    / (F.col("kth_hash").cast("double") / F.lit(float(_INCR_SPACE)))
+                ),
+                4,
+            ).alias("kmv_distinct_est"),
+        )
+    )
+
+    outs = []
+    for c in INCR_COLUMNS:
+        outs.append(
+            merged.select(
+                F.lit(c).alias("column_name"),
+                "rows_hist",
+                "rows_delta",
+                (F.col("rows_hist") + F.col("rows_delta"))
+                .cast("bigint")
+                .alias("rows_total"),
+                F.col(f"nulls_{c}").alias("nulls_total"),
+                F.round(F.col(f"min_{c}").cast("double"), 6).alias("min_val"),
+                F.round(F.col(f"max_{c}").cast("double"), 6).alias("max_val"),
+                F.round(F.col(f"sum_{c}").cast("double"), 2).alias("sum_val"),
+                F.round(
+                    F.col(f"sum_{c}").cast("double") / F.col(f"cnt_{c}"), 6
+                ).alias("mean_val"),
+            )
+        )
+    profile_rows = reduce(lambda a, b: a.unionByName(b), outs)
+    return profile_rows.join(F.broadcast(merged_sketch), "column_name")
+
+
+def _incremental_profile_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    parts = []
+    for c in INCR_COLUMNS:
+        h = portable_hash64_sql(f"'incr_{c}_' || CAST(v AS VARCHAR)")
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '{INCR_CUTOFF}') AS rows_hist,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+    WHERE NOT (l_shipdate < TIMESTAMP '{INCR_CUTOFF}')) AS rows_delta,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS rows_total,
+  (SELECT CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+     FROM lineitem) AS nulls_total,
+  (SELECT ROUND(CAST(MIN({c}) AS DOUBLE), 6) FROM lineitem) AS min_val,
+  (SELECT ROUND(CAST(MAX({c}) AS DOUBLE), 6) FROM lineitem) AS max_val,
+  (SELECT ROUND(CAST(SUM(CAST({c} AS DECIMAL(30,6))) AS DOUBLE), 2)
+     FROM lineitem) AS sum_val,
+  (SELECT ROUND(CAST(SUM(CAST({c} AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT({c}), 6) FROM lineitem) AS mean_val,
+  (SELECT ROUND(CASE WHEN COUNT(*) < {INCR_KMV_K}
+                     THEN CAST(COUNT(*) AS DOUBLE)
+                     ELSE {float(INCR_KMV_K - 1)}
+                          / (CAST(MAX(h) AS DOUBLE) / {float(_INCR_SPACE)})
+                END, 4)
+     FROM (SELECT h FROM (
+             SELECT DISTINCT {h} AS h
+             FROM (SELECT {c} AS v FROM lineitem WHERE {c} IS NOT NULL))
+           ORDER BY h LIMIT {INCR_KMV_K})) AS kmv_distinct_est""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
+    "survey_incremental_profile": survey_incremental_profile,
     "survey_date_gaps": survey_date_gaps,
     "survey_constraint_suggestions": survey_constraint_suggestions,
     "survey_equidepth_histogram": survey_equidepth_histogram,
@@ -1362,6 +1543,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "survey_incremental_profile": _incremental_profile_sql(),
     "survey_date_gaps": DATE_GAPS_SQL,
     "survey_constraint_suggestions": _constraint_suggestions_sql(),
     "survey_equidepth_histogram": _equidepth_sql(),

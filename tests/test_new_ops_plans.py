@@ -1013,6 +1013,46 @@ class TestKnnGraphAndFixedSample:
         assert similarity.IVF_K <= similarity.KNN_K
         assert ivf <= knn
 
+    def test_incremental_profile_merge_equals_recompute(self, spark):
+        """Merged hist⊕delta state must equal a direct full-scan profile,
+        with both KMV branches live (low-cardinality column exact,
+        high-cardinality column estimated)."""
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.survey import profile as prof
+
+        rows = {
+            r.column_name: r
+            for r in prof.survey_incremental_profile(spark, SF).collect()
+        }
+        assert set(rows) == set(prof.INCR_COLUMNS)
+        li = load_table(spark, SF, "lineitem")
+        n = li.count()
+        for c, r in rows.items():
+            # the split is non-degenerate: both sides carry real rows
+            assert r.rows_hist > 0 and r.rows_delta > 0
+            assert r.rows_hist + r.rows_delta == r.rows_total == n
+            direct = li.agg(
+                F.min(c).alias("mn"),
+                F.max(c).alias("mx"),
+                F.sum(F.col(c).cast("decimal(30,6)")).cast("double").alias("s"),
+                F.count_distinct(F.col(c)).alias("nd"),
+            ).collect()[0]
+            assert r.min_val == round(float(direct.mn), 6)
+            assert r.max_val == round(float(direct.mx), 6)
+            assert abs(r.sum_val - direct.s) < 0.01
+            # KMV: exact below K, estimate within ~3/sqrt(K) above
+            if direct.nd < prof.INCR_KMV_K:
+                assert r.kmv_distinct_est == float(direct.nd)
+            else:
+                assert abs(r.kmv_distinct_est - direct.nd) / direct.nd < 0.45
+        # both sketch branches are genuinely exercised at this SF
+        nd_by_col = {
+            c: li.agg(F.count_distinct(F.col(c))).collect()[0][0]
+            for c in prof.INCR_COLUMNS
+        }
+        assert any(v < prof.INCR_KMV_K for v in nd_by_col.values())
+        assert any(v >= prof.INCR_KMV_K for v in nd_by_col.values())
+
     def test_dsir_selects_target_like_pool_docs(self, spark):
         """DSIR semantics: only raw-pool (non-target-source) docs are
         selected, exactly K of them, scores finite and ranked; and the
