@@ -61,6 +61,9 @@ HEADLINE = [
     "dedup_containment",
     "dedup_semantic_corpus",
     "graph_pagerank_parts",
+    "graph_triangle_count",
+    "corpus_decontamination_semantic",
+    "sample_importance_dsir",
     "stream_click_attribution",
     "sketch_cm_heavy_hitters",
     "mm_image_neardup",

