@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_sq8_topk",
     "ann_ivfpq_topk",
     "ann_recall_report",
     "knn_graph",

@@ -505,6 +505,86 @@ def pq_adc_mapper(tables: list, query_ids: list, k: int):
     return mapper
 
 
+# ------------------------------------------- scalar quantization (SQ8)
+
+# sq_adc_mapper output — same slim candidate shape as the PQ scan.
+SQ_ADC_SCHEMA = "query_id bigint, neighbor_id bigint, score double"
+
+
+def sq_adc_mapper(
+    mins: list, deltas: list, queries: list, query_ids: list, k: int
+):
+    """mapInPandas factory for the SQ8 (8-bit scalar quantization) scan —
+    Faiss IndexScalarQuantizer's search: each dimension quantizes
+    independently onto a uniform 256-level mid-rise grid over the trained
+    per-dim [min, max] range (code = clamp(⌊(x−min)/Δ·256⌋, 0, 255),
+    decode x̂ = min + (code+0.5)·Δ/256), and the score is the approximate
+    inner product ⟨q, x̂⟩. Unlike PQ there is no codebook argmin — encode
+    is pure arithmetic — so encode and scan FUSE into one streaming pass
+    (a stored deployment splits this same kernel at the codes array:
+    4 B/float → 1 B/dim, an 8× memory cut with ≤ Δ/512 per-dim error).
+
+    Parity: every float op is elementwise IEEE (same scalar expression
+    the DuckDB oracle evaluates per dim), and scores accumulate one
+    dimension at a time — the literal left fold of the oracle's
+    list_reduce. Batch-local top-k on raw scores (ties by ascending
+    neighbor id) keeps exactly the rows the global rank keeps;
+    self-matches are dropped.
+    """
+    mn = [float(v) for v in mins]
+    dl = [float(v) for v in deltas]
+    qs = [[float(x) for x in q] for q in queries]
+    qids = [int(q) for q in query_ids]
+
+    def mapper(batches):  # pragma: no cover — runs on executors
+        import numpy as np
+        import pandas as pd
+
+        mins_a = np.asarray(mn, dtype=np.float64)
+        deltas_a = np.asarray(dl, dtype=np.float64)
+        safe = np.where(deltas_a > 0, deltas_a, 1.0)
+        Q = np.asarray(qs, dtype=np.float64)  # nq × dim
+        qarr = np.asarray(qids, dtype=np.int64)
+        nq, dim = Q.shape
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            vids = pdf["vec_id"].to_numpy().astype(np.int64)
+            scores = np.zeros((nq, n))
+            for i in range(dim):
+                if deltas_a[i] > 0:
+                    code = np.floor((X[:, i] - mins_a[i]) / safe[i] * 256.0)
+                    code = np.minimum(255.0, np.maximum(0.0, code))
+                else:
+                    code = np.zeros(n)
+                xhat = mins_a[i] + (code + 0.5) * deltas_a[i] / 256.0
+                scores += np.outer(Q[:, i], xhat)
+            take = min(k, n)
+            qcol, ncol, scol = [], [], []
+            for qi in range(nq):
+                sc = scores[qi].copy()
+                mask = vids == qarr[qi]
+                sc[mask] = -np.inf
+                order = np.lexsort((vids, -sc))[:take]
+                order = order[~mask[order]]
+                qcol.append(np.full(len(order), qarr[qi], dtype=np.int64))
+                ncol.append(vids[order])
+                scol.append(sc[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qcol),
+                    "neighbor_id": np.concatenate(ncol),
+                    "score": np.concatenate(scol),
+                }
+            )
+
+    return mapper
+
+
 def ivfpq_adc_mapper(
     tables: list,
     query_ids: list,

@@ -46,6 +46,8 @@ from ..functions.vectors import (
     merge_centroid_partials,
     pq_adc_mapper,
     pq_encode_mapper,
+    SQ_ADC_SCHEMA,
+    sq_adc_mapper,
     pq_partial_mapper,
 )
 
@@ -1746,7 +1748,112 @@ bf AS (
 {chr(10).join(p if i == 0 else "UNION ALL" + p for i, p in enumerate(levels))}
 """
 
+# ------------------------------------------- scalar quantization (SQ8)
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization search (Faiss IndexScalarQuantizer /
+    QT_8bit) — the remaining member of the quantization family (Flat /
+    IVF / PQ / IVFPQ ship already): every dimension quantizes
+    independently to 8 bits on a uniform grid over its trained [min, max]
+    range, and search scores the approximate inner product ⟨q, x̂⟩
+    against the decoded grid points. SQ trades less compression than PQ
+    (8× vs 64×) for far smaller error (≤ Δ_d/512 per dim, no codebook
+    mismatch) and zero training beyond per-dim bounds — the default
+    middle rung of the memory/recall ladder.
+
+    Plan: training is ONE map-side-combinable per-dim min/max aggregate
+    (model = dim rows, collected driver-side); the scan is one fused
+    encode+score streaming pass (`sq_adc_mapper` — encode is arithmetic,
+    so unlike PQ no separate code materialization is needed) with
+    batch-local top-k; the global rank window runs over ≤
+    batches×probes×k slim rows. The oracle replays the per-dim bounds,
+    the quantize/decode arithmetic, and the literal left-fold inner
+    product.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim_rows = (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.min("v").alias("mn"),
+            (F.max("v") - F.min("v")).alias("delta"),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    mins = [r["mn"] for r in dim_rows]
+    deltas = [r["delta"] for r in dim_rows]
+    probe_rows = sorted(
+        emb.filter(F.col("vec_id") < N_PROBES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = [int(r["vec_id"]) for r in probe_rows]
+    queries = [list(r["embedding"]) for r in probe_rows]
+    cand = emb.mapInPandas(
+        sq_adc_mapper(mins, deltas, queries, qids, IVF_K), SQ_ADC_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 9).alias("score_sq"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _sq_sql(dim: int = IVF_SQL_DIM) -> str:
+    xhat = (
+        "(m.mins[i] + (LEAST(255.0, GREATEST(0.0, FLOOR("
+        "CASE WHEN m.deltas[i] > 0 "
+        "THEN (x.e[i] - m.mins[i]) / m.deltas[i] * 256.0 "
+        "ELSE 0.0 END))) + 0.5) * m.deltas[i] / 256.0)"
+    )
+    score = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> p.q[i] * {xhat})), (acc, v) -> acc + v)"
+    )
+    return f"""
+WITH dims AS (
+  SELECT pos AS dim, MIN(v) AS mn, MAX(v) - MIN(v) AS delta
+  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos
+        FROM embeddings)
+  GROUP BY pos
+),
+model AS (
+  SELECT list(mn ORDER BY dim) AS mins, list(delta ORDER BY dim) AS deltas
+  FROM dims
+),
+probes AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id, {score} AS score
+  FROM probes p CROSS JOIN x CROSS JOIN model m
+  WHERE x.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, ROUND(score, 9) AS score_sq, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT)
+    AS rank
+  FROM scored
+) t WHERE rank <= {IVF_K}
+"""
+
+
 QUERIES = {
+    "ann_sq8_topk": ann_sq8_topk,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivf_add_batch": ann_ivf_add_batch,
@@ -1765,6 +1872,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_sq8_topk": _sq_sql(),
     "ann_pq_topk": _pq_sql(),
     "ann_ivfpq_topk": _ivfpq_sql(),
     "ann_ivf_add_batch": _add_batch_sql(),

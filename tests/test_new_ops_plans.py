@@ -1013,6 +1013,44 @@ class TestKnnGraphAndFixedSample:
         assert similarity.IVF_K <= similarity.KNN_K
         assert ivf <= knn
 
+    def test_sq8_error_bound_and_recall(self, spark):
+        """SQ8 scores obey the mid-rise quantizer's analytic error bound
+        |⟨q,x̂⟩ − ⟨q,x⟩| ≤ Σ_d |q_d|·Δ_d/512, and the search still finds
+        most exact top-k neighbors (compression is mild at 8 bits)."""
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import similarity
+
+        emb = {
+            r.vec_id: list(r.embedding)
+            for r in load_table(spark, SF, "embeddings").collect()
+        }
+        dim = len(next(iter(emb.values())))
+        mins = [min(v[i] for v in emb.values()) for i in range(dim)]
+        deltas = [
+            max(v[i] for v in emb.values()) - mins[i] for i in range(dim)
+        ]
+        rows = similarity.ann_sq8_topk(spark, SF).collect()
+        assert rows
+        per_q = {}
+        for r in rows:
+            q, x = emb[r.query_id], emb[r.neighbor_id]
+            exact = sum(a * b for a, b in zip(q, x))
+            bound = sum(abs(q[i]) * deltas[i] / 512.0 for i in range(dim))
+            assert abs(r.score_sq - exact) <= bound + 1e-9
+            per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        # recall vs exact inner-product top-k
+        hits = total = 0
+        for qid, got in per_q.items():
+            q = emb[qid]
+            exact_top = sorted(
+                ((sum(a * b for a, b in zip(q, v)), -vid) for vid, v in emb.items() if vid != qid),
+                reverse=True,
+            )[: similarity.IVF_K]
+            exact_ids = {-t[1] for t in exact_top}
+            hits += len(got & exact_ids)
+            total += similarity.IVF_K
+        assert hits / total >= 0.8
+
     def test_triangle_count_matches_bruteforce(self, spark):
         """Edge-iterator triangle counts equal a brute-force Python count
         over the same co-purchase graph, and the plan never shuffles a
