@@ -1516,7 +1516,152 @@ SELECT day, key_signature, n_events,
 FROM counts
 """
 
+# -------------------------------------------------- state-store sizing
+
+# Per-row state estimates (key + value + RocksDB/HDFS-store framing) for
+# the four stateful-operator families; the constants are documented sizing
+# heuristics, the ROWS are measured from the data.
+STATE_OPS = {
+    # op_name: (horizon_seconds, bytes_per_row)
+    "dedup_within_watermark": (SESSION_GAP_MIN * 60, 56),
+    "session_window_open": (SESSION_GAP_MIN * 60, 72),
+    "tumbling_agg_open_windows": (2 * WINDOW_SECONDS, 64),
+    "join_click_buffer": (24 * 3600, 80),
+}
+
+
+def stream_state_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store SIZING report for the stateful streaming jobs this
+    engine ships — the capacity-planning table an operator reads before
+    submitting a 100 TB/day stream: for each stateful shape, how many
+    state rows would be live at the current watermark, and roughly how
+    many bytes that is. Rows are measured against the dataset's OWN
+    watermark (max event time — deterministic, like `quality_timeliness`):
+
+    - `dedup_within_watermark`: distinct event ids younger than the
+      dedup watermark (`dropDuplicatesWithinWatermark` keeps exactly
+      these keys);
+    - `session_window_open`: users with activity inside one session gap
+      (each holds an open session-window state row);
+    - `tumbling_agg_open_windows`: distinct (hour-window, event_type)
+      groups within window + allowed-lateness horizon (unclosed agg
+      state);
+    - `join_click_buffer`: clicks inside the 24 h attribution interval
+      (the stream-stream join buffers each until its window expires).
+
+    Plan: the scan reduces to ONE conditional aggregate against the
+    broadcast 1-row watermark — state size at any corpus scale is a
+    single pass, no shuffle beyond the agg exchange.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    wm = ev.agg(F.max("ts").alias("wm"))
+    win_key = F.concat_ws(
+        "|",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH"),
+        F.col("event_type"),
+    )
+    horizons = {k: v[0] for k, v in STATE_OPS.items()}
+    agg = (
+        ev.crossJoin(F.broadcast(wm))
+        .agg(
+            F.count_distinct(
+                F.when(
+                    F.col("ts")
+                    > F.col("wm")
+                    - F.expr(
+                        f"INTERVAL {horizons['dedup_within_watermark']} SECONDS"
+                    ),
+                    F.col("event_id"),
+                )
+            )
+            .cast("bigint")
+            .alias("dedup_within_watermark"),
+            F.count_distinct(
+                F.when(
+                    F.col("ts")
+                    > F.col("wm")
+                    - F.expr(
+                        f"INTERVAL {horizons['session_window_open']} SECONDS"
+                    ),
+                    F.col("user_id"),
+                )
+            )
+            .cast("bigint")
+            .alias("session_window_open"),
+            F.count_distinct(
+                F.when(
+                    F.col("ts")
+                    > F.col("wm")
+                    - F.expr(
+                        f"INTERVAL {horizons['tumbling_agg_open_windows']} SECONDS"
+                    ),
+                    win_key,
+                )
+            )
+            .cast("bigint")
+            .alias("tumbling_agg_open_windows"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (
+                        F.col("ts")
+                        > F.col("wm")
+                        - F.expr(
+                            f"INTERVAL {horizons['join_click_buffer']} SECONDS"
+                        )
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("join_click_buffer"),
+        )
+    )
+    outs = []
+    for op, (horizon_s, bpr) in STATE_OPS.items():
+        outs.append(
+            agg.select(
+                F.lit(op).alias("op_name"),
+                F.lit(horizon_s).cast("bigint").alias("horizon_s"),
+                F.col(op).alias("state_rows"),
+                (F.col(op) * bpr).cast("bigint").alias("est_state_bytes"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _state_size_sql() -> str:
+    h = {k: v[0] for k, v in STATE_OPS.items()}
+    counts = f"""
+SELECT
+  CAST(COUNT(DISTINCT CASE WHEN ts > wm - INTERVAL {h['dedup_within_watermark']} SECONDS
+       THEN event_id END) AS BIGINT) AS dedup_within_watermark,
+  CAST(COUNT(DISTINCT CASE WHEN ts > wm - INTERVAL {h['session_window_open']} SECONDS
+       THEN user_id END) AS BIGINT) AS session_window_open,
+  CAST(COUNT(DISTINCT CASE WHEN ts > wm - INTERVAL {h['tumbling_agg_open_windows']} SECONDS
+       THEN strftime(date_trunc('hour', ts), '%Y-%m-%d %H') || '|' || event_type
+       END) AS BIGINT) AS tumbling_agg_open_windows,
+  CAST(SUM(CASE WHEN event_type = 'click'
+                 AND ts > wm - INTERVAL {h['join_click_buffer']} SECONDS
+                THEN 1 ELSE 0 END) AS BIGINT) AS join_click_buffer
+FROM events CROSS JOIN (SELECT MAX(ts) AS wm FROM events)
+"""
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{op}' AS op_name, CAST({horizon_s} AS BIGINT) AS horizon_s, "
+        f"{op} AS state_rows, CAST({op} * {bpr} AS BIGINT) AS est_state_bytes "
+        "FROM agg"
+        for op, (horizon_s, bpr) in STATE_OPS.items()
+    )
+    return f"WITH agg AS ({counts})\n{branches}"
+
+
 QUERIES = {
+    "stream_state_size_report": stream_state_size_report,
     "scd2_user_state": scd2_user_state,
     "event_path_analysis": event_path_analysis,
     "stream_seasonal_anomaly": stream_seasonal_anomaly,
@@ -1535,6 +1680,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_state_size_report": _state_size_sql(),
     "scd2_user_state": SCD2_SQL,
     "event_path_analysis": PATH_SQL,
     "stream_seasonal_anomaly": SEASONAL_ANOMALY_SQL,

@@ -256,3 +256,33 @@ def test_stream_stream_interval_join_matches_batch(spark, ckpt):
         .collect()
     }
     assert {p for p, _ in got} == attributed_batch
+
+
+def test_state_size_report_semantics(spark):
+    """Sizing rows cover every stateful shape, are non-degenerate, and the
+    byte estimate is exactly rows × the documented per-row constant. The
+    join buffer must count only clicks inside the attribution horizon."""
+    from pyspark.sql import functions as F
+
+    from dbsurveyor_spark.catalog import load_table
+    from dbsurveyor_spark.streaming import events as se
+
+    rows = {
+        r.op_name: r
+        for r in se.stream_state_size_report(spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == set(se.STATE_OPS)
+    for op, (horizon_s, bpr) in se.STATE_OPS.items():
+        r = rows[op]
+        assert r.horizon_s == horizon_s
+        assert r.state_rows > 0, f"{op} must be non-degenerate at this SF"
+        assert r.est_state_bytes == r.state_rows * bpr
+    ev = load_table(spark, SF_ORACLE, "events")
+    wm = ev.agg(F.max("ts")).collect()[0][0]
+    total_clicks = ev.filter(F.col("event_type") == "click").count()
+    assert rows["join_click_buffer"].state_rows <= total_clicks
+    # dedup state is bounded by the event count in the horizon
+    n_recent = ev.filter(
+        F.col("ts") > F.lit(wm) - F.expr("INTERVAL 30 MINUTES")
+    ).count()
+    assert rows["dedup_within_watermark"].state_rows <= n_recent
