@@ -396,8 +396,29 @@ def _bucket_pairs(ids):
     )
 
 
-def minhash_band_rows(
+def minhash_signatures(
     spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
+    """Per-doc MinHash signature frame (doc_id, m0..m{k-1}) for the
+    augmented corpus — split out of :func:`minhash_band_rows` so the LSH
+    quality report can read raw signatures; one hash per shingle row, k
+    min-aggregates in one groupBy."""
+    exploded = (
+        shingles if shingles is not None else _shingle_rows(spark, sf_dir)
+    ).select("doc_id", portable_hash32(F.col("shingle")).alias("h"))
+    h = F.col("h")
+    sig_aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_31).alias(f"m{j}")
+        for j, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    return exploded.groupBy("doc_id").agg(*sig_aggs)
+
+
+def minhash_band_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    shingles: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_idx, band_hash) LSH band-signature rows for the
     augmented corpus — the shared front half of every MinHash-family query
@@ -410,17 +431,8 @@ def minhash_band_rows(
     ``shingles`` lets a caller that also needs the (doc_id, shingle) rows
     for verification pass a cached frame so the shingle window runs once.
     """
-    exploded = (
-        shingles if shingles is not None else _shingle_rows(spark, sf_dir)
-    ).select(
-        "doc_id", portable_hash32(F.col("shingle")).alias("h")
-    )
-    h = F.col("h")
-    sig_aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_31).alias(f"m{j}")
-        for j, (a, b) in enumerate(_MH_PARAMS)
-    ]
-    sigs = exploded.groupBy("doc_id").agg(*sig_aggs)
+    if sigs is None:
+        sigs = minhash_signatures(spark, sf_dir, shingles)
     band_hashes = F.array(
         *[
             F.md5(
@@ -455,6 +467,146 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
+
+
+def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH QUALITY report — the dedup analog of `ann_recall_report`: for
+    every MinHash-LSH candidate pair, the signature-estimated Jaccard
+    (matching-permutation fraction, Broder's unbiased estimator), the
+    EXACT shingle Jaccard, their error, and the banding S-curve collision
+    probability 1−(1−s^r)^b evaluated at the exact similarity. This is
+    the table an index owner reads to tune (bands × rows): estimator
+    error validates k, and pairs with high exact Jaccard but low
+    collision probability expose recall holes in the banding scheme.
+
+    Plan: ONE cached shingle pass feeds signatures, band buckets, AND the
+    exact-verify shingle sets; candidates come from the shipped LSH
+    bucket expansion; every post-candidate join is candidate-bounded
+    (signatures are |docs|-row slim frames, exact Jaccard is one
+    array_intersect per candidate pair).
+    """
+    release_caches()
+    shingles = _tracked_cache(
+        _shingle_rows(spark, sf_dir).dropDuplicates(["doc_id", "shingle"])
+    )
+    sigs = _tracked_cache(minhash_signatures(spark, sf_dir, shingles))
+    banded = minhash_band_rows(spark, sf_dir, sigs=sigs)
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_bands"))
+    )
+    k = len(_MH_PARAMS)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(k)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(k)],
+    )
+    matches = sum(
+        [
+            F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+            for j in range(k)
+        ],
+        F.lit(0),
+    )
+    docsets = shingles.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh")
+    )
+    da = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    db = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(float(k)), 9))
+        .join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn(
+            "exact_jaccard",
+            F.round(
+                common.cast("double") / (F.col("n_a") + F.col("n_b") - common),
+                9,
+            ),
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "shared_bands",
+        "est_jaccard",
+        "exact_jaccard",
+        F.round(
+            F.lit(1.0)
+            - F.pow(
+                F.lit(1.0) - F.pow(F.col("exact_jaccard"), F.lit(ROWS_PER_BAND)),
+                F.lit(BANDS),
+            ),
+            6,
+        ).alias("p_collision"),
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 9).alias(
+            "abs_err"
+        ),
+    )
+
+
+def _lsh_quality_sql() -> str:
+    k = len(_MH_PARAMS)
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)" for j in range(k)
+    )
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{minhash_bands_ctes()},
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_bands
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM ds),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b, c.shared_bands,
+         ROUND(({match_sum}) / {float(k)}, 9) AS est_jaccard,
+         ROUND(CAST(COALESCE(cm.common, 0) AS DOUBLE)
+               / (za.n_sh + zb.n_sh - COALESCE(cm.common, 0)), 9)
+           AS exact_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+  LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+)
+SELECT doc_a, doc_b, shared_bands, est_jaccard, exact_jaccard,
+       ROUND(1.0 - POWER(1.0 - POWER(exact_jaccard, {ROWS_PER_BAND}),
+                         {BANDS}), 6) AS p_collision,
+       ROUND(ABS(est_jaccard - exact_jaccard), 9) AS abs_err
+FROM scored
+"""
 
 
 # Incremental ("delta") dedup: the share of the corpus standing in for a
@@ -1605,6 +1757,7 @@ HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
 
 
 QUERIES = {
+    "dedup_lsh_quality_report": dedup_lsh_quality_report,
     "dedup_substring": dedup_substring,
     "dedup_survivor_corpus": dedup_survivor_corpus,
     "dedup_neardup_corpus": dedup_neardup_corpus,
@@ -1622,6 +1775,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_lsh_quality_report": _lsh_quality_sql(),
     "dedup_substring": SUBSTRING_SQL,
     "dedup_survivor_corpus": SURVIVOR_SQL,
     "dedup_neardup_corpus": NEARDUP_CORPUS_SQL,

@@ -260,3 +260,32 @@ def test_incremental_dedup_equals_batch_restricted_to_new(spark):
     }
     assert inc == restricted
     assert len(inc) > 0  # non-vacuous: the delta batch has near-dups
+
+
+def test_lsh_quality_report_estimator_properties(spark):
+    """The quality report's estimator must behave like MinHash theory says:
+    exact clones estimate 1.0 with collision probability 1.0; estimates are
+    k-quantized; shared_bands within [1, BANDS]; and the mean estimator
+    error over candidates stays within a few standard errors of the k=16
+    binomial bound (~1/sqrt(k))."""
+    from dbsurveyor_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    rows = dedup.dedup_lsh_quality_report(spark, sf).collect()
+    assert rows
+    k = 16
+    clones = [r for r in rows if r.doc_b - r.doc_a == dedup.ID_OFFSET
+              and r.doc_a % 10 == 0]
+    assert clones, "injected exact clones must surface as candidates"
+    for r in clones:
+        assert r.est_jaccard == 1.0
+        assert r.exact_jaccard == 1.0
+        assert r.p_collision == 1.0
+    for r in rows:
+        assert 1 <= r.shared_bands <= dedup.BANDS
+        q = r.est_jaccard * k
+        assert abs(q - round(q)) < 1e-6  # k-quantized estimates
+        assert 0.0 <= r.p_collision <= 1.0
+        assert r.abs_err == round(abs(r.est_jaccard - r.exact_jaccard), 9)
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err < 3.0 / (k ** 0.5)
