@@ -396,7 +396,134 @@ LIMIT {DSIR_SELECT_K}
 """
 
 
+# ------------------------------------------------ two-stage cluster sample
+
+CLUSTER_PCT = 10  # stage-1 PSU (order) inclusion probability, percent
+
+
+def sample_cluster_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage CLUSTER sampling (classic survey design, Cochran):
+    stage 1 samples whole orders (the primary sampling units) by
+    deterministic hash-Bernoulli at π = CLUSTER_PCT%; stage 2 takes ALL
+    of each sampled order's lineitems. Per order-year it emits the
+    Horvitz–Thompson revenue estimate (sample total / π — exact decimal
+    ×(100/π), no float drift), the true total, and the realized relative
+    error: the design that answers "estimate revenue while touching only
+    10% of ORDERS' line items" — row-Bernoulli sampling can't be fetched
+    cheaply (every order is hit), cluster sampling turns stage 2 into a
+    key-local read (a semi join; free co-location under order-key
+    bucketing), at the price of intra-cluster design effect the
+    rel_error column measures.
+
+    Plan: the stage-1 filter is scan-local on orders; stage 2 is one
+    join on the sampled keys; both sample and truth reduce to
+    \\|years\\|-row exact-decimal aggregates before the comparison join.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("rev"),
+    )
+    sampled = orders.filter(
+        portable_hash64(
+            F.concat(F.lit("clu_"), F.col("o_orderkey").cast("string"))
+        )
+        % 100
+        < CLUSTER_PCT
+    )
+    mult = 100 // CLUSTER_PCT
+    samp = (
+        lines.join(
+            sampled.select(F.col("o_orderkey").alias("l_orderkey"), "yr"),
+            "l_orderkey",
+        )
+        .groupBy("yr")
+        .agg(
+            F.count_distinct("l_orderkey").cast("bigint").alias(
+                "clusters_sampled"
+            ),
+            F.sum(F.col("rev").cast("decimal(30,6)")).alias("_s"),
+        )
+        .select(
+            "yr",
+            "clusters_sampled",
+            (F.col("_s") * mult).alias("_est"),
+        )
+    )
+    true_rev = (
+        lines.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey"), "yr"),
+            "l_orderkey",
+        )
+        .groupBy("yr")
+        .agg(F.sum(F.col("rev").cast("decimal(30,6)")).alias("_t"))
+    )
+    return (
+        true_rev.join(samp, "yr", "left")
+        .select(
+            F.col("yr").cast("bigint").alias("order_year"),
+            F.coalesce(F.col("clusters_sampled"), F.lit(0).cast("bigint")).alias(
+                "clusters_sampled"
+            ),
+            F.round(F.col("_t").cast("double"), 2).alias("true_revenue"),
+            F.round(F.coalesce(F.col("_est"), F.lit(0)).cast("double"), 2).alias(
+                "ht_estimate"
+            ),
+            F.round(
+                F.abs(
+                    F.coalesce(F.col("_est"), F.lit(0)).cast("double")
+                    - F.col("_t").cast("double")
+                )
+                / F.col("_t").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+def _cluster_sample_sql() -> str:
+    mult = 100 // CLUSTER_PCT
+    flag = (
+        portable_hash64_sql("'clu_' || CAST(o_orderkey AS VARCHAR)")
+        + f" % 100 < {CLUSTER_PCT}"
+    )
+    return f"""
+WITH o AS (SELECT o_orderkey, year(o_orderdate) AS yr FROM orders),
+l AS (
+  SELECT l_orderkey, l_extendedprice * (1.0 - l_discount) AS rev
+  FROM lineitem
+),
+sampled AS (SELECT o_orderkey, year(o_orderdate) AS yr
+            FROM orders WHERE {flag}),
+samp AS (
+  SELECT s.yr,
+         CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS clusters_sampled,
+         SUM(CAST(l.rev AS DECIMAL(30,6))) * {mult} AS est
+  FROM l JOIN sampled s ON s.o_orderkey = l.l_orderkey
+  GROUP BY s.yr
+),
+truth AS (
+  SELECT o.yr, SUM(CAST(l.rev AS DECIMAL(30,6))) AS t
+  FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.yr
+)
+SELECT CAST(truth.yr AS BIGINT) AS order_year,
+       COALESCE(samp.clusters_sampled, 0) AS clusters_sampled,
+       ROUND(CAST(truth.t AS DOUBLE), 2) AS true_revenue,
+       ROUND(CAST(COALESCE(samp.est, 0) AS DOUBLE), 2) AS ht_estimate,
+       ROUND(ABS(CAST(COALESCE(samp.est, 0) AS DOUBLE)
+                 - CAST(truth.t AS DOUBLE))
+             / CAST(truth.t AS DOUBLE), 6) AS rel_error
+FROM truth LEFT JOIN samp ON samp.yr = truth.yr
+"""
+
+
 QUERIES = {
+    "sample_cluster_orders": sample_cluster_orders,
     "sample_importance_dsir": sample_importance_dsir,
     "sample_systematic_orders": sample_systematic_orders,
     "sample_fixed_size_orders": sample_fixed_size_orders,
@@ -409,6 +536,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_cluster_orders": _cluster_sample_sql(),
     "sample_importance_dsir": _dsir_sql(),
     "sample_systematic_orders": SYSTEMATIC_SQL,
     "sample_fixed_size_orders": FIXED_SIZE_SQL,

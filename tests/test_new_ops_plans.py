@@ -1946,3 +1946,34 @@ class TestWinnowing:
             assert (r.doc_id, r.fp) in grams
         # winnowing compresses: far fewer fingerprints than grams
         assert len(fps) < 0.8 * len(grams)
+
+
+class TestClusterSample:
+    def test_ht_estimator_unbiased_shape(self, spark):
+        """Every order-year appears, clusters are really sampled (≈π of
+        orders), and the HT estimate tracks the truth within the tolerance
+        a 10% cluster sample warrants on this data."""
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.survey import sampling
+
+        rows = sampling.sample_cluster_orders(spark, SF).collect()
+        years = {
+            r.yr
+            for r in load_table(spark, SF, "orders")
+            .select(F.year("o_orderdate").alias("yr"))
+            .distinct()
+            .collect()
+        }
+        assert {r.order_year for r in rows} == years
+        total_orders = load_table(spark, SF, "orders").count()
+        n_sampled = sum(r.clusters_sampled for r in rows)
+        frac = n_sampled / total_orders
+        assert 0.5 * sampling.CLUSTER_PCT / 100 <= frac <= 2.0 * (
+            sampling.CLUSTER_PCT / 100
+        )
+        for r in rows:
+            assert r.true_revenue > 0
+            if r.clusters_sampled > 0:
+                # small-SF years have few clusters; bound loosely — the
+                # oracle equality is the exactness gate, this pins sanity
+                assert r.rel_error < 1.0
