@@ -355,12 +355,91 @@ LIMIT {TRI_TOP_K}
 """
 
 
+# ------------------------------------------------- degree distribution
+
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree histogram of the co-purchase graph + per-bin
+    share — the skew statistic that decides whether the graph family's
+    joins need salting / AQE skew splitting before they run (a power-law
+    hub makes groupBy(dst) partitions quadratic in the hub degree), and
+    the input to the orientation argument `graph_triangle_count` relies
+    on. Bins are ⌊log₂ deg⌋, so the frame is ≤ log₂(max_deg) rows at any
+    scale.
+
+    Plan: the shared basket-bounded edge build → one degree aggregate →
+    one ≤64-row bin aggregate; share math on the bounded frame.
+    """
+    release_caches()
+    from .dedup import _bucket_pairs
+
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = lines.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    half = (
+        baskets.select(F.explode(_bucket_pairs(F.col("parts"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        half.select(F.col("a").alias("v"))
+        .unionByName(half.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    bins = deg.groupBy(
+        F.floor(F.log2("deg")).cast("bigint").alias("deg_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )
+    total = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return bins.crossJoin(F.broadcast(total)).select(
+        "deg_bin",
+        "n_nodes",
+        "min_deg",
+        "max_deg",
+        F.round(F.col("n_nodes") / F.col("n_total"), 6).alias("node_share"),
+    )
+
+
+def _degree_dist_sql() -> str:
+    return """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM half UNION ALL SELECT b AS v FROM half)
+  GROUP BY v
+),
+bins AS (
+  SELECT CAST(FLOOR(log2(deg)) AS BIGINT) AS deg_bin,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         MIN(deg) AS min_deg, MAX(deg) AS max_deg
+  FROM deg GROUP BY 1
+)
+SELECT deg_bin, n_nodes, min_deg, max_deg,
+       ROUND(n_nodes * 1.0 / (SELECT COUNT(*) FROM deg), 6) AS node_share
+FROM bins
+"""
+
+
 QUERIES = {
     "graph_pagerank_parts": graph_pagerank_parts,
     "graph_triangle_count": graph_triangle_count,
+    "graph_degree_distribution": graph_degree_distribution,
 }
 
 ORACLES = {
     "graph_pagerank_parts": _pagerank_sql(),
     "graph_triangle_count": _triangle_sql(),
+    "graph_degree_distribution": _degree_dist_sql(),
 }

@@ -254,7 +254,9 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate, both on doc_id; the model is metadata.
     """
     from ..functions.text import tokens
+    from ..plans.cache import release_caches
 
+    release_caches()
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -279,7 +281,14 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % DSIR_BUCKETS,
     )
-    feats = (
+    # CACHED: both the domain-model aggregate and the scoring join read
+    # this frame — uncached, the token+window+hash pipeline would run once
+    # per consumer (and the model side sits under a broadcast exchange,
+    # so the recompute lands on the driver's broadcast build path).
+    # The frame is slim by construction: (doc_id, source, int bucket).
+    from ..plans.cache import tracked_cache
+
+    feats = tracked_cache(
         grams.select(
             "doc_id",
             "source",
