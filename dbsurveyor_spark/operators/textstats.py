@@ -874,7 +874,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a degenerate vocabulary. The companion diagnostic to
     `text_vocab_growth`'s Heaps curve (the two laws are duals).
 
-    Plan: one token groupBy, rank via row_number over the \|vocab\|-row
+    Plan: one token groupBy, rank via row_number over the |vocab|-row
     aggregate (bounded — vocabulary, not corpus), closed-form OLS from
     decimal-summed rounded log terms (partition-order-free), slope and
     intercept in identical double expression trees both engines.
