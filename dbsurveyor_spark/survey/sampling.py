@@ -531,7 +531,108 @@ FROM truth LEFT JOIN samp ON samp.yr = truth.yr
 """
 
 
+# --------------------------------------------------- Neyman allocation
+
+NEYMAN_BUDGET = 1000  # total sample rows to allocate across strata
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman OPTIMAL stratified-sample allocation (Cochran): for a fixed
+    budget of n rows, sample stratum h in proportion to N_h·S_h — more
+    rows where the stratum is bigger OR more variable — which minimizes
+    the estimator variance for a population total; proportional
+    allocation (N_h only) is the baseline it beats whenever stddevs
+    differ. Strata = customer nations, variable = account balance. Emits
+    per stratum the measured size and stddev, the Neyman and proportional
+    shares, and the allocated row counts — the table that parameterizes
+    `sample_stratified_events`-style per-stratum samplers.
+
+    Plan: ONE map-side-combinable aggregate per stratum (count + exact
+    decimal Σx, Σx² — population stddev from the closed form); all
+    allocation arithmetic runs on the \\|strata\\|-row frame via a window
+    sum. Nothing data-sized shuffles beyond the one stratum aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal"
+    )
+    per = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("_sx"),
+        F.sum(
+            (F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(30,6)")
+        )
+        .cast("double")
+        .alias("_sx2"),
+    )
+    stddev = F.sqrt(
+        (
+            F.col("_sx2")
+            - F.col("_sx") * F.col("_sx") / F.col("n_rows")
+        )
+        / F.col("n_rows")
+    )
+    w = Window.partitionBy()
+    scored = per.select(
+        F.col("c_nationkey").cast("bigint").alias("nation_key"),
+        "n_rows",
+        F.round(stddev, 6).alias("stddev_acctbal"),
+        (F.col("n_rows") * stddev).alias("_nh_sh"),
+    )
+    return (
+        scored.select(
+            "nation_key",
+            "n_rows",
+            "stddev_acctbal",
+            (F.col("_nh_sh") / F.sum("_nh_sh").over(w)).alias("_ney"),
+            (
+                F.col("n_rows").cast("double")
+                / F.sum("n_rows").over(w).cast("double")
+            ).alias("_prop"),
+        )
+        .select(
+            "nation_key",
+            "n_rows",
+            "stddev_acctbal",
+            F.round("_ney", 6).alias("neyman_share"),
+            F.round("_prop", 6).alias("prop_share"),
+            F.round(F.col("_ney") * NEYMAN_BUDGET)
+            .cast("bigint")
+            .alias("allocated_n"),
+        )
+    )
+
+
+def _neyman_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+           AS sx2
+  FROM customer GROUP BY c_nationkey
+),
+scored AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation_key, n_rows,
+         ROUND(sqrt((sx2 - sx * sx / n_rows) / n_rows), 6)
+           AS stddev_acctbal,
+         n_rows * sqrt((sx2 - sx * sx / n_rows) / n_rows) AS nh_sh
+  FROM per
+)
+SELECT nation_key, n_rows, stddev_acctbal,
+       ROUND(nh_sh / SUM(nh_sh) OVER (), 6) AS neyman_share,
+       ROUND(CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE), 6)
+         AS prop_share,
+       CAST(ROUND(nh_sh / SUM(nh_sh) OVER () * {NEYMAN_BUDGET}) AS BIGINT)
+         AS allocated_n
+FROM scored
+"""
+
+
 QUERIES = {
+    "sample_neyman_allocation": sample_neyman_allocation,
     "sample_cluster_orders": sample_cluster_orders,
     "sample_importance_dsir": sample_importance_dsir,
     "sample_systematic_orders": sample_systematic_orders,
@@ -545,6 +646,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_neyman_allocation": _neyman_sql(),
     "sample_cluster_orders": _cluster_sample_sql(),
     "sample_importance_dsir": _dsir_sql(),
     "sample_systematic_orders": SYSTEMATIC_SQL,

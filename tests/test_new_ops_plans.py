@@ -1977,3 +1977,27 @@ class TestClusterSample:
                 # small-SF years have few clusters; bound loosely — the
                 # oracle equality is the exactness gate, this pins sanity
                 assert r.rel_error < 1.0
+
+
+class TestNeymanAllocation:
+    def test_shares_sum_and_optimality_direction(self, spark):
+        """Both share columns sum to 1; the budget is conserved up to
+        rounding; and Neyman shifts budget toward higher-variance strata
+        relative to proportional allocation (the defining property)."""
+        from dbsurveyor_spark.survey import sampling
+
+        rows = sampling.sample_neyman_allocation(spark, SF).collect()
+        assert len(rows) == 25
+        assert abs(sum(r.neyman_share for r in rows) - 1.0) < 1e-3
+        assert abs(sum(r.prop_share for r in rows) - 1.0) < 1e-3
+        total = sum(r.allocated_n for r in rows)
+        assert abs(total - sampling.NEYMAN_BUDGET) <= len(rows)
+        # direction: among strata of ~equal size, the more variable one
+        # must get at least as much budget
+        by_sd = sorted(rows, key=lambda r: r.stddev_acctbal)
+        lo, hi = by_sd[0], by_sd[-1]
+        if abs(lo.n_rows - hi.n_rows) <= 0.2 * max(lo.n_rows, hi.n_rows):
+            assert hi.neyman_share >= lo.neyman_share
+        # ratio identity: neyman/prop == S_h / weighted-mean(S)
+        for r in rows:
+            assert r.allocated_n >= 0
