@@ -1934,7 +1934,144 @@ SELECT 'customer' AS table_name,
 FROM sig GROUP BY pattern
 """
 
+# ------------------------------------------------- completeness trend
+
+# Injected missingness (deterministic, replayed by the oracle): the
+# monitored column degrades ~0.1%/month — the slow producer-side rot that
+# a snapshot completeness score can't see — while the control column
+# holds a flat 5% rate. Slope threshold: flag columns losing more than
+# 0.05%/month.
+TREND_SLOPE_T = 0.0005
+
+
+def quality_completeness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness TREND: monthly null-rate time series per monitored
+    column with a closed-form OLS slope and a `deteriorating` flag — the
+    time-dimension upgrade of `quality_completeness` (a snapshot score of
+    85% cannot distinguish "always 15% null" from "0% a year ago, rotting
+    monthly"). The injected degradation on one column must flag; the
+    flat-rate control column must not.
+
+    Plan: map-side month index + injected null flags → ONE bounded
+    (column × month) aggregate; the OLS slope is window arithmetic over
+    the ≤\\|months\\| frame (x = month index, y = the rounded monthly
+    rate, same closed form as `text_zipf_fit`). Nothing data-sized
+    shuffles beyond the one aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import portable_hash64
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    mi = (
+        (F.year("o_orderdate") - F.lit(1995)) * 12
+        + F.month("o_orderdate")
+        - F.lit(1)
+    )
+    h = portable_hash64(
+        F.concat(F.lit("ctrend_"), F.col("o_orderkey").cast("string"))
+    )
+    rows = orders.select(
+        mi.alias("mi"),
+        (h % 1000 < mi).cast("int").alias("null_deg"),
+        (h % 1000 < 50).cast("int").alias("null_ctl"),
+    )
+    monthly = rows.groupBy("mi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("null_deg").cast("bigint").alias("nd"),
+        F.sum("null_ctl").cast("bigint").alias("nc"),
+    )
+    outs = []
+    for colname, nullcol in (
+        ("o_orderpriority_degrading", "nd"),
+        ("o_orderstatus_control", "nc"),
+    ):
+        y = F.round(F.col(nullcol) / F.col("n_rows"), 6)
+        base = monthly.select(
+            F.lit(colname).alias("column_name"),
+            F.col("mi").cast("bigint").alias("month_idx"),
+            "n_rows",
+            F.col(nullcol).alias("n_null"),
+            y.alias("null_rate"),
+        )
+        w = Window.partitionBy("column_name")
+        x = F.col("month_idx").cast("double")
+        slope = (
+            F.count(F.lit(1)).over(w) * F.sum(x * F.col("null_rate")).over(w)
+            - F.sum(x).over(w) * F.sum("null_rate").over(w)
+        ) / (
+            F.count(F.lit(1)).over(w) * F.sum(x * x).over(w)
+            - F.sum(x).over(w) * F.sum(x).over(w)
+        )
+        outs.append(
+            base.select(
+                "column_name",
+                "month_idx",
+                "n_rows",
+                "n_null",
+                "null_rate",
+                F.round(slope, 9).alias("slope_per_month"),
+                (slope > TREND_SLOPE_T).alias("deteriorating"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _completeness_trend_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("'ctrend_' || CAST(o_orderkey AS VARCHAR)")
+    branches = []
+    for colname, nullcol in (
+        ("o_orderpriority_degrading", "nd"),
+        ("o_orderstatus_control", "nc"),
+    ):
+        branches.append(f"""
+SELECT '{colname}' AS column_name, CAST(mi AS BIGINT) AS month_idx,
+       n_rows, {nullcol} AS n_null,
+       ROUND({nullcol} / n_rows, 6) AS null_rate,
+       ROUND((COUNT(*) OVER ()
+              * SUM(CAST(mi AS DOUBLE) * ROUND({nullcol} / n_rows, 6)) OVER ()
+              - SUM(CAST(mi AS DOUBLE)) OVER ()
+                * SUM(ROUND({nullcol} / n_rows, 6)) OVER ())
+             / (COUNT(*) OVER ()
+                * SUM(CAST(mi AS DOUBLE) * CAST(mi AS DOUBLE)) OVER ()
+                - SUM(CAST(mi AS DOUBLE)) OVER ()
+                  * SUM(CAST(mi AS DOUBLE)) OVER ()), 9) AS slope_per_month,
+       ((COUNT(*) OVER ()
+         * SUM(CAST(mi AS DOUBLE) * ROUND({nullcol} / n_rows, 6)) OVER ()
+         - SUM(CAST(mi AS DOUBLE)) OVER ()
+           * SUM(ROUND({nullcol} / n_rows, 6)) OVER ())
+        / (COUNT(*) OVER ()
+           * SUM(CAST(mi AS DOUBLE) * CAST(mi AS DOUBLE)) OVER ()
+           - SUM(CAST(mi AS DOUBLE)) OVER ()
+             * SUM(CAST(mi AS DOUBLE)) OVER ())) > {TREND_SLOPE_T}
+         AS deteriorating
+FROM monthly""")
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH rows_m AS (
+  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+         CASE WHEN {h} % 1000
+                   < (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+              THEN 1 ELSE 0 END AS null_deg,
+         CASE WHEN {h} % 1000 < 50 THEN 1 ELSE 0 END AS null_ctl
+  FROM orders
+),
+monthly AS (
+  SELECT mi, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(null_deg) AS BIGINT) AS nd,
+         CAST(SUM(null_ctl) AS BIGINT) AS nc
+  FROM rows_m GROUP BY mi
+)
+{body}
+"""
+
+
 QUERIES = {
+    "quality_completeness_trend": quality_completeness_trend,
     "quality_null_patterns": quality_null_patterns,
     "quality_malformed_json": quality_malformed_json,
     "quality_categorical_drift": quality_categorical_drift,
@@ -1955,6 +2092,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_completeness_trend": _completeness_trend_sql(),
     "quality_null_patterns": NULL_PATTERNS_SQL,
     "quality_malformed_json": MALFORMED_JSON_SQL,
     "quality_categorical_drift": CATEGORICAL_DRIFT_SQL,

@@ -235,3 +235,33 @@ class TestIqrAnalyzer:
         # 2 values: even a wild spread reports nothing (anomaly.rs:46 analog)
         df = spark.createDataFrame([(0.0,), (1e9,)], "v double")
         assert iqr_outlier_counts(df, ["v"]).count() == 0
+
+
+def test_completeness_trend_flags_only_degrading_column(spark):
+    """The injected ~0.1%/month degradation must be flagged deteriorating;
+    the flat-rate control must not — and slopes must be constant within a
+    column (they are a property of the series, not the row)."""
+    from dbsurveyor_spark.survey import quality
+
+    rows = quality.quality_completeness_trend(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r.column_name, []).append(r)
+    assert set(by_col) == {
+        "o_orderpriority_degrading",
+        "o_orderstatus_control",
+    }
+    for col, rs in by_col.items():
+        slopes = {r.slope_per_month for r in rs}
+        assert len(slopes) == 1, "slope is a per-column constant"
+        flags = {r.deteriorating for r in rs}
+        assert len(flags) == 1
+    deg = by_col["o_orderpriority_degrading"][0]
+    ctl = by_col["o_orderstatus_control"][0]
+    assert deg.deteriorating is True
+    assert ctl.deteriorating is False
+    assert deg.slope_per_month > ctl.slope_per_month
+    # the degrading slope should be near the injected 0.001/month
+    assert 0.0005 < deg.slope_per_month < 0.002
