@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_sq8_topk",
     "ann_ivfpq_topk",
+    "ann_ivfsq_topk",
     "ann_recall_report",
     "knn_graph",
     "text_stats",

@@ -585,6 +585,97 @@ def sq_adc_mapper(
     return mapper
 
 
+def ivfsq_adc_mapper(
+    cent_rows: list,
+    rmins: list,
+    rdeltas: list,
+    queries: list,
+    query_ids: list,
+    probe_cells: list,
+    cell_bias: list,
+    k: int,
+):
+    """mapInPandas factory for the IVF-SQ8 scan (Faiss IndexIVFScalar-
+    Quantizer): stream the (vec_id, cell_id, embedding) assignment frame
+    once; each row residualizes against its cell centroid (r = x − c(x)),
+    SQ8-encodes/decodes the residual on the GLOBAL per-dim residual grid
+    (arithmetic, fused — no codebook argmin, exactly like
+    :func:`sq_adc_mapper`), and each probe scores ONLY rows in its probed
+    cells by score = ⟨q, c(x)⟩ + ⟨q, r̂⟩ (inner-product linearity, as in
+    IVFADC). Score accumulation is bias-seeded then one dimension at a
+    time — the literal fold of the oracle's bias-prepended list_reduce.
+    """
+    cids = [int(r[0]) for r in cent_rows]
+    cvec_list = [[float(x) for x in r[1]] for r in cent_rows]
+    mn_l = [float(v) for v in rmins]
+    dl_l = [float(v) for v in rdeltas]
+    qs = [[float(x) for x in q] for q in queries]
+    qids = [int(q) for q in query_ids]
+    pcells = [[int(c) for c in cs] for cs in probe_cells]
+    pbias = [[float(b) for b in bs] for bs in cell_bias]
+
+    def mapper(batches):  # pragma: no cover — runs on executors
+        import numpy as np
+        import pandas as pd
+
+        cmat = np.asarray(cvec_list, dtype=np.float64)
+        cpos = {c: i for i, c in enumerate(cids)}
+        mins_a = np.asarray(mn_l, dtype=np.float64)
+        deltas_a = np.asarray(dl_l, dtype=np.float64)
+        safe = np.where(deltas_a > 0, deltas_a, 1.0)
+        Q = np.asarray(qs, dtype=np.float64)
+        qarr = np.asarray(qids, dtype=np.int64)
+        nq, dim = Q.shape
+        bias_maps = [dict(zip(pcells[i], pbias[i])) for i in range(nq)]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            vids = pdf["vec_id"].to_numpy().astype(np.int64)
+            cells = pdf["cell_id"].to_numpy().astype(np.int64)
+            rowpos = np.asarray([cpos[int(c)] for c in cells], dtype=np.int64)
+            R = X - cmat[rowpos]
+            Rhat = np.empty_like(R)
+            for i in range(dim):
+                if deltas_a[i] > 0:
+                    code = np.floor((R[:, i] - mins_a[i]) / safe[i] * 256.0)
+                    code = np.minimum(255.0, np.maximum(0.0, code))
+                else:
+                    code = np.zeros(n)
+                Rhat[:, i] = mins_a[i] + (code + 0.5) * deltas_a[i] / 256.0
+            take = min(k, n)
+            qcol, ncol, scol = [], [], []
+            for qi in range(nq):
+                bmap = bias_maps[qi]
+                mask = np.isin(cells, pcells[qi]) & (vids != qarr[qi])
+                if not mask.any():
+                    continue
+                idx = np.nonzero(mask)[0]
+                sc = np.asarray(
+                    [bmap[int(c)] for c in cells[idx]], dtype=np.float64
+                )
+                for i in range(dim):
+                    sc = sc + Q[qi, i] * Rhat[idx, i]
+                order = np.lexsort((vids[idx], -sc))[:take]
+                sel = idx[order]
+                qcol.append(np.full(len(sel), qarr[qi], dtype=np.int64))
+                ncol.append(vids[sel])
+                scol.append(sc[order])
+            if qcol:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qcol),
+                        "neighbor_id": np.concatenate(ncol),
+                        "score": np.concatenate(scol),
+                    }
+                )
+
+    return mapper
+
+
 def ivfpq_adc_mapper(
     tables: list,
     query_ids: list,

@@ -48,6 +48,7 @@ from ..functions.vectors import (
     pq_encode_mapper,
     SQ_ADC_SCHEMA,
     sq_adc_mapper,
+    ivfsq_adc_mapper,
     pq_partial_mapper,
 )
 
@@ -1852,7 +1853,213 @@ SELECT query_id, neighbor_id, ROUND(score, 9) AS score_sq, rank FROM (
 """
 
 
+# --------------------------------------------- IVF + scalar quantization
+
+_SQ_RESID_CACHE: dict[tuple, tuple] = {}
+
+
+def trained_residual_sq_bounds(spark: SparkSession, sf_dir: str) -> tuple:
+    """The IVF-SQ8 model: global per-dim [min, max−min] bounds of the
+    RESIDUALS x − c(x) against the session's coarse quantizer — residual
+    ranges are much tighter than raw-vector ranges, so the same 8 bits
+    buy proportionally finer grids (the same displacement-coding argument
+    as IVFPQ, without codebooks). Memoized per (lake, fingerprint).
+
+    Training: one streaming assignment pass (`rank_cells`, nprobe=1) →
+    residuals re-derived JVM-side (posexplode + broadcast centroid join +
+    element_at — no Python in the bounds aggregate) → one map-side
+    per-dim min/max aggregate, 2·dim doubles collected.
+    """
+    key = (sf_dir, _lake_fingerprint(sf_dir))
+    with _CENTROID_LOCK:
+        if key in _SQ_RESID_CACHE:
+            return _SQ_RESID_CACHE[key]
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned = (
+        rank_cells(emb, cent_rows, 1)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+        "cell_id bigint, c_emb array<double>",
+    )
+    dim_rows = (
+        emb.join(assigned, "vec_id")
+        .select("cell_id", F.posexplode("embedding").alias("dim", "v"))
+        .join(F.broadcast(cent_df), "cell_id")
+        .select(
+            "dim",
+            (
+                F.col("v")
+                - F.element_at(F.col("c_emb"), (F.col("dim") + 1).cast("int"))
+            ).alias("r"),
+        )
+        .groupBy("dim")
+        .agg(F.min("r").alias("mn"), (F.max("r") - F.min("r")).alias("delta"))
+        .orderBy("dim")
+        .collect()
+    )
+    model = (
+        [r["mn"] for r in dim_rows],
+        [r["delta"] for r in dim_rows],
+    )
+    with _CENTROID_LOCK:
+        for k in [k for k in _SQ_RESID_CACHE if k[0] == sf_dir and k != key]:
+            del _SQ_RESID_CACHE[k]
+        _SQ_RESID_CACHE[key] = model
+    return model
+
+
+def ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 search (Faiss IndexIVFScalarQuantizer): coarse quantizer
+    restricts each probe to its NPROBE inverted lists; candidates score
+    by ⟨q, c(x)⟩ + ⟨q, r̂⟩ with the residual r = x − c(x) scalar-quantized
+    to 8 bits per dim on GLOBAL residual bounds. The middle rung between
+    IVF-Flat (no compression) and IVFPQ (codebook compression): 8×
+    smaller lists than Flat, far lower distortion than PQ at the same
+    scan cost, no residual codebook training.
+
+    Pipeline: one streaming assignment pass (shared `rank_cells` shape),
+    residual bounds memoized as model state, then ONE fused
+    residualize+encode+score scan (`ivfsq_adc_mapper` — SQ encode is
+    arithmetic, so nothing materializes between encode and scan) with
+    batch-local top-k; the global rank window runs over slim candidate
+    rows. The oracle replays coarse training, the residual relation, the
+    per-dim bounds, the quantize/decode arithmetic, and the
+    bias-prepended left-fold score.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    rmins, rdeltas = trained_residual_sq_bounds(spark, sf_dir)
+    assigned = (
+        rank_cells(emb, cent_rows, 1)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    posting = emb.join(assigned, "vec_id")
+    probe_rows = sorted(
+        emb.filter(F.col("vec_id") < N_PROBES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids, queries, probe_cells, cell_bias = [], [], [], []
+    for r in probe_rows:
+        q = [float(x) for x in r["embedding"]]
+        qids.append(int(r["vec_id"]))
+        queries.append(q)
+        ranked = sorted(
+            ((_fold_cos(cvec, q), cid, cvec) for cid, cvec in cent_rows),
+            key=lambda t: (-t[0], t[1]),
+        )[:NPROBE]
+        probe_cells.append([cid for _c, cid, _v in ranked])
+        cell_bias.append([_fold_dot(cvec, q) for _c, _cid, cvec in ranked])
+    cand = posting.mapInPandas(
+        ivfsq_adc_mapper(
+            cent_rows,
+            rmins,
+            rdeltas,
+            queries,
+            qids,
+            probe_cells,
+            cell_bias,
+            IVF_K,
+        ),
+        PQ_ADC_SCHEMA,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 9).alias("score_ivfsq"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _ivfsq_sql(dim: int = IVF_SQL_DIM) -> str:
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
+    bias = dot_sql("p.q", "c.c_emb")
+    cos_probe = cosine_sql("c.c_emb", "p.q")
+    rhat = (
+        "(m.mins[i] + (LEAST(255.0, GREATEST(0.0, FLOOR("
+        "CASE WHEN m.deltas[i] > 0 "
+        "THEN (r.embedding[i] - m.mins[i]) / m.deltas[i] * 256.0 "
+        "ELSE 0.0 END))) + 0.5) * m.deltas[i] / 256.0)"
+    )
+    score = (
+        f"list_reduce(list_prepend(pc.bias, list_transform(range(1, {dim + 1}), "
+        f"i -> p.q[i] * {rhat})), (acc, v) -> acc + v)"
+    )
+    return f"""
+WITH {train_ctes},
+cassign AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {cent} c
+),
+assigned AS (SELECT vec_id, embedding, cell_id FROM cassign WHERE rn = 1),
+resid AS (
+  SELECT a.vec_id, a.cell_id,
+         list_transform(list_zip(a.embedding, c.c_emb), p -> p[1] - p[2])
+           AS embedding
+  FROM assigned a JOIN {cent} c ON c.cell_id = a.cell_id
+),
+rdims AS (
+  SELECT pos AS dim, MIN(v) AS mn, MAX(v) - MIN(v) AS delta
+  FROM (SELECT unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM resid)
+  GROUP BY pos
+),
+rmodel AS (
+  SELECT list(mn ORDER BY dim) AS mins, list(delta ORDER BY dim) AS deltas
+  FROM rdims
+),
+probes AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+pcells AS (
+  SELECT query_id, cell_id, bias FROM (
+    SELECT p.query_id, c.cell_id, {bias} AS bias,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {cos_probe} DESC, c.cell_id ASC) AS rn
+    FROM probes p CROSS JOIN {cent} c
+  ) t WHERE rn <= {NPROBE}
+),
+scored AS (
+  SELECT pc.query_id, r.vec_id AS neighbor_id, {score} AS score
+  FROM pcells pc
+  JOIN probes p ON p.query_id = pc.query_id
+  JOIN resid r ON r.cell_id = pc.cell_id
+  CROSS JOIN rmodel m
+  WHERE r.vec_id <> pc.query_id
+)
+SELECT query_id, neighbor_id, ROUND(score, 9) AS score_ivfsq, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT)
+    AS rank
+  FROM scored
+) t WHERE rank <= {IVF_K}
+"""
+
+
 QUERIES = {
+    "ann_ivfsq_topk": ann_ivfsq_topk,
     "ann_sq8_topk": ann_sq8_topk,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -1872,6 +2079,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_ivfsq_topk": _ivfsq_sql(),
     "ann_sq8_topk": _sq_sql(),
     "ann_pq_topk": _pq_sql(),
     "ann_ivfpq_topk": _ivfpq_sql(),

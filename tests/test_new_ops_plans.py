@@ -2001,3 +2001,34 @@ class TestNeymanAllocation:
         # ratio identity: neyman/prop == S_h / weighted-mean(S)
         for r in rows:
             assert r.allocated_n >= 0
+
+
+class TestIvfSq:
+    def test_ivfsq_tracks_ivf_flat_within_quantization(self, spark):
+        """IVF-SQ8 searches the same probed cells as IVF-Flat, so its
+        result set must heavily overlap IVF-Flat's (residual grids are
+        fine at 8 bits), and every reported score must be within the
+        analytic residual-quantization bound of the true inner product."""
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import similarity
+
+        sq = similarity.ann_ivfsq_topk(spark, SF).collect()
+        flat = similarity.ann_ivf_topk(spark, SF).collect()
+        assert sq and flat
+        sq_pairs = {(r.query_id, r.neighbor_id) for r in sq}
+        flat_pairs = {(r.query_id, r.neighbor_id) for r in flat}
+        overlap = len(sq_pairs & flat_pairs) / len(flat_pairs)
+        assert overlap >= 0.8, f"overlap {overlap}"
+        # error bound: |score − ⟨q, x⟩| ≤ Σ_d |q_d|·Δ_d/512
+        emb = {
+            r.vec_id: list(r.embedding)
+            for r in load_table(spark, SF, "embeddings").collect()
+        }
+        rmins, rdeltas = similarity.trained_residual_sq_bounds(spark, SF)
+        for r in sq:
+            q, x = emb[r.query_id], emb[r.neighbor_id]
+            exact = sum(a * b for a, b in zip(q, x))
+            bound = sum(
+                abs(q[i]) * rdeltas[i] / 512.0 for i in range(len(q))
+            )
+            assert abs(r.score_ivfsq - exact) <= bound + 1e-9
