@@ -45,12 +45,17 @@ KEY_OFF = 100_000_000
 
 DEFAULT_OPS = [
     "graph_pagerank_parts",
+    "graph_triangle_count",
     "dedup_ngram_jaccard",
     "dedup_semantic_corpus",
     "dedup_containment",
+    "dedup_lsh_quality_report",
     "split_leakage_neardup",
     "knn_graph",
     "ann_ivfpq_topk",
+    "ann_ivfsq_topk",
+    "sample_importance_dsir",
+    "corpus_decontamination_semantic",
     "dedup_substring",
     "dedup_winnowing",
     "dedup_neardup_clusters",
