@@ -2070,7 +2070,180 @@ monthly AS (
 """
 
 
+# ------------------------------------------------------- KS drift test
+
+KS_BUCKETS = 32
+KS_CRIT_COEF = 1.358  # two-sample Kolmogorov-Smirnov alpha=0.05 coefficient
+
+
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per monitored numeric
+    column between a reference period (orders ≤ 1997) and the current one
+    (≥ 1998) — the DISTRIBUTION-shape member of the drift triad (PSI bins
+    shares, chi-square handles categories; KS's sup-norm on the ECDFs
+    catches location/scale shifts that leave bin shares individually
+    small). D is computed on KS_BUCKETS global equi-width bucket ECDFs
+    (the streaming-friendly discretization — exact KS needs a global
+    sort); the α=0.05 critical value 1.358·√((n₁+n₂)/(n₁·n₂)) is the
+    pinned closed form. A ×1.15 price shift on every 3rd current-period
+    order is injected in-query (both engines); the id-uniform control
+    column must not flag.
+
+    Plan: one pruned scan → 1-row global bounds agg broadcast back →
+    bounded (side × bucket) aggregate; ECDFs, D, and the decision are
+    window arithmetic over the ≤2·KS_BUCKETS frame.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_custkey"
+    )
+    side = F.when(F.year("o_orderdate") <= 1997, F.lit("ref")).otherwise(
+        F.lit("cur")
+    )
+    price = F.when(
+        (F.col("o_orderkey") % 3 == 0) & (F.year("o_orderdate") >= 1998),
+        F.col("o_totalprice") * F.lit(1.15),
+    ).otherwise(F.col("o_totalprice"))
+    vals = orders.select(
+        side.alias("side"),
+        price.alias("v_price"),
+        F.col("o_custkey").cast("double").alias("v_ctl"),
+    )
+    outs = []
+    for colname, vcol in (
+        ("o_totalprice_shifted", "v_price"),
+        ("o_custkey_control", "v_ctl"),
+    ):
+        sub = vals.select("side", F.col(vcol).alias("v"))
+        bounds = sub.agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx")
+        )
+        bucket = F.least(
+            F.lit(KS_BUCKETS - 1),
+            F.floor(
+                (F.col("v") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * KS_BUCKETS
+            ),
+        ).cast("bigint")
+        counts = (
+            sub.crossJoin(F.broadcast(bounds))
+            .select("side", bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("side") == "ref", 1).otherwise(0))
+                .cast("bigint")
+                .alias("c_ref"),
+                F.sum(F.when(F.col("side") == "cur", 1).otherwise(0))
+                .cast("bigint")
+                .alias("c_cur"),
+            )
+        )
+        w = Window.partitionBy().orderBy("bucket")
+        wall = Window.partitionBy()
+        cum = counts.select(
+            "bucket",
+            (
+                F.sum("c_ref").over(w)
+                / F.sum("c_ref").over(wall).cast("double")
+            ).alias("f_ref"),
+            (
+                F.sum("c_cur").over(w)
+                / F.sum("c_cur").over(wall).cast("double")
+            ).alias("f_cur"),
+            F.sum("c_ref").over(wall).cast("bigint").alias("n_ref"),
+            F.sum("c_cur").over(wall).cast("bigint").alias("n_cur"),
+        )
+        d = F.max(F.abs(F.col("f_ref") - F.col("f_cur")))
+        outs.append(
+            cum.groupBy("n_ref", "n_cur")
+            .agg(F.round(d, 9).alias("ks_d"))
+            .select(
+                F.lit(colname).alias("column_name"),
+                "n_ref",
+                "n_cur",
+                "ks_d",
+                F.round(
+                    F.lit(KS_CRIT_COEF)
+                    * F.sqrt(
+                        (F.col("n_ref") + F.col("n_cur")).cast("double")
+                        / (F.col("n_ref") * F.col("n_cur")).cast("double")
+                    ),
+                    9,
+                ).alias("ks_critical"),
+                (
+                    F.col("ks_d")
+                    > F.round(
+                        F.lit(KS_CRIT_COEF)
+                        * F.sqrt(
+                            (F.col("n_ref") + F.col("n_cur")).cast("double")
+                            / (F.col("n_ref") * F.col("n_cur")).cast("double")
+                        ),
+                        9,
+                    )
+                ).alias("drifted"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _ks_drift_sql() -> str:
+    branches = []
+    for colname, vexpr in (
+        (
+            "o_totalprice_shifted",
+            "CASE WHEN o_orderkey % 3 = 0 AND year(o_orderdate) >= 1998 "
+            "THEN o_totalprice * 1.15 ELSE o_totalprice END",
+        ),
+        ("o_custkey_control", "CAST(o_custkey AS DOUBLE)"),
+    ):
+        branches.append(f"""
+SELECT '{colname}' AS column_name, n_ref, n_cur, ks_d,
+       ROUND({KS_CRIT_COEF} * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+             / CAST(n_ref * n_cur AS DOUBLE)), 9) AS ks_critical,
+       ks_d > ROUND({KS_CRIT_COEF} * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+             / CAST(n_ref * n_cur AS DOUBLE)), 9) AS drifted
+FROM (
+  SELECT n_ref, n_cur, ROUND(MAX(ABS(f_ref - f_cur)), 9) AS ks_d
+  FROM (
+    SELECT bucket,
+           SUM(c_ref) OVER (ORDER BY bucket) /
+             CAST(SUM(c_ref) OVER () AS DOUBLE) AS f_ref,
+           SUM(c_cur) OVER (ORDER BY bucket) /
+             CAST(SUM(c_cur) OVER () AS DOUBLE) AS f_cur,
+           CAST(SUM(c_ref) OVER () AS BIGINT) AS n_ref,
+           CAST(SUM(c_cur) OVER () AS BIGINT) AS n_cur
+    FROM (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_ref,
+             CAST(SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_cur
+      FROM (
+        SELECT side,
+               CAST(LEAST({KS_BUCKETS - 1},
+                    FLOOR((v - mn) / (mx - mn) * {KS_BUCKETS})) AS BIGINT)
+                 AS bucket
+        FROM (
+          SELECT CASE WHEN year(o_orderdate) <= 1997
+                      THEN 'ref' ELSE 'cur' END AS side,
+                 {vexpr} AS v
+          FROM orders
+        ) CROSS JOIN (
+          SELECT MIN(v) AS mn, MAX(v) AS mx FROM (
+            SELECT {vexpr} AS v FROM orders
+          )
+        )
+      ) GROUP BY bucket
+    )
+  ) GROUP BY n_ref, n_cur
+)""")
+    return "\nUNION ALL\n".join(branches)
+
+
 QUERIES = {
+    "quality_ks_drift": quality_ks_drift,
     "quality_completeness_trend": quality_completeness_trend,
     "quality_null_patterns": quality_null_patterns,
     "quality_malformed_json": quality_malformed_json,
@@ -2092,6 +2265,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_ks_drift": _ks_drift_sql(),
     "quality_completeness_trend": _completeness_trend_sql(),
     "quality_null_patterns": NULL_PATTERNS_SQL,
     "quality_malformed_json": MALFORMED_JSON_SQL,

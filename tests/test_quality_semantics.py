@@ -265,3 +265,22 @@ def test_completeness_trend_flags_only_degrading_column(spark):
     assert deg.slope_per_month > ctl.slope_per_month
     # the degrading slope should be near the injected 0.001/month
     assert 0.0005 < deg.slope_per_month < 0.002
+
+
+def test_ks_drift_fires_on_shift_not_control(spark):
+    from dbsurveyor_spark.survey import quality
+
+    rows = {
+        r.column_name: r
+        for r in quality.quality_ks_drift(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(rows) == {"o_totalprice_shifted", "o_custkey_control"}
+    shifted, ctl = rows["o_totalprice_shifted"], rows["o_custkey_control"]
+    assert shifted.drifted is True
+    assert ctl.drifted is False
+    for r in rows.values():
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.ks_critical > 0
+        assert r.n_ref > 0 and r.n_cur > 0
+    # the injected shift moves ~1/3 of the mass up 15% — D well above crit
+    assert shifted.ks_d > 1.5 * shifted.ks_critical
