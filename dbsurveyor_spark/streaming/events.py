@@ -724,19 +724,11 @@ LATE_BUCKETS = (
 )
 
 
-def stream_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark-lateness accounting: for each event, lateness = (max
-    event-time among earlier-ARRIVING events) − its own event-time, bucketed
-    into the delay histogram that sizes `withWatermark` / allowed-lateness.
-
-    A global running max over arrival order is inherently sequential, so it
-    computes as a TWO-LEVEL prefix max (the scan-friendly parallel-prefix
-    shape): per-block max (one map-side aggregate, |blocks| rows) → running
-    max over the metadata-sized block frame (single-partition window over
-    |n|/B rows, like every other aggregate-level window here) → broadcast
-    back → within-block running max (window partitioned by block, ≤B rows
-    per partition). No data-sized single-partition window anywhere.
-    """
+def _lateness_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event lateness (seconds behind the running max event-time in
+    arrival order) via the two-level parallel prefix max — the shared
+    front half of the late-data report and the watermark tuning curve.
+    Emits the event rows with a `late_sec` column."""
     ev = load_table(spark, sf_dir, "events").select(
         F.expr(_ARRIVAL_SQL).alias("arrival_key"),
         "event_id",
@@ -767,10 +759,30 @@ def stream_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wm", F.greatest(F.col("prev_blocks_max"), F.col("in_block_prev"))
         )
     )
-    late = F.when(
-        F.col("wm").isNotNull() & (F.col("wm") > F.col("t")),
-        F.col("wm") - F.col("t"),
-    ).otherwise(F.lit(0.0))
+    return with_wm.withColumn(
+        "late_sec",
+        F.when(
+            F.col("wm").isNotNull() & (F.col("wm") > F.col("t")),
+            F.col("wm") - F.col("t"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def stream_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness accounting: for each event, lateness = (max
+    event-time among earlier-ARRIVING events) − its own event-time, bucketed
+    into the delay histogram that sizes `withWatermark` / allowed-lateness.
+
+    A global running max over arrival order is inherently sequential, so it
+    computes as a TWO-LEVEL prefix max (the scan-friendly parallel-prefix
+    shape): per-block max (one map-side aggregate, |blocks| rows) → running
+    max over the metadata-sized block frame (single-partition window over
+    |n|/B rows, like every other aggregate-level window here) → broadcast
+    back → within-block running max (window partitioned by block, ≤B rows
+    per partition). No data-sized single-partition window anywhere.
+    """
+    with_wm = _lateness_frame(spark, sf_dir)
+    late = F.col("late_sec")
     bucket = F.when(late <= F.lit(0.0), F.lit("on_time"))
     for name, ub in LATE_BUCKETS[1:]:
         bucket = (
@@ -824,6 +836,83 @@ SELECT bucket, n_events,
        ROUND(CAST(n_events AS DOUBLE) / SUM(n_events) OVER (), 9) AS share,
        max_late_sec
 FROM agg
+"""
+
+
+# --------------------------------------------- watermark tuning curve
+
+WATERMARK_DELAYS = (0, 60, 300, 1800, 7200, 86400)  # seconds
+
+
+def stream_watermark_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark DELAY sweep — the dial the late-data histogram only hints
+    at (the streaming analog of `ann_nprobe_curve`): for each candidate
+    `withWatermark` delay, how many events would be DROPPED (arrive later
+    than the watermark allows) and what fraction of the feed that is. The
+    operator answers "what delay keeps loss under my SLO" directly; state
+    cost grows linearly with the chosen delay (see
+    `stream_state_size_report`), so this curve × that table is the full
+    latency/completeness/memory trade.
+
+    Plan: ONE shared lateness pass (`_lateness_frame`, the two-level
+    parallel prefix max — no data-sized single-partition window), then ONE
+    conditional aggregate produces every sweep level; the curve frame is
+    \\|delays\\| rows.
+    """
+    lf = _lateness_frame(spark, sf_dir)
+    agg = lf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        *[
+            F.sum(F.when(F.col("late_sec") > float(d), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"d{d}")
+            for d in WATERMARK_DELAYS
+        ],
+    )
+    outs = []
+    for d in WATERMARK_DELAYS:
+        outs.append(
+            agg.select(
+                F.lit(d).cast("bigint").alias("delay_s"),
+                F.col(f"d{d}").alias("n_dropped"),
+                F.round(
+                    F.col(f"d{d}").cast("double") / F.col("n_total"), 9
+                ).alias("dropped_share"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _watermark_curve_sql() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN late > {float(d)} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS d{d}"
+        for d in WATERMARK_DELAYS
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT CAST({d} AS BIGINT) AS delay_s, d{d} AS n_dropped, "
+        f"ROUND(CAST(d{d} AS DOUBLE) / n_total, 9) AS dropped_share FROM agg"
+        for d in WATERMARK_DELAYS
+    )
+    return f"""
+WITH wm AS (
+  SELECT epoch(ts) AS t,
+         MAX(epoch(ts)) OVER (ORDER BY {_ARRIVAL_SQL}, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS w
+  FROM events
+),
+lateness AS (
+  SELECT CASE WHEN w IS NOT NULL AND w > t THEN w - t ELSE 0.0 END AS late
+  FROM wm
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total, {sums} FROM lateness
+)
+{branches}
 """
 
 
@@ -1661,6 +1750,7 @@ FROM events CROSS JOIN (SELECT MAX(ts) AS wm FROM events)
 
 
 QUERIES = {
+    "stream_watermark_tuning_curve": stream_watermark_tuning_curve,
     "stream_state_size_report": stream_state_size_report,
     "scd2_user_state": scd2_user_state,
     "event_path_analysis": event_path_analysis,
@@ -1680,6 +1770,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_watermark_tuning_curve": _watermark_curve_sql(),
     "stream_state_size_report": _state_size_sql(),
     "scd2_user_state": SCD2_SQL,
     "event_path_analysis": PATH_SQL,

@@ -286,3 +286,33 @@ def test_state_size_report_semantics(spark):
         F.col("ts") > F.lit(wm) - F.expr("INTERVAL 30 MINUTES")
     ).count()
     assert rows["dedup_within_watermark"].state_rows <= n_recent
+
+
+def test_watermark_tuning_curve_monotone_and_consistent(spark):
+    """Dropped counts must be non-increasing in delay, zero-delay drop
+    equals the late-data report's non-on_time mass, and a day-long delay
+    drops (almost) nothing."""
+    from dbsurveyor_spark.streaming import events as se
+
+    rows = sorted(
+        se.stream_watermark_tuning_curve(spark, SF_ORACLE).collect(),
+        key=lambda r: r.delay_s,
+    )
+    assert [r.delay_s for r in rows] == sorted(se.WATERMARK_DELAYS)
+    drops = [r.n_dropped for r in rows]
+    assert drops == sorted(drops, reverse=True), "monotone in delay"
+    late = {
+        r.bucket: r.n_events
+        for r in se.stream_late_data_report(spark, SF_ORACLE).collect()
+    }
+    n_late = sum(v for k, v in late.items() if k != "on_time")
+    assert drops[0] == n_late
+    assert drops[0] > 0, "arrival disorder must make the curve non-vacuous"
+    assert rows[-1].delay_s == 86400
+    # at sf0.001 the feed is sparse (~43 min between events), so the
+    # id-shift disorder translates to DAYS of lateness for the %31 tail —
+    # a day-long watermark still recovers most, not all, of the late mass
+    assert rows[-1].n_dropped < drops[0]
+    assert rows[-1].n_dropped <= 0.05 * sum(late.values())
+    for r in rows:
+        assert abs(r.dropped_share - r.n_dropped / sum(late.values())) < 1e-6
