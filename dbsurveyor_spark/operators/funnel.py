@@ -513,7 +513,96 @@ FROM runs CROSS JOIN wm
 GROUP BY user_id
 """
 
+# ------------------------------------------- point-in-time features
+
+PIT_HORIZONS = ((86400, "24h"), (7 * 86400, "7d"))  # (seconds, label)
+
+
+def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct feature snapshot — the feature-store join
+    that prevents training-serving skew and label leakage: for every
+    purchase (the label event), each user-activity feature counts ONLY
+    events strictly BEFORE the purchase, within trailing 24 h / 7 d
+    horizons. Any "compute features then join on user" shortcut leaks
+    future events into training rows; this operator is the leakage-free
+    pattern as one plan.
+
+    Plan: ONE shuffle on user_id; every horizon-feature is a
+    RANGE-interval window frame over exact integer microseconds (epoch_us
+    — float seconds would make frame membership engine-dependent at ties)
+    on that shared sort; label rows filter AFTER the windows so features
+    see the full history. No joins at all — the classic as-of-join stack
+    per feature collapses into frames over one partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    from pyspark.sql.window import Window
+
+    feats = []
+    cols = []
+    base = ev
+    for secs, label in PIT_HORIZONS:
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("us")
+            .rangeBetween(-secs * 1_000_000, -1)
+        )
+        for etype in ("view", "click"):
+            cname = f"{etype}s_{label}"
+            base = base.withColumn(
+                cname,
+                F.sum(
+                    F.when(F.col("event_type") == etype, 1).otherwise(0)
+                )
+                .over(w)
+                .cast("bigint"),
+            )
+            cols.append(cname)
+    return base.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("label_ts"),
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in cols],
+    )
+
+
+def _pit_features_sql() -> str:
+    wins = []
+    for secs, label in PIT_HORIZONS:
+        for etype in ("view", "click"):
+            wins.append(
+                f"CAST(COALESCE(SUM(CASE WHEN event_type = '{etype}' "
+                f"THEN 1 ELSE 0 END) OVER ("
+                f"PARTITION BY user_id ORDER BY epoch_us(ts) "
+                f"RANGE BETWEEN {secs * 1_000_000} PRECEDING "
+                f"AND 1 PRECEDING), 0) AS BIGINT) AS {etype}s_{label}"
+            )
+    wcols = ",\n         ".join(wins)
+    names = ", ".join(
+        f"{etype}s_{label}"
+        for _s, label in PIT_HORIZONS
+        for etype in ("view", "click")
+    )
+    return f"""
+WITH feat AS (
+  SELECT event_id, user_id, event_type, ts,
+         {wcols}
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS label_ts,
+       {names}
+FROM feat WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
+    "events_pit_features": events_pit_features,
     "user_activity_streaks": user_activity_streaks,
     "active_users_report": active_users_report,
     "funnel_conversion": funnel_conversion,
@@ -524,6 +613,7 @@ QUERIES = {
     "event_time_heatmap": event_time_heatmap,
 }
 ORACLES = {
+    "events_pit_features": _pit_features_sql(),
     "user_activity_streaks": STREAKS_SQL,
     "active_users_report": ACTIVE_USERS_SQL,
     "funnel_conversion": FUNNEL_SQL,

@@ -2032,3 +2032,40 @@ class TestIvfSq:
                 abs(q[i]) * rdeltas[i] / 512.0 for i in range(len(q))
             )
             assert abs(r.score_ivfsq - exact) <= bound + 1e-9
+
+
+class TestPitFeatures:
+    def test_no_future_leakage_and_bruteforce_parity(self, spark):
+        """Every feature must count only events strictly before the label
+        timestamp — verified against a brute-force Python recomputation on
+        the small SF — and the plan must be join-free (one window shuffle)."""
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import funnel
+
+        rows = funnel.events_pit_features(spark, SF).collect()
+        assert rows
+        ev = load_table(spark, SF, "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        ).collect()
+        by_user = {}
+        for e in ev:
+            by_user.setdefault(e.user_id, []).append(e)
+        checked = 0
+        for r in rows[:200]:
+            hist = by_user[r.user_id]
+            label = next(e for e in hist if e.event_id == r.event_id)
+            for secs, lab in funnel.PIT_HORIZONS:
+                for etype in ("view", "click"):
+                    want = sum(
+                        1
+                        for e in hist
+                        if e.event_type == etype
+                        and e.ts < label.ts
+                        and (label.ts - e.ts).total_seconds() <= secs
+                    )
+                    got = getattr(r, f"{etype}s_{lab}")
+                    assert got == want, (r.event_id, etype, lab, got, want)
+                    checked += 1
+        assert checked > 0
+        plan = formatted_plan(funnel.events_pit_features(spark, SF))
+        assert "Join" not in plan, plan
