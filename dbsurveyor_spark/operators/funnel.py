@@ -601,7 +601,91 @@ FROM feat WHERE event_type = 'purchase'
 """
 
 
+# --------------------------------------------------- time to convert
+
+TTC_PROBS = (0.25, 0.5, 0.75, 0.9)
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the latency view of the funnel
+    (`funnel_conversion` says HOW MANY convert; this says HOW FAST):
+    per user, first view → first purchase at-or-after it, and the
+    p25/p50/p75/p90 of that latency plus the conversion share. The
+    attribution-window / retargeting-deadline sizing table.
+
+    Plan: two user_id-keyed min-aggregates (the funnel's stage shape —
+    both reuse one partitioning), latencies in exact integer microseconds
+    (interpolated percentiles over integers are bit-stable across
+    engines — the `events_bot_detection` lesson), ONE 1-row percentile
+    aggregate at the end.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", F.unix_micros(F.col("ts")).alias("us")
+    )
+    views = events.filter(F.col("event_type") == "view").groupBy(
+        "user_id"
+    ).agg(F.min("us").alias("v_us"))
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("us") - F.col("v_us")).alias("lat_us"))
+    )
+    n_viewed = views.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed"))
+    probs = F.array(*[F.lit(p) for p in TTC_PROBS])
+    agg = buys.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.percentile(F.col("lat_us").cast("double"), probs).alias("q"),
+    )
+    sel = [
+        F.round(F.col("q")[i] / F.lit(1_000_000.0), 6).alias(
+            f"p{int(p * 100)}_s"
+        )
+        for i, p in enumerate(TTC_PROBS)
+    ]
+    return agg.crossJoin(F.broadcast(n_viewed)).select(
+        "n_viewed",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_viewed"), 6).alias(
+            "convert_share"
+        ),
+        *sel,
+    )
+
+
+def _ttc_sql() -> str:
+    probs = ", ".join(str(p) for p in TTC_PROBS)
+    qsel = ", ".join(
+        f"ROUND(q[{i + 1}] / 1000000.0, 6) AS p{int(p * 100)}_s"
+        for i, p in enumerate(TTC_PROBS)
+    )
+    return f"""
+WITH views AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+buys AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts) - v.v_us) AS lat_us
+  FROM events e JOIN views v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
+  GROUP BY e.user_id
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+         quantile_cont(CAST(lat_us AS DOUBLE), [{probs}]) AS q
+  FROM buys
+),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_viewed FROM views)
+SELECT n_viewed, n_converted,
+       ROUND(CAST(n_converted AS DOUBLE) / n_viewed, 6) AS convert_share,
+       {qsel}
+FROM agg CROSS JOIN nv
+"""
+
+
 QUERIES = {
+    "funnel_time_to_convert": funnel_time_to_convert,
     "events_pit_features": events_pit_features,
     "user_activity_streaks": user_activity_streaks,
     "active_users_report": active_users_report,
@@ -613,6 +697,7 @@ QUERIES = {
     "event_time_heatmap": event_time_heatmap,
 }
 ORACLES = {
+    "funnel_time_to_convert": _ttc_sql(),
     "events_pit_features": _pit_features_sql(),
     "user_activity_streaks": STREAKS_SQL,
     "active_users_report": ACTIVE_USERS_SQL,
