@@ -684,7 +684,149 @@ FROM agg CROSS JOIN nv
 """
 
 
+
+
+# ----------------------------------------------- within-session funnel
+
+def funnel_within_session(spark, sf_dir):
+    """Within-SESSION funnel: view -> click -> purchase completed inside
+    ONE 30-min-gap session (the single-sitting conversion rate;
+    `funnel_conversion` allows days between stages, so the two tables
+    bracket intent strength). Stage timestamps are ordered within the
+    session: first view, first click at-or-after it, first purchase
+    at-or-after that click.
+
+    Plan: ONE user_id shuffle builds gap sessions (lag -> cumsum, the
+    sessionization shape); the cached (user, session, type, ts) frame
+    feeds three stage aggregates that all reuse the user_id-prefixed
+    partitioning, exactly like `funnel_conversion`'s shrinking stage
+    semi-joins. Output is the metadata-sized funnel table.
+    """
+    from pyspark.sql.window import Window
+
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order_w)
+    is_new = (
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("bigint")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = tracked_cache(
+        events.withColumn("is_new", is_new)
+        .withColumn("session_idx", F.sum("is_new").over(run_w))
+        .select("user_id", "session_idx", "event_type", "ts")
+    )
+    keys = ["user_id", "session_idx"]
+    total = sess.select(*keys).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_total")
+    )
+    s_view = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    s_click = (
+        sess.filter(F.col("event_type") == "click")
+        .join(s_view, keys)
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    s_buy = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(s_click, keys)
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    base = s_view.agg(F.count(F.lit(1)).cast("bigint").alias("_base"))
+    stages = [("view", s_view), ("view_click", s_click), ("view_click_purchase", s_buy)]
+    rows = []
+    for i, (name, frame) in enumerate(stages):
+        rows.append(
+            frame.agg(F.count(F.lit(1)).cast("bigint").alias("sessions"))
+            .crossJoin(F.broadcast(base))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(i + 1).cast("bigint").alias("stage"),
+                F.lit(name).alias("stage_name"),
+                "sessions",
+                F.round(F.col("sessions") / F.col("_base"), 6).alias("conversion"),
+                F.round(F.col("sessions") / F.col("_total"), 6).alias("share_of_all_sessions"),
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res
+
+
+WITHIN_SESSION_FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM flagged
+),
+total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT DISTINCT user_id, session_idx FROM sess)
+),
+s_view AS (
+  SELECT user_id, session_idx, MIN(ts) AS v_ts FROM sess
+  WHERE event_type = 'view' GROUP BY user_id, session_idx
+),
+s_click AS (
+  SELECT s.user_id, s.session_idx, MIN(s.ts) AS c_ts
+  FROM sess s JOIN s_view v
+    ON v.user_id = s.user_id AND v.session_idx = s.session_idx
+  WHERE s.event_type = 'click' AND s.ts >= v.v_ts
+  GROUP BY s.user_id, s.session_idx
+),
+s_buy AS (
+  SELECT s.user_id, s.session_idx, MIN(s.ts) AS p_ts
+  FROM sess s JOIN s_click c
+    ON c.user_id = s.user_id AND c.session_idx = s.session_idx
+  WHERE s.event_type = 'purchase' AND s.ts >= c.c_ts
+  GROUP BY s.user_id, s.session_idx
+),
+base AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM s_view),
+counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s_view) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s_click) AS n2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s_buy) AS n3
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, n1 AS sessions,
+       ROUND(CAST(n1 AS DOUBLE) / b, 6) AS conversion,
+       ROUND(CAST(n1 AS DOUBLE) / t, 6) AS share_of_all_sessions
+FROM counts, base, total
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'view_click', n2,
+       ROUND(CAST(n2 AS DOUBLE) / b, 6), ROUND(CAST(n2 AS DOUBLE) / t, 6)
+FROM counts, base, total
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'view_click_purchase', n3,
+       ROUND(CAST(n3 AS DOUBLE) / b, 6), ROUND(CAST(n3 AS DOUBLE) / t, 6)
+FROM counts, base, total
+"""
+
+
 QUERIES = {
+    "funnel_within_session": funnel_within_session,
     "funnel_time_to_convert": funnel_time_to_convert,
     "events_pit_features": events_pit_features,
     "user_activity_streaks": user_activity_streaks,
@@ -697,6 +839,7 @@ QUERIES = {
     "event_time_heatmap": event_time_heatmap,
 }
 ORACLES = {
+    "funnel_within_session": WITHIN_SESSION_FUNNEL_SQL,
     "funnel_time_to_convert": _ttc_sql(),
     "events_pit_features": _pit_features_sql(),
     "user_activity_streaks": STREAKS_SQL,
