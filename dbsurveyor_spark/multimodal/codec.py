@@ -286,32 +286,42 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc in a 2^24 keyspace, in-bucket join + O(1) verify; payloads never
     shuffle.
     """
-    from ..operators.dedup import ID_OFFSET, simhash_block_pairs
+    from ..operators.dedup import simhash_block_pairs
     from ..plans.cache import release_caches, tracked_cache
 
     release_caches()
+    sims = tracked_cache(image_hashes(_image_media(spark, sf_dir)))
+    return simhash_block_pairs(sims)
+
+
+def _image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) image stand-in frame with injected lightly-edited
+    copies (every 10th doc, one byte appended) — shared by the pair scan
+    and the dedup-corpus materialization."""
+    from ..operators.dedup import ID_OFFSET
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     edited = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit("!")).alias("text"),
     )
-    media = docs.unionByName(edited).select(
+    return docs.unionByName(edited).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    sims = tracked_cache(image_hashes(media))
-    return simhash_block_pairs(sims)
 
 
-def _image_neardup_sql() -> str:
-    from ..operators.dedup import HAMMING_MAX, ID_OFFSET
+def _image_sims_ctes() -> str:
+    """Shared oracle CTE chain media -> cells -> sims (dHash replay) —
+    used by both the image near-dup pair oracle and the image-dedup
+    corpus oracle so they replay identical fingerprints."""
+    from ..operators.dedup import ID_OFFSET
 
     cells = f"""list_transform(range(0, {IMG_CELLS}), c ->
       COALESCE(list_sum(list_transform(
         range(CAST(c + 1 AS BIGINT), CAST(strlen(text) + 1 AS BIGINT),
               {IMG_CELLS}),
         p -> ord(substr(text, CAST(p AS INTEGER), 1)))), 0))"""
-    return f"""
-WITH media AS (
+    return f"""media AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {ID_OFFSET} AS doc_id, text || '!' AS text
@@ -325,11 +335,87 @@ sims AS (
                 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)), 0)
            AS simhash
   FROM cells
-)
+)"""
+
+
+def _image_neardup_sql() -> str:
+    from ..operators.dedup import HAMMING_MAX
+
+    return f"""
+WITH {_image_sims_ctes()}
 SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
 FROM sims x JOIN sims y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
+"""
+
+
+def mm_image_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-DEDUP corpus: one representative (min-id survivor) per
+    perceptual near-dup cluster, singletons kept — the artifact an image
+    pipeline ships (`mm_image_neardup` emits the pair evidence; this is
+    the decision). Clusters are connected components over the Hamming <= 3
+    pair graph via the shared O(log n) star contraction
+    (`operators.dedup.star_contraction_labels`); survivors semi-join back
+    to the media frame, summarized as (n_bytes, payload md5) so the value
+    oracle stays compact. At 100 TB: fingerprints are the only thing that
+    ever shuffles; payloads are touched once by the scan and once by the
+    survivor semi-join.
+    """
+    from ..operators.dedup import simhash_block_pairs, star_contraction_labels
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    media = _image_media(spark, sf_dir)
+    sims = tracked_cache(image_hashes(media))
+    pairs = simhash_block_pairs(sims)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = star_contraction_labels(edges).withColumnRenamed(
+        "node", "doc_id"
+    )
+    lab = sims.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+    )
+    survivors = lab.filter(F.col("doc_id") == F.col("cluster_id"))
+    return media.join(survivors.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def _image_dedup_corpus_sql() -> str:
+    from ..operators.dedup import HAMMING_MAX
+
+    return f"""
+WITH RECURSIVE {_image_sims_ctes()},
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM media
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+),
+labels AS (
+  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT m.doc_id, CAST(strlen(m.text) AS BIGINT) AS n_bytes,
+       md5(m.text) AS payload_md5
+FROM media m JOIN labels l ON l.doc_id = m.doc_id
+WHERE l.doc_id = l.cluster_id
 """
 
 
@@ -641,6 +727,7 @@ ORDER BY media_format
 
 
 QUERIES = {
+    "mm_image_dedup_corpus": mm_image_dedup_corpus,
     "mm_decode_stats": mm_decode_stats,
     "mm_frame_sample": mm_frame_sample,
     "mm_feature_extract": mm_feature_extract,
@@ -694,6 +781,7 @@ FROM media m, dims d
 """
 
 ORACLES: dict[str, str] = {
+    "mm_image_dedup_corpus": _image_dedup_corpus_sql(),
     "mm_decode_stats": _DECODE_SQL,
     "mm_frame_sample": _FRAME_SQL,
     "mm_feature_extract": _FEATURE_SQL,

@@ -209,3 +209,33 @@ class TestAudioFingerprintMatch:
         sfps = audio_subfingerprints(b"\x07" * 4096)
         assert len(sfps) > 200 and len(set(sfps)) == 1  # the degenerate case
         assert AUDIO_OCC_CAP <= 8
+
+
+def test_image_dedup_corpus_removes_every_injected_clone(spark):
+    """Survivors are min-id representatives: no injected clone (original id
+    + ID_OFFSET) may survive, every original must, and the survivor count
+    equals media minus the clustered-away rows."""
+    from pyspark.sql import functions as F
+
+    from dbsurveyor_spark.multimodal import codec
+    from dbsurveyor_spark.operators.dedup import ID_OFFSET
+
+    sf = "/root/testdata/sf0.001"
+    rows = codec.mm_image_dedup_corpus(spark, sf).collect()
+    assert rows
+    ids = {r.doc_id for r in rows}
+    media_ids = {
+        r.doc_id for r in codec._image_media(spark, sf).select("doc_id").collect()
+    }
+    clones = {i for i in media_ids if i >= ID_OFFSET}
+    assert clones
+    # a clone's original (clone - ID_OFFSET) is in media and has a smaller
+    # id, and the one-byte edit keeps Hamming <= 3 → clone never survives
+    assert not ids & clones
+    assert ids <= media_ids
+    # survivors keep exactly one representative per cluster: at minimum,
+    # all non-clustered originals survive
+    pairs = codec.mm_image_neardup(spark, sf).select("doc_a", "doc_b").collect()
+    paired = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    singletons = media_ids - paired
+    assert singletons <= ids
