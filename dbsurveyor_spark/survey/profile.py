@@ -1521,7 +1521,110 @@ SELECT '{c}' AS column_name,
     return "\nUNION ALL\n".join(parts)
 
 
+# ------------------------------------------------- row-width statistics
+
+# Static type spec (fixed widths in bytes; strings measured per row).
+# Mirrors Spark's own sizeInBytes estimation constants: 8 for
+# bigint/double/timestamp, 4 for int, data-measured for varchar.
+_ROW_WIDTH_SPEC = {
+    "customer": (
+        ("c_custkey", 8), ("c_name", "str"), ("c_nationkey", 4),
+        ("c_acctbal", 8), ("c_mktsegment", "str"),
+    ),
+    "orders": (
+        ("o_orderkey", 8), ("o_custkey", 8), ("o_orderstatus", "str"),
+        ("o_totalprice", 8), ("o_orderdate", 8), ("o_orderpriority", "str"),
+    ),
+    "lineitem": (
+        ("l_orderkey", 8), ("l_partkey", 8), ("l_suppkey", 8),
+        ("l_linenumber", 4), ("l_quantity", 8), ("l_extendedprice", 8),
+        ("l_discount", 8), ("l_tax", 8), ("l_returnflag", "str"),
+        ("l_linestatus", "str"), ("l_shipdate", 8),
+    ),
+    "part": (
+        ("p_partkey", 8), ("p_name", "str"), ("p_brand", "str"),
+        ("p_type", "str"), ("p_size", 4), ("p_retailprice", 8),
+    ),
+}
+
+
+def survey_row_width_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table UNCOMPRESSED row-width statistics (fixed type widths +
+    measured string bytes) — the `sizeInBytes` input behind every
+    broadcast-vs-shuffle and partition-sizing decision: planners guess it
+    from file sizes × compression heuristics, this measures it. Emits per
+    table the row count, fixed byte width, avg/max string payload, the
+    resulting avg row width, and the estimated in-memory total.
+
+    Plan: ONE map-side aggregate per table over pruned columns
+    (exact-decimal byte sums); the report frame is \\|tables\\| rows.
+    """
+    outs = []
+    for tbl, spec in _ROW_WIDTH_SPEC.items():
+        fixed = sum(w for _c, w in spec if w != "str")
+        strcols = [c for c, w in spec if w == "str"]
+        str_bytes = sum(
+            [F.octet_length(F.col(c)).cast("bigint") for c in strcols],
+            F.lit(0).cast("bigint"),
+        )
+        df = load_table(spark, sf_dir, tbl).select(*[c for c, _w in spec])
+        agg = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(str_bytes.cast(DECIMAL_T)).cast("double").alias("_ssum"),
+            F.max(str_bytes).cast("bigint").alias("max_str_bytes"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(tbl).alias("table_name"),
+                "n_rows",
+                F.lit(fixed).cast("bigint").alias("fixed_bytes"),
+                F.round(F.col("_ssum") / F.col("n_rows"), 6).alias(
+                    "avg_str_bytes"
+                ),
+                "max_str_bytes",
+                F.round(
+                    F.lit(float(fixed)) + F.col("_ssum") / F.col("n_rows"), 6
+                ).alias("avg_row_bytes"),
+                F.round(
+                    (F.lit(float(fixed)) * F.col("n_rows") + F.col("_ssum"))
+                    / F.lit(1048576.0),
+                    6,
+                ).alias("est_total_mb"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _row_width_sql() -> str:
+    parts = []
+    for tbl, spec in _ROW_WIDTH_SPEC.items():
+        fixed = sum(w for _c, w in spec if w != "str")
+        strcols = [c for c, w in spec if w == "str"]
+        sb = " + ".join(
+            f"CAST(strlen({c}) AS BIGINT)" for c in strcols  # DuckDB: strlen = bytes
+        )
+        parts.append(f"""
+SELECT '{tbl}' AS table_name,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST({fixed} AS BIGINT) AS fixed_bytes,
+  ROUND(CAST(SUM(CAST(CAST(0 AS BIGINT) + {sb} AS DECIMAL(30,6))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_str_bytes,
+  CAST(MAX(CAST(0 AS BIGINT) + {sb}) AS BIGINT) AS max_str_bytes,
+  ROUND(CAST({fixed} AS DOUBLE)
+        + CAST(SUM(CAST(CAST(0 AS BIGINT) + {sb} AS DECIMAL(30,6))) AS DOUBLE)
+          / COUNT(*), 6) AS avg_row_bytes,
+  ROUND((CAST({fixed} AS DOUBLE) * COUNT(*)
+         + CAST(SUM(CAST(CAST(0 AS BIGINT) + {sb} AS DECIMAL(30,6)))
+                AS DOUBLE)) / 1048576.0, 6) AS est_total_mb
+FROM {tbl}""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
+    "survey_row_width_stats": survey_row_width_stats,
     "survey_incremental_profile": survey_incremental_profile,
     "survey_date_gaps": survey_date_gaps,
     "survey_constraint_suggestions": survey_constraint_suggestions,
@@ -1543,6 +1646,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "survey_row_width_stats": _row_width_sql(),
     "survey_incremental_profile": _incremental_profile_sql(),
     "survey_date_gaps": DATE_GAPS_SQL,
     "survey_constraint_suggestions": _constraint_suggestions_sql(),
