@@ -1404,7 +1404,77 @@ SELECT CAST(s_nationkey AS BIGINT) AS nation_key,
 FROM terms GROUP BY s_nationkey
 """
 
+
+# ---------------------------------------------------- backlog aging
+
+AGING_BUCKETS = ((30, "0_30d"), (90, "31_90d"), (365, "91_365d"), (None, "gt_365d"))
+
+
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order BACKLOG aging — the receivables/WIP aging report every
+    operational warehouse runs: non-finalized orders (status != 'F')
+    bucketed by age at the dataset's own watermark (max order date — the
+    deterministic now, as in `quality_timeliness`), per (status, bucket)
+    with order counts and exact-decimal open value. The oldest buckets are
+    the escalation queue; the value column sizes the exposure.
+
+    Plan: 1-row watermark aggregate broadcast back; aging and bucketing
+    are scan-local CASE arithmetic; ONE bounded (status x bucket)
+    aggregate. At 100 TB this is a single pass over orders.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    wm = orders.agg(F.max("o_orderdate").alias("wm"))
+    age = F.datediff(F.col("wm").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = F.when(age <= AGING_BUCKETS[0][0], AGING_BUCKETS[0][1])
+    for ub, name in AGING_BUCKETS[1:]:
+        bucket = (
+            bucket.when(age <= ub, name) if ub is not None
+            else bucket.otherwise(name)
+        )
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(wm))
+        .groupBy(
+            F.col("o_orderstatus").alias("status"), bucket.alias("age_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                .cast("double"),
+                2,
+            ).alias("open_value"),
+        )
+    )
+
+
+def _backlog_aging_sql() -> str:
+    cases = [f"WHEN age <= {AGING_BUCKETS[0][0]} THEN '{AGING_BUCKETS[0][1]}'"]
+    for ub, name in AGING_BUCKETS[1:]:
+        cases.append(
+            f"WHEN age <= {ub} THEN '{name}'" if ub is not None
+            else f"ELSE '{name}'"
+        )
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH aged AS (
+  SELECT o_orderstatus AS status, o_totalprice,
+         datediff('day', CAST(o_orderdate AS DATE),
+                  CAST((SELECT MAX(o_orderdate) FROM orders) AS DATE)) AS age
+  FROM orders WHERE o_orderstatus <> 'F'
+)
+SELECT status, {case} AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2)
+         AS open_value
+FROM aged
+GROUP BY status, {case}
+"""
+
 QUERIES = {
+    "orders_backlog_aging": orders_backlog_aging,
     "rfm_segmentation": rfm_segmentation,
     "window_yoy_revenue": window_yoy_revenue,
     "abc_part_classification": abc_part_classification,
@@ -1434,6 +1504,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_backlog_aging": _backlog_aging_sql(),
     "rfm_segmentation": _rfm_sql(),
     "window_yoy_revenue": YOY_SQL,
     "abc_part_classification": ABC_SQL,
