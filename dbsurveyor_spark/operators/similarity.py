@@ -2058,7 +2058,121 @@ SELECT query_id, neighbor_id, ROUND(score, 9) AS score_ivfsq, rank FROM (
 """
 
 
+# --------------------------------------------- compression/recall Pareto
+
+# (mode key, search fn name, vector-memory compression factor vs float64)
+PARETO_MODES = (
+    ("ivf_flat", "ann_ivf_topk", 1.0),
+    ("sq8", "ann_sq8_topk", 8.0),
+    ("ivf_sq8", "ann_ivfsq_topk", 8.0),
+    ("pq", "ann_pq_topk", 64.0),
+    ("ivf_pq", "ann_ivfpq_topk", 64.0),
+)
+
+
+def ann_compression_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compression/recall PARETO table — the one-page decision an
+    index owner actually makes, composed from the five shipped search
+    modes (IVF-Flat, SQ8, IVF-SQ8, PQ, IVFPQ) scored against the exact
+    brute-force top-k: per mode, its vector-memory compression factor and
+    its mean/worst recall@k over the probe set. Reading the table IS the
+    capacity plan: pick the rightmost point that still meets the recall
+    SLO.
+
+    Plan: every search is the shipped operator (each already slim/fused);
+    results are k×|probes| metadata frames, so recall arithmetic runs on
+    collected 30-row sets driver-side and the output materializes as a
+    |modes|-row literal frame. Mean recall = total_hits/(probes·k) in one
+    division (bit-stable across engines); the oracle recomputes every
+    mode's full replay and the same arithmetic.
+    """
+    searches = {
+        "ivf_flat": ann_ivf_topk,
+        "sq8": ann_sq8_topk,
+        "ivf_sq8": ann_ivfsq_topk,
+        "pq": ann_pq_topk,
+        "ivf_pq": ann_ivfpq_topk,
+    }
+    bf_rows = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rank") <= IVF_K)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    truth: dict[int, set] = {}
+    for r in bf_rows:
+        truth.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    n_probes = len(truth)
+    out = []
+    for name, _fn_name, comp in PARETO_MODES:
+        got_rows = searches[name](spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ).collect()
+        got: dict[int, set] = {}
+        for r in got_rows:
+            got.setdefault(int(r["query_id"]), set()).add(
+                int(r["neighbor_id"])
+            )
+        hits = {q: len(truth[q] & got.get(q, set())) for q in truth}
+        total = sum(hits.values())
+        worst = min(hits.values())
+        out.append(
+            (
+                name,
+                float(comp),
+                round(float(total) / (n_probes * IVF_K), 6),
+                round(float(worst) / IVF_K, 6),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "index_mode string, compression_x double, "
+        "mean_recall double, min_recall double",
+    )
+
+
+def _pareto_sql() -> str:
+    mode_sqls = {
+        "ivf_flat": _ivf_sql(),
+        "sq8": _sq_sql(),
+        "ivf_sq8": _ivfsq_sql(),
+        "pq": _pq_sql(),
+        "ivf_pq": _ivfpq_sql(),
+    }
+    ctes = [
+        f"bf AS (SELECT query_id, neighbor_id FROM ({_bruteforce_sql()}) "
+        f"WHERE rank <= {IVF_K})",
+        "np AS (SELECT COUNT(DISTINCT query_id) AS n FROM bf)",
+    ]
+    branches = []
+    for name, _fn, comp in PARETO_MODES:
+        ctes.append(
+            f"m_{name} AS (SELECT query_id, neighbor_id "
+            f"FROM ({mode_sqls[name]}))"
+        )
+        ctes.append(
+            f"""h_{name} AS (
+  SELECT bf.query_id, COUNT(m.neighbor_id) AS hits
+  FROM bf LEFT JOIN m_{name} m
+    ON m.query_id = bf.query_id AND m.neighbor_id = bf.neighbor_id
+  GROUP BY bf.query_id
+)"""
+        )
+        branches.append(
+            f"""SELECT '{name}' AS index_mode,
+       CAST({float(comp)} AS DOUBLE) AS compression_x,
+       ROUND(CAST((SELECT SUM(hits) FROM h_{name}) AS DOUBLE)
+             / ((SELECT n FROM np) * {IVF_K}), 6) AS mean_recall,
+       ROUND(CAST((SELECT MIN(hits) FROM h_{name}) AS DOUBLE)
+             / {IVF_K}, 6) AS min_recall"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(branches)
+    )
+
+
 QUERIES = {
+    "ann_compression_pareto": ann_compression_pareto,
     "ann_ivfsq_topk": ann_ivfsq_topk,
     "ann_sq8_topk": ann_sq8_topk,
     "ann_pq_topk": ann_pq_topk,
@@ -2079,6 +2193,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_compression_pareto": _pareto_sql(),
     "ann_ivfsq_topk": _ivfsq_sql(),
     "ann_sq8_topk": _sq_sql(),
     "ann_pq_topk": _pq_sql(),

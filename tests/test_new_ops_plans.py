@@ -2069,3 +2069,23 @@ class TestPitFeatures:
         assert checked > 0
         plan = formatted_plan(funnel.events_pit_features(spark, SF))
         assert "Join" not in plan, plan
+
+
+class TestCompressionPareto:
+    def test_pareto_invariants(self, spark):
+        from dbsurveyor_spark.operators import similarity
+
+        rows = {
+            r.index_mode: r
+            for r in similarity.ann_compression_pareto(spark, SF).collect()
+        }
+        assert set(rows) == {m[0] for m in similarity.PARETO_MODES}
+        for r in rows.values():
+            assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
+            assert r.compression_x >= 1.0
+        assert rows["ivf_flat"].compression_x == 1.0
+        # full-scan SQ8 quantizes far finer than 16-code PQ: on this
+        # deterministic data+model it must dominate PQ's recall
+        assert rows["sq8"].mean_recall > rows["pq"].mean_recall
+        # cell-restricted modes cannot beat their full-scan counterpart
+        assert rows["ivf_sq8"].mean_recall <= rows["sq8"].mean_recall
