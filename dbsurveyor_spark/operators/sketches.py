@@ -381,8 +381,11 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return keys.orderBy("h").limit(THETA_K)
 
-    sk_a = sketch(1995).cache()
-    sk_b = sketch(1996).cache()
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    sk_a = tracked_cache(sketch(1995))
+    sk_b = tracked_cache(sketch(1996))
 
     def theta_h(sk: DataFrame) -> DataFrame:
         # θ in hash units: the K-th smallest hash when saturated, else the
