@@ -1416,27 +1416,38 @@ def survey_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     merged = partials.agg(*merged_aggs)
 
-    # KMV partials per (side, column) → sketch-merge per column
-    hash_rows = None
+    # KMV partials per (side, column) → sketch-merge per column. Each
+    # per-side sketch is a distinct-hash dedup + TakeOrderedAndProject
+    # (per-partition top-K heaps, driver merge — the proven sketch_kmv
+    # shape); a row_number window over (side, column) partitions would be
+    # a near-GLOBAL sort of every distinct hash at 100 TB (only 2·cols
+    # partitions to spread it over).
+    side_sketches = []
     for c in INCR_COLUMNS:
-        hr = li.select(side.alias("side"), F.col(c).alias("v")).filter(
-            F.col("v").isNotNull()
-        ).select(
-            "side",
-            F.lit(c).alias("column_name"),
-            portable_hash64(F.concat(F.lit(f"incr_{c}_"), F.col("v"))).alias("h"),
-        )
-        hash_rows = hr if hash_rows is None else hash_rows.unionByName(hr)
-    per_side = (
-        hash_rows.dropDuplicates(["side", "column_name", "h"])
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("side", "column_name").orderBy("h")
-            ),
-        )
-        .filter(F.col("rn") <= INCR_KMV_K)
-    )
+        for side_name, pred in (
+            ("hist", F.col("l_shipdate") < F.to_timestamp(F.lit(INCR_CUTOFF))),
+            ("delta", ~(F.col("l_shipdate") < F.to_timestamp(F.lit(INCR_CUTOFF)))),
+        ):
+            hr = (
+                li.filter(pred & F.col(c).isNotNull())
+                .select(
+                    portable_hash64(
+                        F.concat(F.lit(f"incr_{c}_"), F.col(c))
+                    ).alias("h")
+                )
+                .distinct()
+                .orderBy("h")
+                .limit(INCR_KMV_K)
+                .select(
+                    F.lit(c).alias("column_name"),
+                    F.lit(side_name).alias("side"),
+                    "h",
+                )
+            )
+            side_sketches.append(hr)
+    per_side = reduce(lambda a, b: a.unionByName(b), side_sketches)
+    # merged sketch = K smallest of the union of both sides' K-minima
+    # (≤ 2K rows per column — metadata; the window here sorts ≤2K rows)
     merged_sketch = (
         per_side.select("column_name", "h")
         .dropDuplicates(["column_name", "h"])
