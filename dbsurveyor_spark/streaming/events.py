@@ -869,21 +869,19 @@ def stream_watermark_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             for d in WATERMARK_DELAYS
         ],
     )
-    outs = []
-    for d in WATERMARK_DELAYS:
-        outs.append(
-            agg.select(
-                F.lit(d).cast("bigint").alias("delay_s"),
-                F.col(f"d{d}").alias("n_dropped"),
-                F.round(
-                    F.col(f"d{d}").cast("double") / F.col("n_total"), 9
-                ).alias("dropped_share"),
-            )
+    # ONE aggregate → rows via inline (union-of-selects replans the
+    # lateness pipeline once per sweep level — measured 24 parquet scans)
+    entries = [
+        F.struct(
+            F.lit(d).cast("bigint").alias("delay_s"),
+            F.col(f"d{d}").alias("n_dropped"),
+            F.round(
+                F.col(f"d{d}").cast("double") / F.col("n_total"), 9
+            ).alias("dropped_share"),
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+        for d in WATERMARK_DELAYS
+    ]
+    return agg.select(F.inline(F.array(*entries)))
 
 
 def _watermark_curve_sql() -> str:
@@ -1708,20 +1706,19 @@ def stream_state_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("join_click_buffer"),
         )
     )
-    outs = []
-    for op, (horizon_s, bpr) in STATE_OPS.items():
-        outs.append(
-            agg.select(
-                F.lit(op).alias("op_name"),
-                F.lit(horizon_s).cast("bigint").alias("horizon_s"),
-                F.col(op).alias("state_rows"),
-                (F.col(op) * bpr).cast("bigint").alias("est_state_bytes"),
-            )
+    # ONE aggregate → rows via inline (a union of per-op selects would
+    # replan the whole aggregate per branch: measured 16 parquet scans for
+    # the 4-row report; inline keeps it at one)
+    entries = [
+        F.struct(
+            F.lit(op).alias("op_name"),
+            F.lit(horizon_s).cast("bigint").alias("horizon_s"),
+            F.col(op).alias("state_rows"),
+            (F.col(op) * bpr).cast("bigint").alias("est_state_bytes"),
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+        for op, (horizon_s, bpr) in STATE_OPS.items()
+    ]
+    return agg.select(F.inline(F.array(*entries)))
 
 
 def _state_size_sql() -> str:

@@ -1476,26 +1476,27 @@ def survey_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    outs = []
-    for c in INCR_COLUMNS:
-        outs.append(
-            merged.select(
-                F.lit(c).alias("column_name"),
-                "rows_hist",
-                "rows_delta",
-                (F.col("rows_hist") + F.col("rows_delta"))
-                .cast("bigint")
-                .alias("rows_total"),
-                F.col(f"nulls_{c}").alias("nulls_total"),
-                F.round(F.col(f"min_{c}").cast("double"), 6).alias("min_val"),
-                F.round(F.col(f"max_{c}").cast("double"), 6).alias("max_val"),
-                F.round(F.col(f"sum_{c}").cast("double"), 2).alias("sum_val"),
-                F.round(
-                    F.col(f"sum_{c}").cast("double") / F.col(f"cnt_{c}"), 6
-                ).alias("mean_val"),
-            )
+    # ONE merged frame → per-column rows via inline (union-of-selects
+    # would replan the partials aggregate once per column)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("rows_hist"),
+            F.col("rows_delta"),
+            (F.col("rows_hist") + F.col("rows_delta"))
+            .cast("bigint")
+            .alias("rows_total"),
+            F.col(f"nulls_{c}").alias("nulls_total"),
+            F.round(F.col(f"min_{c}").cast("double"), 6).alias("min_val"),
+            F.round(F.col(f"max_{c}").cast("double"), 6).alias("max_val"),
+            F.round(F.col(f"sum_{c}").cast("double"), 2).alias("sum_val"),
+            F.round(
+                F.col(f"sum_{c}").cast("double") / F.col(f"cnt_{c}"), 6
+            ).alias("mean_val"),
         )
-    profile_rows = reduce(lambda a, b: a.unionByName(b), outs)
+        for c in INCR_COLUMNS
+    ]
+    profile_rows = merged.select(F.inline(F.array(*entries)))
     return profile_rows.join(F.broadcast(merged_sketch), "column_name")
 
 

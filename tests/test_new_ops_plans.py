@@ -2089,3 +2089,61 @@ class TestCompressionPareto:
         assert rows["sq8"].mean_recall > rows["pq"].mean_recall
         # cell-restricted modes cannot beat their full-scan counterpart
         assert rows["ivf_sq8"].mean_recall <= rows["sq8"].mean_recall
+
+
+class TestNewOpPlanShapes:
+    def test_state_size_report_single_pass(self, spark):
+        from dbsurveyor_spark.streaming import events as se
+
+        df = se.stream_state_size_report(spark, SF)
+        assert_no_python_eval(df)
+        plan = formatted_plan(df)
+        # one watermark broadcast + the conditional aggregate: the events
+        # scan must appear a bounded number of times (per-branch reuse),
+        # never once per sweep level
+        assert plan.count("Scan parquet") <= 4, plan
+
+    def test_watermark_curve_one_lateness_pass(self, spark):
+        from dbsurveyor_spark.streaming import events as se
+
+        df = se.stream_watermark_tuning_curve(spark, SF)
+        assert_no_python_eval(df)
+        plan = formatted_plan(df)
+        # all sweep levels come from ONE conditional aggregate over one
+        # lateness computation — scan count is independent of len(DELAYS)
+        assert plan.count("Scan parquet") <= 2 * len(se.WATERMARK_DELAYS), plan
+
+    def test_backlog_aging_broadcast_watermark(self, spark):
+        from dbsurveyor_spark.operators import relational
+
+        df = relational.orders_backlog_aging(spark, SF)
+        assert_no_python_eval(df)
+        # the 1-row watermark crossJoin plans as a broadcast NESTED-LOOP
+        # join (no equi-keys) — broadcast is what matters, not the probe
+        plan = formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+    def test_row_width_stats_no_joins_no_python(self, spark):
+        from dbsurveyor_spark.survey import profile as prof
+
+        df = prof.survey_row_width_stats(spark, SF)
+        assert_no_python_eval(df)
+        plan = formatted_plan(df)
+        assert "Join" not in plan, plan
+
+    def test_theta_sketch_uses_take_ordered(self, spark):
+        from dbsurveyor_spark.operators import sketches
+
+        df = sketches.sketch_theta_set_ops(spark, SF)
+        assert_no_python_eval(df)
+        plan = formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_incremental_profile_kmv_take_ordered_not_window(self, spark):
+        """The per-side KMV minima must plan as TakeOrderedAndProject —
+        a row_number window over 2·columns partitions is a near-global
+        sort at 100 TB (the scale-audit fix this test pins)."""
+        from dbsurveyor_spark.survey import profile as prof
+
+        plan = formatted_plan(prof.survey_incremental_profile(spark, SF))
+        assert "TakeOrderedAndProject" in plan, plan
