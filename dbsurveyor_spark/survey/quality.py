@@ -1983,40 +1983,41 @@ def quality_completeness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("null_deg").cast("bigint").alias("nd"),
         F.sum("null_ctl").cast("bigint").alias("nc"),
     )
-    outs = []
-    for colname, nullcol in (
-        ("o_orderpriority_degrading", "nd"),
-        ("o_orderstatus_control", "nc"),
-    ):
-        y = F.round(F.col(nullcol) / F.col("n_rows"), 6)
-        base = monthly.select(
+    # ONE monthly frame → (column, month) rows via inline (a per-column
+    # union would replan the orders aggregate once per column); the OLS
+    # slope is a window per column over the ≤2·|months| frame.
+    entries = [
+        F.struct(
             F.lit(colname).alias("column_name"),
             F.col("mi").cast("bigint").alias("month_idx"),
-            "n_rows",
+            F.col("n_rows"),
             F.col(nullcol).alias("n_null"),
-            y.alias("null_rate"),
+            F.round(F.col(nullcol) / F.col("n_rows"), 6).alias("null_rate"),
         )
-        w = Window.partitionBy("column_name")
-        x = F.col("month_idx").cast("double")
-        slope = (
-            F.count(F.lit(1)).over(w) * F.sum(x * F.col("null_rate")).over(w)
-            - F.sum(x).over(w) * F.sum("null_rate").over(w)
-        ) / (
-            F.count(F.lit(1)).over(w) * F.sum(x * x).over(w)
-            - F.sum(x).over(w) * F.sum(x).over(w)
+        for colname, nullcol in (
+            ("o_orderpriority_degrading", "nd"),
+            ("o_orderstatus_control", "nc"),
         )
-        outs.append(
-            base.select(
-                "column_name",
-                "month_idx",
-                "n_rows",
-                "n_null",
-                "null_rate",
-                F.round(slope, 9).alias("slope_per_month"),
-                (slope > TREND_SLOPE_T).alias("deteriorating"),
-            )
-        )
-    return outs[0].unionByName(outs[1])
+    ]
+    base = monthly.select(F.inline(F.array(*entries)))
+    w = Window.partitionBy("column_name")
+    x = F.col("month_idx").cast("double")
+    slope = (
+        F.count(F.lit(1)).over(w) * F.sum(x * F.col("null_rate")).over(w)
+        - F.sum(x).over(w) * F.sum("null_rate").over(w)
+    ) / (
+        F.count(F.lit(1)).over(w) * F.sum(x * x).over(w)
+        - F.sum(x).over(w) * F.sum(x).over(w)
+    )
+    return base.select(
+        "column_name",
+        "month_idx",
+        "n_rows",
+        "n_null",
+        "null_rate",
+        F.round(slope, 9).alias("slope_per_month"),
+        (slope > TREND_SLOPE_T).alias("deteriorating"),
+    )
 
 
 def _completeness_trend_sql() -> str:
