@@ -758,8 +758,12 @@ def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket ONCE and expands pairs with JVM array ops (dedup._bucket_pairs;
     pair fan-out bounded by basket size, ≤7 lines at TPC-H ratios — never
     a corpus self-join that recomputes the scan per side) → pair groupBy →
-    per-part order counts join as a broadcast (the part dimension is
-    bounded) → rank over the aggregate only.
+    per-part order counts attach as SHUFFLE_HASH key joins (the part
+    dimension grows LINEARLY with the corpus — 20B parts at TPC-H sf100k —
+    so it must never broadcast) → top-K via orderBy().limit() (the §6
+    top-K rule: a filtered global row_number window sorts the whole pair
+    frame in one partition); the rank column is recomputed over the ≤K-row
+    survivors only.
     """
     from .dedup import _bucket_pairs
 
@@ -781,21 +785,19 @@ def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders_part")
     )
     n_orders = lines.select("l_orderkey").distinct().count()
-    na = F.broadcast(
-        part_orders.select(
-            F.col("l_partkey").alias("part_a"),
-            F.col("n_orders_part").alias("n_a"),
-        )
-    )
-    nb = F.broadcast(
-        part_orders.select(
-            F.col("l_partkey").alias("part_b"),
-            F.col("n_orders_part").alias("n_b"),
-        )
-    )
+    na = part_orders.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("n_orders_part").alias("n_a"),
+    ).hint("SHUFFLE_HASH")
+    nb = part_orders.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("n_orders_part").alias("n_b"),
+    ).hint("SHUFFLE_HASH")
     lift = (F.col("support").cast("double") * F.lit(float(n_orders))) / (
         F.col("n_a").cast("double") * F.col("n_b")
     )
+    # top-K first (TakeOrderedAndProject — distributed partial top-K, no
+    # global sort), THEN the rank window over the ≤K-row survivor frame.
     w = Window.orderBy(
         F.desc("support"), F.asc("part_a"), F.asc("part_b")
     )
@@ -803,8 +805,9 @@ def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(na, "part_a")
         .join(nb, "part_b")
         .withColumn("lift", F.round(lift, 9))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= BASKET_TOP_K)
         .select("rank", "part_a", "part_b", "support", "n_a", "n_b", "lift")
     )
 
@@ -1180,14 +1183,19 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inventory-prioritization table every ops team keeps. Reports each
     class's part count, revenue, and share.
 
-    Plan: one exact-decimal groupBy(part) revenue aggregate; the Pareto
-    math (rank by revenue desc, running share, class fences) runs over the
-    bounded |parts| frame — at 100 TB the fact scan dominates and the
-    per-part frame stays millions, not billions. The running share uses
-    the part-frame window only; nothing data-sized sorts.
+    Plan: one exact-decimal groupBy(part) revenue aggregate; the running
+    revenue prefix uses the §6 TWO-LEVEL parallel prefix
+    (`plans/prefix.py`) — the part dimension grows LINEARLY with the
+    corpus (|parts| = |lineitem|/30 at literal TPC-H ratios), so a
+    partition-less cumulative window would sort billions of rows on one
+    core at 100×. Decimal sums are exact and associative, so the blocked
+    prefix is bit-identical to the global window and the oracle keeps its
+    plain OVER (ORDER BY …).
     """
-    from pyspark.sql.window import Window
+    from ..plans.cache import release_caches
+    from ..plans.prefix import two_level_prefix
 
+    release_caches()
     dec = "decimal(30,6)"
     lines = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
@@ -1197,13 +1205,15 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
         ).alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     tot = rev.agg(F.sum("revenue").alias("total"))
     classed = (
-        rev.join(F.broadcast(tot))
-        .withColumn("cum", F.sum("revenue").over(w))
+        two_level_prefix(
+            rev,
+            [F.desc("revenue"), F.asc("l_partkey")],
+            out_col="cum",
+            sum_col="revenue",
+        )
+        .join(F.broadcast(tot))
         .withColumn(
             "abc_class",
             F.when(F.col("cum") / F.col("total") <= 0.80, "A")

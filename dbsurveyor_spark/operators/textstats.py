@@ -874,24 +874,31 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a degenerate vocabulary. The companion diagnostic to
     `text_vocab_growth`'s Heaps curve (the two laws are duals).
 
-    Plan: one token groupBy, rank via row_number over the |vocab|-row
-    aggregate (bounded — vocabulary, not corpus), closed-form OLS from
-    decimal-summed rounded log terms (partition-order-free), slope and
-    intercept in identical double expression trees both engines.
+    Plan: one token groupBy, then the global rank via the §6 TWO-LEVEL
+    parallel prefix (`plans/prefix.py`) — a raw-token vocabulary is
+    10⁸–10⁹ rows at 100 TB, so a partition-less row_number window (which
+    sorts the whole vocabulary on one core) is not an option; the OLS
+    needs every rank, so TakeOrderedAndProject doesn't apply either.
+    Closed-form OLS from decimal-summed rounded log terms
+    (partition-order-free), slope and intercept in identical double
+    expression trees both engines.
     """
-    from pyspark.sql.window import Window
+    from ..plans.cache import release_caches
+    from ..plans.prefix import two_level_prefix
 
+    release_caches()
     docs = load_table(spark, sf_dir, "documents").select("text")
     counts = (
         docs.select(F.explode(tokens(F.col("text"))).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("t"))
     lx = F.log(F.col("rank").cast("double"))
     ly = F.log(F.col("cnt").cast("double"))
     dec = "decimal(38,12)"
-    terms = counts.withColumn("rank", F.row_number().over(w)).select(
+    terms = two_level_prefix(
+        counts, [F.desc("cnt"), F.asc("t")], out_col="rank"
+    ).select(
         F.round(lx, 12).cast(dec).alias("x"),
         F.round(ly, 12).cast(dec).alias("y"),
         F.round(lx * lx, 12).cast(dec).alias("xx"),
