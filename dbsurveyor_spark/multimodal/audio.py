@@ -70,25 +70,28 @@ def audio_subfingerprints(payload: bytes) -> list[int]:
     return out
 
 
-def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio near-dup pairs with time-offset alignment: documents pair when
-    ≥ AUDIO_MIN_ALIGNED subfingerprints agree at one consistent offset;
-    emits (doc_a, doc_b, offset, aligned_matches). Injected copies (every
-    10th doc re-encoded with a 2-frame leading pad — a time-shifted
-    re-upload) must surface at offset = 2, which is exactly what the
-    offset-vote histogram recovers and a set-overlap dedup cannot.
-    """
+def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio lake: documents as stub waveforms plus the injected
+    time-shifted re-uploads (every 10th doc with a 2-frame leading pad)."""
     from ..operators.dedup import ID_OFFSET
-    from ..plans.cache import release_caches, tracked_cache
 
-    release_caches()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pad = "x" * AUDIO_SHIFT_BYTES
     shifted = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
         F.concat(F.lit(pad), F.col("text")).alias("text"),
     )
-    media = docs.unionByName(shifted).select(
+    return docs.unionByName(shifted)
+
+
+def _aligned_pair_frame(media_text: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, offset, aligned_matches) — dominant-offset aligned
+    pairs over the stub subfingerprint stream; the shared back half of the
+    match and dedup-corpus operators. Caches the subfingerprint frame (the
+    caller owns `release_caches()`)."""
+    from ..plans.cache import tracked_cache
+
+    media = media_text.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
@@ -169,7 +172,64 @@ def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _audio_sql() -> str:
+def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs with time-offset alignment: documents pair when
+    ≥ AUDIO_MIN_ALIGNED subfingerprints agree at one consistent offset;
+    emits (doc_a, doc_b, offset, aligned_matches). Injected copies (every
+    10th doc re-encoded with a 2-frame leading pad — a time-shifted
+    re-upload) must surface at offset = 2, which is exactly what the
+    offset-vote histogram recovers and a set-overlap dedup cannot.
+    """
+    from ..plans.cache import release_caches
+
+    release_caches()
+    return _aligned_pair_frame(_audio_media(spark, sf_dir))
+
+
+def mm_audio_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio-DEDUP corpus: one representative (min-id survivor) per
+    acoustic cluster, singletons kept — the decision step on top of
+    `mm_audio_fingerprint_match`'s pair evidence, completing the audio
+    family the way `mm_image_dedup_corpus` completes images. Clusters are
+    connected components over the offset-vote-aligned pair graph via the
+    shared O(log n) star contraction
+    (`operators.dedup.star_contraction_labels`); survivors semi-join back
+    to the media frame, summarized as (n_bytes, payload md5) so the value
+    oracle stays compact. At 100 TB: only (doc_id, t, sfp) int64 rows and
+    pair ids ever shuffle; payloads are touched once by the scan and once
+    by the survivor semi-join.
+    """
+    from ..operators.dedup import star_contraction_labels
+    from ..plans.cache import release_caches
+
+    release_caches()
+    media_text = _audio_media(spark, sf_dir)
+    pairs = _aligned_pair_frame(media_text)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = star_contraction_labels(edges).withColumnRenamed(
+        "node", "doc_id"
+    )
+    lab = media_text.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+    )
+    survivors = lab.filter(F.col("doc_id") == F.col("cluster_id"))
+    return media_text.join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    ).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_bytes"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("payload_md5"),
+    )
+
+
+def _audio_pair_ctes() -> str:
+    """The shared oracle CTE chain media → … → ranked (dominant-offset
+    aligned pairs), replaying the stub subfingerprint byte math exactly."""
     from ..operators.dedup import ID_OFFSET
 
     band_w = AUDIO_WIN // AUDIO_BANDS
@@ -190,8 +250,7 @@ def _audio_sql() -> str:
         for dt in range(AUDIO_DEPTH)
         for b in range(AUDIO_BANDS)
     )
-    return f"""
-WITH media AS (
+    return f"""media AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {ID_OFFSET} AS doc_id,
@@ -222,7 +281,7 @@ occ AS (
 kept AS (
   SELECT o.doc_id, o.t, o.sfp
   FROM occ o JOIN keep USING (sfp)
-  WHERE o.rn_occ <= 8
+  WHERE o.rn_occ <= {AUDIO_OCC_CAP}
 ),
 votes AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t - b.t AS "offset",
@@ -236,17 +295,51 @@ ranked AS (
                             ORDER BY aligned_matches DESC, "offset" ASC)
            AS rn
   FROM votes
-)
+)"""
+
+
+def _audio_sql() -> str:
+    return f"""
+WITH {_audio_pair_ctes()}
 SELECT doc_a, doc_b, "offset", aligned_matches
 FROM ranked
 WHERE rn = 1 AND aligned_matches >= {AUDIO_MIN_ALIGNED}
 """
 
 
+def _audio_dedup_corpus_sql() -> str:
+    return f"""
+WITH RECURSIVE {_audio_pair_ctes()},
+apairs AS (
+  SELECT doc_a, doc_b FROM ranked
+  WHERE rn = 1 AND aligned_matches >= {AUDIO_MIN_ALIGNED}
+),
+aedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM apairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM apairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM media
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN aedges e ON e.src = reach.doc_id
+),
+labels AS (
+  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT m.doc_id, CAST(strlen(m.text) AS BIGINT) AS n_bytes,
+       md5(m.text) AS payload_md5
+FROM media m JOIN labels l ON l.doc_id = m.doc_id
+WHERE l.doc_id = l.cluster_id
+"""
+
+
 QUERIES = {
     "mm_audio_fingerprint_match": mm_audio_fingerprint_match,
+    "mm_audio_dedup_corpus": mm_audio_dedup_corpus,
 }
 
 ORACLES = {
     "mm_audio_fingerprint_match": _audio_sql(),
+    "mm_audio_dedup_corpus": _audio_dedup_corpus_sql(),
 }

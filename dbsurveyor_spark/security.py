@@ -320,14 +320,64 @@ except Exception:  # pragma: no cover - container has no `cryptography`
     HAVE_AESGCM = False
 
 
-def _derive_key(passphrase: str, salt: bytes) -> bytes:
-    """Key derivation. The reference uses Argon2id (RFC 9106); neither
-    argon2 nor cryptography's KDFs are available here, so the gated
-    fallback is PBKDF2-HMAC-SHA256 from the stdlib — still a real KDF,
-    with the same salt/key sizes. Swap for Argon2id where available."""
+try:  # Argon2id needs cryptography >= 43 built against OpenSSL 3.2+
+    from cryptography.hazmat.primitives.kdf.argon2 import Argon2id  # type: ignore
+
+    HAVE_ARGON2ID = True
+except Exception:  # pragma: no cover - older cryptography build
+    Argon2id = None
+    HAVE_ARGON2ID = False
+
+# Reference KDF parameters (encryption.rs:75-107): RFC 9106 Argon2id v1.3,
+# 64 MiB memory, 3 iterations, 4 lanes, 16-byte salt, 32-byte key.
+ARGON2_MEMORY_COST = 65536  # KiB
+ARGON2_TIME_COST = 3
+ARGON2_PARALLELISM = 4
+ARGON2_VERSION = "1.3"
+PBKDF2_ITERATIONS = 600_000
+PBKDF2_VERSION = f"pbkdf2-hmac-sha256/{PBKDF2_ITERATIONS}"
+
+
+def _derive_key_pbkdf2(passphrase: str, salt: bytes) -> bytes:
     import hashlib
 
-    return hashlib.pbkdf2_hmac("sha256", passphrase.encode(), salt, 600_000, dklen=KEY_SIZE)
+    return hashlib.pbkdf2_hmac(
+        "sha256", passphrase.encode(), salt, PBKDF2_ITERATIONS, dklen=KEY_SIZE
+    )
+
+
+def _derive_key_argon2id(
+    passphrase: str,
+    salt: bytes,
+    memory_cost: int = ARGON2_MEMORY_COST,
+    time_cost: int = ARGON2_TIME_COST,
+    parallelism: int = ARGON2_PARALLELISM,
+) -> bytes:
+    """Argon2id exactly as the reference derives it (encryption.rs:289
+    derive_key): RFC 9106, no secret, no associated data, 32-byte output —
+    the Rust `argon2` crate and cryptography's OpenSSL binding implement
+    the same function, so keys (and thus envelopes) are cross-tool
+    compatible."""
+    if not HAVE_ARGON2ID:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "Argon2id unavailable in this cryptography build"
+        )
+    return Argon2id(
+        salt=salt,
+        length=KEY_SIZE,
+        iterations=time_cost,
+        lanes=parallelism,
+        memory_cost=memory_cost,
+    ).derive(passphrase.encode())
+
+
+def _derive_key(passphrase: str, salt: bytes) -> bytes:
+    """Key derivation for the COMPACT binary envelope (this engine's own
+    format). Kept on PBKDF2-HMAC-SHA256/600k for backward compatibility
+    with envelopes written by earlier rounds; the reference-interop JSON
+    envelope (`encrypt_data`) uses Argon2id with the reference's exact
+    KdfParams."""
+    return _derive_key_pbkdf2(passphrase, salt)
 
 
 def encrypt_bytes(plaintext: bytes, passphrase: str) -> bytes:
@@ -359,6 +409,120 @@ def decrypt_bytes(envelope: bytes, passphrase: str) -> bytes:
     ct = envelope[off + SALT_SIZE + NONCE_SIZE :]
     key = _derive_key(passphrase, salt)
     return AESGCM(key).decrypt(nonce, ct, ENVELOPE_MAGIC)
+
+
+# ------------------------------------------- reference-interop envelope
+#
+# The reference serializes `EncryptedData` (encryption.rs:218) with
+# serde_json (dbsurveyor-collect/src/output.rs:254 save_encrypted): byte
+# vectors become JSON integer arrays, and the 16-byte GCM tag is split off
+# the ciphertext into its own `auth_tag` field. `encrypt_data` /
+# `decrypt_data` reproduce that shape bit-for-bit with the reference's
+# Argon2id KdfParams, so a file written by either tool decrypts in the
+# other. When this container's cryptography build lacks Argon2id, the
+# envelope falls back to PBKDF2 with a DISTINGUISHING kdf version string —
+# still self-decryptable, explicitly not reference-decryptable.
+
+AES_GCM_TAG_SIZE = 16  # encryption.rs:70
+
+
+def encrypt_data(data: bytes, password: str) -> dict[str, Any]:
+    """Encrypt to the reference's `EncryptedData` document shape
+    (encryption.rs:365 encrypt_data): AES-256-GCM, fresh 96-bit nonce, no
+    associated data, Argon2id(m=65536 KiB, t=3, p=4) over a fresh 16-byte
+    salt."""
+    if not HAVE_AESGCM:
+        raise NotImplementedError(
+            "AES-GCM backend unavailable (install `cryptography`)"
+        )
+    salt = secrets.token_bytes(SALT_SIZE)
+    nonce = secrets.token_bytes(NONCE_SIZE)
+    if HAVE_ARGON2ID:
+        key = _derive_key_argon2id(password, salt)
+        version = ARGON2_VERSION
+    else:  # pragma: no cover - env-dependent
+        key = _derive_key_pbkdf2(password, salt)
+        version = PBKDF2_VERSION
+    ct_and_tag = AESGCM(key).encrypt(nonce, data, None)
+    return {
+        "algorithm": "AES-GCM-256",
+        "nonce": list(nonce),
+        "ciphertext": list(ct_and_tag[:-AES_GCM_TAG_SIZE]),
+        "auth_tag": list(ct_and_tag[-AES_GCM_TAG_SIZE:]),
+        "kdf_params": {
+            "salt": list(salt),
+            "memory_cost": ARGON2_MEMORY_COST,
+            "time_cost": ARGON2_TIME_COST,
+            "parallelism": ARGON2_PARALLELISM,
+            "version": version,
+        },
+    }
+
+
+def _validate_encrypted_data(env: dict[str, Any]) -> None:
+    """Structural validation before decryption (encryption.rs:240
+    validate_encrypted_data + KdfParams::validate mins)."""
+    if env.get("algorithm") != "AES-GCM-256":
+        raise ValueError(f"unsupported algorithm {env.get('algorithm')!r}")
+    if len(env.get("nonce", ())) != NONCE_SIZE:
+        raise ValueError("nonce must be 12 bytes")
+    if len(env.get("auth_tag", ())) != AES_GCM_TAG_SIZE:
+        raise ValueError("auth tag must be 16 bytes")
+    kdf = env.get("kdf_params") or {}
+    if len(kdf.get("salt", ())) < SALT_SIZE:
+        raise ValueError(f"salt must be at least {SALT_SIZE} bytes")
+    version = kdf.get("version")
+    if version == ARGON2_VERSION:
+        if kdf.get("memory_cost", 0) < ARGON2_MEMORY_COST:
+            raise ValueError("memory cost below reference minimum")
+        if kdf.get("time_cost", 0) < ARGON2_TIME_COST:
+            raise ValueError("time cost below reference minimum")
+        if kdf.get("parallelism", 0) < 1:
+            raise ValueError("parallelism must be at least 1")
+    elif version != PBKDF2_VERSION:
+        raise ValueError(f"unknown kdf version {version!r}")
+
+
+def decrypt_data(env: dict[str, Any], password: str) -> bytes:
+    """Decrypt a reference-shape `EncryptedData` document — including ones
+    written by the reference binary itself (Argon2id path)."""
+    if not HAVE_AESGCM:
+        raise NotImplementedError(
+            "AES-GCM backend unavailable (install `cryptography`)"
+        )
+    _validate_encrypted_data(env)
+    kdf = env["kdf_params"]
+    salt = bytes(kdf["salt"])
+    if kdf["version"] == ARGON2_VERSION:
+        key = _derive_key_argon2id(
+            password,
+            salt,
+            memory_cost=int(kdf["memory_cost"]),
+            time_cost=int(kdf["time_cost"]),
+            parallelism=int(kdf["parallelism"]),
+        )
+    else:
+        key = _derive_key_pbkdf2(password, salt)
+    nonce = bytes(env["nonce"])
+    ct_and_tag = bytes(env["ciphertext"]) + bytes(env["auth_tag"])
+    return AESGCM(key).decrypt(nonce, ct_and_tag, None)
+
+
+def write_reference_encrypted(obj: Any, path: str, password: str) -> None:
+    """Atomic write of the serde_json-shaped encrypted document
+    (output.rs:250 save_encrypted)."""
+    payload = json.dumps(obj, default=str).encode()
+    env = encrypt_data(payload, password)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(env, fh, indent=2)
+    os.replace(tmp, path)
+
+
+def read_reference_encrypted(path: str, password: str) -> Any:
+    with open(path) as fh:
+        env = json.load(fh)
+    return json.loads(decrypt_data(env, password))
 
 
 def write_encrypted_json(obj: Any, path: str, passphrase: str) -> None:

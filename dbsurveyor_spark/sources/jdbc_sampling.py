@@ -138,20 +138,49 @@ def _strategy_key_columns(strategy: dict[str, Any] | str) -> list[str]:
     return []
 
 
+def keyset_columns(
+    strategy: dict[str, Any] | str, tiebreaker: str | None = None
+) -> list[str]:
+    """The UNIQUE key column list a keyset scan may page on.
+
+    A keyset resume predicate is ``key > last``: if the key is not unique,
+    a page boundary falling inside a group of equal keys silently skips the
+    rest of that group — data loss in the bulk-extraction path (ADVICE r5).
+    PrimaryKey / AutoIncrement / SystemRowId are unique by definition;
+    Timestamp is NOT, so it pages only as (ts, tiebreaker) with a
+    caller-supplied unique tiebreaker column appended to both the keyset
+    and the row-value comparison."""
+    if isinstance(strategy, dict):
+        if "PrimaryKey" in strategy:
+            return list(strategy["PrimaryKey"]["columns"])
+        for tag in ("AutoIncrement", "SystemRowId"):
+            if tag in strategy:
+                return [strategy[tag]["column"]]
+        if "Timestamp" in strategy:
+            if not tiebreaker:
+                raise ValueError(
+                    "keyset paging on a timestamp requires a unique "
+                    "tiebreaker column: timestamps are not unique and a "
+                    "strict resume predicate would skip boundary rows"
+                )
+            return [strategy["Timestamp"]["column"], tiebreaker]
+    raise ValueError("keyset paging requires a monotone ordering")
+
+
 def keyset_page_sql(
     schema: str | None,
     table: str,
     strategy: dict[str, Any] | str,
     page_size: int,
     last_seen: tuple | None = None,
+    tiebreaker: str | None = None,
 ) -> str:
     """One keyset page: ascending scan resuming strictly after
     ``last_seen`` (row-value comparison for composite keys). Requires a
-    monotone strategy — Unordered tables have no resumable position and
-    callers must fall back to a single bounded sample."""
-    cols = _strategy_key_columns(strategy)
-    if not cols:
-        raise ValueError("keyset paging requires a monotone ordering")
+    UNIQUE monotone keyset (see `keyset_columns`) — Unordered tables have
+    no resumable position and callers must fall back to a single bounded
+    sample."""
+    cols = keyset_columns(strategy, tiebreaker)
     where = ""
     if last_seen is not None:
         quoted = ", ".join(f'"{escape_identifier(c)}"' for c in cols)
@@ -160,7 +189,9 @@ def keyset_page_sql(
             f"WHERE ({quoted}) > ({vals}) " if len(cols) > 1
             else f"WHERE {quoted} > {vals} "
         )
-    order = generate_order_by_clause(strategy, descending=False)
+    order = "ORDER BY " + ", ".join(
+        f'"{escape_identifier(c)}" ASC' for c in cols
+    )
     return (
         f"SELECT * FROM {_qual(schema, table)} "
         f"{where}{order} LIMIT {int(page_size)}"
@@ -172,7 +203,16 @@ def _sql_literal(v: Any) -> str:
         raise ValueError("keyset position cannot contain NULL")
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        import math
+
+        # NaN/±inf render as invalid SQL ('nan'), and a float keyset is a
+        # precision hazard anyway — reject non-finite, format full-precision
+        # (17 significant digits round-trips any IEEE double exactly)
+        if not math.isfinite(v):
+            raise ValueError("keyset position cannot be non-finite")
+        return format(v, ".17g")
+    if isinstance(v, int):
         return repr(v)
     s = str(v).replace("'", "''")
     return f"'{s}'"
@@ -188,19 +228,24 @@ def paged_reader(
     retries: int = DEFAULT_RETRIES,
     backoff_s: float = DEFAULT_BACKOFF_S,
     sleep: Callable[[float], None] = time.sleep,
+    tiebreaker: str | None = None,
 ):
     """Yield lists of Row dicts, one page at a time, resuming by keyset.
 
     Each page query runs under `with_retries`; a transient failure
     re-issues the SAME page (keyset position only advances on success, so
     retries can never skip rows — the at-least-once property OFFSET
-    paging cannot give you once the server has moved on).
+    paging cannot give you once the server has moved on). A Timestamp
+    strategy pages only with a unique ``tiebreaker`` column (see
+    `keyset_columns`).
     """
-    cols = _strategy_key_columns(strategy)
+    cols = keyset_columns(strategy, tiebreaker)
     last: tuple | None = None
     pages = 0
     while max_pages is None or pages < max_pages:
-        sql = keyset_page_sql(schema, table, strategy, page_size, last)
+        sql = keyset_page_sql(
+            schema, table, strategy, page_size, last, tiebreaker
+        )
         rows = with_retries(
             lambda: [r.asDict() for r in read_query(sql).collect()],
             retries=retries,

@@ -191,9 +191,10 @@ class TestOrderingStrategy:
 
         doc = collect_jdbc_schema(_stub_reader(spark), "postgresql")
         tables = {t["name"]: t for t in doc["tables"]}
-        # users.id has a nextval() default → AutoIncrement beats PrimaryKey
+        # reference precedence (postgres/sampling.rs:336): PrimaryKey wins
+        # even when the PK column is also auto-increment
         assert tables["users"]["ordering_strategy"] == {
-            "AutoIncrement": {"column": "id"}
+            "PrimaryKey": {"columns": ["id"]}
         }
         assert tables["users"]["columns"][0]["is_auto_increment"]
         # orders has a plain PK
@@ -203,7 +204,7 @@ class TestOrderingStrategy:
         # the strategy survives reference-format serialization
         ref = to_reference_document(doc)
         assert {t["name"]: t["ordering_strategy"] for t in ref["tables"]} == {
-            "users": {"AutoIncrement": {"column": "id"}},
+            "users": {"PrimaryKey": {"columns": ["id"]}},
             "orders": {"PrimaryKey": {"columns": ["order_id"]}},
         }
 
@@ -217,16 +218,29 @@ class TestOrderingStrategy:
         plain = {"name": "v", "data_type": "VARCHAR", "ordinal_position": 1}
         auto = {"name": "id", "data_type": "BIGINT", "is_auto_increment": True,
                 "ordinal_position": 1}
-        assert strat([auto, ts], ["id"]) == {"AutoIncrement": {"column": "id"}}
+        # reference precedence (postgres/sampling.rs:336): PK → named
+        # timestamp → pattern timestamp → auto-increment → rowid → Unordered
+        assert strat([auto, ts], ["id"]) == {"PrimaryKey": {"columns": ["id"]}}
         assert strat([plain, ts], ["v"]) == {"PrimaryKey": {"columns": ["v"]}}
         assert strat([plain, ts], []) == {
             "Timestamp": {"column": "created_at", "direction": "Descending"}
         }
-        # unnamed-but-typed timestamp: first temporal by ordinal
-        odd = {"name": "seen", "data_type": "TIMESTAMP", "ordinal_position": 3}
-        assert strat([plain, odd], []) == {
-            "Timestamp": {"column": "seen", "direction": "Descending"}
+        # partial-pattern pass: name contains created/inserted/timestamp
+        pat = {"name": "row_inserted_ts", "data_type": "TIMESTAMP",
+               "ordinal_position": 3}
+        assert strat([plain, pat], []) == {
+            "Timestamp": {"column": "row_inserted_ts",
+                          "direction": "Descending"}
         }
+        # an arbitrary temporal column (expiry_date-style) is NOT an
+        # insertion-order proxy — no unnamed-temporal fallback (ADVICE r5)
+        odd = {"name": "seen", "data_type": "TIMESTAMP", "ordinal_position": 3}
+        assert strat([plain, odd], []) == "Unordered"
+        # auto-increment surfaces only when there is no PK naming it
+        assert strat([auto, ts], []) == {
+            "Timestamp": {"column": "created_at", "direction": "Descending"}
+        }
+        assert strat([auto, plain], []) == {"AutoIncrement": {"column": "id"}}
         assert strat([plain], [], has_rowid=True) == {
             "SystemRowId": {"column": "rowid"}
         }
@@ -250,7 +264,9 @@ class TestOrderingStrategy:
         con.commit(); con.close()
         src = SqliteSource(db)
         t = {n: src.collect_table_schema(n) for n in src.table_names()}
-        assert t["a"]["ordering_strategy"] == {"AutoIncrement": {"column": "id"}}
+        # INTEGER PRIMARY KEY: pk>0 in table_info → PrimaryKey wins
+        # (sqlite/sampling.rs:30 checks PK before auto-increment)
+        assert t["a"]["ordering_strategy"] == {"PrimaryKey": {"columns": ["id"]}}
         assert t["a"]["columns"][0]["is_auto_increment"]
         assert t["b"]["ordering_strategy"] == {"PrimaryKey": {"columns": ["k"]}}
         assert t["c"]["ordering_strategy"] == {

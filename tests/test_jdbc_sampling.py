@@ -101,6 +101,66 @@ class TestKeysetPaging:
         with pytest.raises(ValueError):
             keyset_page_sql(None, "t", "Unordered", 10)
 
+    def test_timestamp_requires_unique_tiebreaker(self):
+        """Timestamps are not unique: a strict `ts > last` resume predicate
+        skips the rest of a tie group at a page boundary (ADVICE r5). A
+        bare Timestamp strategy must be rejected; with a tiebreaker the
+        keyset becomes the unique (ts, tie) pair."""
+        s = {"Timestamp": {"column": "created_at",
+                           "direction": "Descending"}}
+        with pytest.raises(ValueError, match="tiebreaker"):
+            keyset_page_sql(None, "t", s, 10)
+        sql = keyset_page_sql(
+            None, "t", s, 10, ("2024-01-01 00:00:00", 42), tiebreaker="id"
+        )
+        assert (
+            'WHERE ("created_at", "id") > (\'2024-01-01 00:00:00\', 42)'
+            in sql
+        )
+        assert 'ORDER BY "created_at" ASC, "id" ASC' in sql
+
+    def test_timestamp_paging_never_skips_tie_groups(self):
+        """Regression for the ADVICE r5 data-loss scenario: a page boundary
+        inside a run of equal timestamps."""
+        s = {"Timestamp": {"column": "ts", "direction": "Descending"}}
+        # 7 rows, 5 share ts=100 — page_size 2 splits the tie group twice
+        table = [
+            {"ts": 100, "id": i, "v": i} for i in range(5)
+        ] + [{"ts": 200, "id": 5, "v": 5}, {"ts": 300, "id": 6, "v": 6}]
+
+        def read_query(sql):
+            lo = None
+            if "WHERE" in sql:
+                frag = sql.split("> (")[1].rsplit(") ORDER BY")[0]
+                vals = [int(x.strip(" '")) for x in frag.split(",")]
+                lo = tuple(vals)
+            rows = sorted(table, key=lambda r: (r["ts"], r["id"]))
+            if lo is not None:
+                rows = [r for r in rows if (r["ts"], r["id"]) > lo]
+            limit = int(sql.rsplit("LIMIT ", 1)[1])
+            return _FakeFrame(rows[:limit])
+
+        got = [
+            r["id"]
+            for page in paged_reader(
+                read_query, None, "t", s, page_size=2,
+                sleep=lambda _s: None, tiebreaker="id",
+            )
+            for r in page
+        ]
+        assert got == [0, 1, 2, 3, 4, 5, 6]  # nothing skipped, no dups
+
+    def test_sql_literal_rejects_non_finite_and_roundtrips_floats(self):
+        from dbsurveyor_spark.sources.jdbc_sampling import _sql_literal
+
+        for bad in (float("nan"), float("inf"), float("-inf")):
+            with pytest.raises(ValueError):
+                _sql_literal(bad)
+        # 17 significant digits round-trip any IEEE double exactly
+        v = 0.1 + 0.2
+        assert float(_sql_literal(v)) == v
+        assert _sql_literal(True) == "TRUE"  # bool is not formatted as int
+
     def test_reader_advances_by_keyset_and_retries_same_page(self, spark):
         """3 pages of 2 rows; page 2's first attempt fails — the retry must
         re-issue the SAME keyset position (no skipped rows), and the scan

