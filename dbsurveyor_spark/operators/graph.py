@@ -185,12 +185,14 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every iteration's scan onto a few cores (measured at sf0.1).
     # deg is |V| rows and |V| grows linearly with the corpus — NEVER a
     # broadcast (the 100× killer); a one-time SHUFFLE_HASH key join costs
-    # one slim exchange here and holds at any scale.
+    # one slim exchange and holds at any scale. The explicit repartition
+    # comes FIRST so the join consumes it directly (edges shuffle once,
+    # not once for the join and again for the repartition).
     edges_deg = _tracked_cache(
-        edges.join(
+        edges.repartition(spark.sparkContext.defaultParallelism, "src").join(
             deg.select(F.col("v").alias("src"), "deg").hint("SHUFFLE_HASH"),
             "src",
-        ).repartition(spark.sparkContext.defaultParallelism, "src")
+        )
     )
     n_nodes = nodes.count()  # metadata-scale driver scalar
     teleport = (TELE_NUM * PR_SCALE) // (DAMP_DEN * n_nodes)

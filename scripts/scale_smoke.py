@@ -59,6 +59,11 @@ DEFAULT_OPS = [
     "dedup_substring",
     "dedup_winnowing",
     "dedup_neardup_clusters",
+    # round 6: the de-broadcast / two-level-prefix rewrites + new audio op
+    "basket_copurchase_lift",
+    "text_zipf_fit",
+    "abc_part_classification",
+    "mm_audio_dedup_corpus",
 ]
 
 
