@@ -464,6 +464,109 @@ FROM expected
 """
 
 
+# Token-budget planning under repetition caps (Muennighoff et al. 2023,
+# "Scaling Data-Constrained Language Models": value decays past ~4 epochs):
+# the UPSAMPLING complement to `corpus_mix_plan`'s downsample-only rule.
+BUDGET_TOKENS_PER_AVAIL = 3.0  # budget = 3× the corpus (forces repetition)
+BUDGET_MAX_EPOCHS = 4.0
+
+
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token allocation for a fixed training budget: target
+    tokens from the temperature-sampled share (τ=MIX_PLAN_TAU), actual
+    epochs capped at BUDGET_MAX_EPOCHS (repeating data past ~4 epochs adds
+    ~no value — the data-constrained scaling result), planned tokens,
+    and the per-group shortfall the cap leaves unfilled. This is the table
+    a 100 TB pretraining run plans its mixture against when the budget
+    EXCEEDS the deduped corpus — `corpus_mix_plan` handles the opposite
+    (abundant-data, downsample-only) regime.
+
+    The budget is pinned to BUDGET_TOKENS_PER_AVAIL × total available
+    tokens so the plan is deterministic at any SF and actually exercises
+    the epoch cap. Everything after the one groupBy(lang) token aggregate
+    is window arithmetic over the |langs|-row metadata frame.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    avail = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("avail")
+    )
+    w = Window.partitionBy()
+    weight = F.pow(F.col("avail").cast("double"), 1.0 / MIX_PLAN_TAU)
+    budget = F.sum("avail").over(w).cast("double") * F.lit(
+        BUDGET_TOKENS_PER_AVAIL
+    )
+    planned = (
+        avail.withColumn("weight", weight)
+        .withColumn("target_share", F.col("weight") / F.sum("weight").over(w))
+        .withColumn("target_tokens", F.col("target_share") * budget)
+        .withColumn(
+            "epochs_uncapped", F.col("target_tokens") / F.col("avail")
+        )
+        .withColumn(
+            "epochs",
+            F.least(F.col("epochs_uncapped"), F.lit(BUDGET_MAX_EPOCHS)),
+        )
+        .withColumn(
+            "planned_tokens",
+            F.floor(F.col("avail") * F.col("epochs")).cast("bigint"),
+        )
+        .withColumn(
+            # explicit FLOOR: DuckDB ROUNDS on double→bigint cast while
+            # Spark truncates — floor both engines for exact parity
+            "shortfall_tokens",
+            F.floor(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("target_tokens") - F.col("planned_tokens"),
+                )
+            ).cast("bigint"),
+        )
+    )
+    return planned.select(
+        "lang",
+        F.col("avail").alias("available_tokens"),
+        F.round("target_share", 9).alias("target_share"),
+        F.floor("target_tokens").cast("bigint").alias("target_tokens"),
+        F.round("epochs", 9).alias("epochs"),
+        "planned_tokens",
+        "shortfall_tokens",
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH avail AS (
+  SELECT lang, CAST(SUM(len({tokens_sql("text")})) AS BIGINT) AS avail
+  FROM documents GROUP BY lang
+),
+weighted AS (
+  SELECT lang, avail,
+         pow(CAST(avail AS DOUBLE), 1.0 / {MIX_PLAN_TAU}) AS weight,
+         CAST(SUM(avail) OVER () AS DOUBLE) * {BUDGET_TOKENS_PER_AVAIL}
+           AS budget
+  FROM avail
+),
+shares AS (
+  SELECT lang, avail, budget,
+         weight / SUM(weight) OVER () AS target_share
+  FROM weighted
+),
+capped AS (
+  SELECT lang, avail, target_share,
+         target_share * budget AS target_tokens,
+         LEAST(target_share * budget / avail, {BUDGET_MAX_EPOCHS}) AS epochs
+  FROM shares
+)
+SELECT lang, avail AS available_tokens,
+       ROUND(target_share, 9) AS target_share,
+       CAST(FLOOR(target_tokens) AS BIGINT) AS target_tokens,
+       ROUND(epochs, 9) AS epochs,
+       CAST(FLOOR(avail * epochs) AS BIGINT) AS planned_tokens,
+       CAST(FLOOR(GREATEST(0.0, target_tokens - FLOOR(avail * epochs)))
+            AS BIGINT) AS shortfall_tokens
+FROM capped
+"""
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: the composed decision pipeline an LLM data team
     runs before training, as ONE declarative plan —
@@ -1026,6 +1129,7 @@ QUERIES = {
     "split_leakage_neardup": split_leakage_neardup,
     "corpus_mix_report": corpus_mix_report,
     "corpus_mix_plan": corpus_mix_plan,
+    "corpus_token_budget_plan": corpus_token_budget_plan,
     "corpus_curation": corpus_curation,
     "text_pii_scan": text_pii_scan,
 }
@@ -1040,4 +1144,5 @@ ORACLES = {
     "split_leakage_neardup": _split_leakage_neardup_sql(),
     "corpus_mix_report": MIX_REPORT_SQL,
     "corpus_mix_plan": MIX_PLAN_SQL,
+    "corpus_token_budget_plan": TOKEN_BUDGET_SQL,
 }

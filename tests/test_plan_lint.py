@@ -53,6 +53,7 @@ GLOBAL_WINDOW_ALLOW = {
     # per-source corpus aggregates: |sources| rows (enum column)
     "corpus_mix_report": "per-source aggregate — |distinct source| rows",
     "corpus_mix_plan": "per-source aggregate — |distinct source| rows",
+    "corpus_token_budget_plan": "per-language aggregate — |langs| rows",
     # fixed-bin frames
     "embedding_drift_psi": "PSI bin frame — PSI_BINS rows per segment",
     "quality_ks_drift": "bucketed ECDF — KS_BUCKETS rows per audited column",
