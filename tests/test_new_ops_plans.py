@@ -898,6 +898,42 @@ class TestClickAttribution:
         assert_no_python_eval(se.stream_click_attribution(spark, SF))
 
 
+class TestCopurchaseGraphCache:
+    """The memoized co-purchase edge+degree build (VERDICT r5 item 6):
+    one build per (app, lake, fingerprint), shared by the graph trio,
+    evicted when a different lake is requested."""
+
+    def test_same_lake_returns_same_cached_frames(self, spark):
+        from dbsurveyor_spark.operators import graph
+
+        h1, d1 = graph.copurchase_graph(spark, SF)
+        h2, d2 = graph.copurchase_graph(spark, SF)
+        assert h1 is h2 and d1 is d2
+        assert h1.storageLevel.useMemory and d1.storageLevel.useMemory
+
+    def test_different_lake_evicts_previous(self, spark):
+        from dbsurveyor_spark.operators import graph
+
+        h_small, _ = graph.copurchase_graph(spark, SF)
+        graph.copurchase_graph(spark, "/root/testdata/sf0.01")
+        assert len(graph._GRAPH_CACHE) == 1  # old entry evicted
+        h_again, _ = graph.copurchase_graph(spark, SF)
+        assert h_again is not h_small  # rebuilt after eviction
+
+    def test_degrees_match_edge_counts(self, spark):
+        from collections import Counter
+
+        from dbsurveyor_spark.operators import graph
+
+        half, deg = graph.copurchase_graph(spark, SF)
+        counts = Counter()
+        for r in half.collect():
+            counts[r.a] += 1
+            counts[r.b] += 1
+        got = {r.v: r.deg for r in deg.collect()}
+        assert got == dict(counts)
+
+
 class TestPageRank:
     """Fixed-point PageRank invariants (operators/graph.py)."""
 
