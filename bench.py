@@ -266,6 +266,18 @@ def main() -> None:
         t0 = time.perf_counter()
         trained_residual_codebooks(spark, sf_dir)
         out["ivfpq_index_build"] = round(time.perf_counter() - t0, 3)
+        # The shared co-purchase graph (memoized edge+degree frames used by
+        # pagerank/triangle/degree-distribution) is likewise a build/search
+        # split: clearCache() above dropped its cached blocks, so
+        # re-materialize and time the build as its own line item — the
+        # graph QUERIES then measure query work, not the shared build.
+        from dbsurveyor_spark.operators.graph import copurchase_graph
+
+        t0 = time.perf_counter()
+        half, deg = copurchase_graph(spark, sf_dir)
+        half.count()
+        deg.count()
+        out["graph_edge_build"] = round(time.perf_counter() - t0, 3)
         for key in HEADLINE:
             if key not in qs:
                 continue

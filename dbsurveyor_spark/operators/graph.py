@@ -96,8 +96,19 @@ def copurchase_graph(
     )
     with _GRAPH_LOCK:
         hit = _GRAPH_CACHE.get(key)
-        if hit is not None:
-            return hit
+    if hit is not None:
+        # `spark.catalog.clearCache()` (bench pass hygiene, any user call)
+        # drops the CacheManager REGISTRATION, not just the blocks — a
+        # memo hit must re-register or every consumer silently recomputes
+        # the basket build from the fact scan. storageLevel consults the
+        # cache manager, so NONE means the registration is gone.
+        for df in hit:
+            try:
+                if not df.storageLevel.useMemory:
+                    df.cache()
+            except Exception:  # pragma: no cover - defensive
+                pass
+        return hit
     lines = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
