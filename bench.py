@@ -75,6 +75,11 @@ HEADLINE = [
     "text_cooccurrence_pmi",
     "funnel_conversion",
     "event_transitions",
+    # round 6 additions: the audio family's decision step (the round's
+    # heaviest new op) and the two-level-prefix rewrites
+    "mm_audio_dedup_corpus",
+    "text_zipf_fit",
+    "abc_part_classification",
 ]
 
 STEADY_PASSES = 2  # steady = per-query MIN over this many post-warm passes
