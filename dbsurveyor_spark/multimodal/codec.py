@@ -442,19 +442,32 @@ def mm_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads never leave the scan. Trimmed copies (every 10th doc loses
     its tail frames) are injected in-query, both engines.
     """
-    from ..operators.dedup import ID_OFFSET
     from ..plans.cache import release_caches
 
     release_caches()
+    return _frame_overlap_pairs(_video_media(spark, sf_dir))
+
+
+def _video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video lake: documents as stub payloads plus injected TRIMMED
+    copies (every 10th doc keeps only the first half — shares the leading
+    frames)."""
+    from ..operators.dedup import ID_OFFSET
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # trimmed copy: first half of the payload → shares the leading frames
     trimmed = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
         F.substring(
             F.col("text"), 1, (F.length("text") / 2).cast("int")
         ).alias("text"),
     )
-    media = docs.unionByName(trimmed).select(
+    return docs.unionByName(trimmed)
+
+
+def _frame_overlap_pairs(media_text: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, shared_frames) — df-capped frame-hash overlap pairs;
+    the shared back half of the video near-dup and dedup-corpus ops."""
+    media = media_text.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
@@ -506,7 +519,9 @@ def mm_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _frame_neardup_sql() -> str:
+def _frame_pair_ctes() -> str:
+    """Shared oracle CTE chain media → … → vpairs (df-capped frame-hash
+    overlap pairs), replaying the stub frame/dHash byte math exactly."""
     from ..operators.dedup import ID_OFFSET
 
     # replay: frames = stride-sampled FRAME_SIZE chunks; per chunk the
@@ -516,8 +531,7 @@ def _frame_neardup_sql() -> str:
         range(CAST(c + 1 AS BIGINT), CAST(strlen(chunk) + 1 AS BIGINT),
               {IMG_CELLS}),
         p -> ord(substr(chunk, CAST(p AS INTEGER), 1)))), 0))"""
-    return f"""
-WITH media AS (
+    return f"""media AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {ID_OFFSET} AS doc_id,
@@ -541,12 +555,82 @@ fps AS (
   FROM cells
 ),
 keep AS (SELECT fh FROM fps GROUP BY fh HAVING COUNT(*) <= {FRAME_DF_CAP}),
-kept AS (SELECT fps.doc_id, fps.fh FROM fps JOIN keep USING (fh))
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(COUNT(*) AS BIGINT) AS shared_frames
-FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
-GROUP BY 1, 2
-HAVING COUNT(*) >= {FRAME_MATCH_MIN}
+kept AS (SELECT fps.doc_id, fps.fh FROM fps JOIN keep USING (fh)),
+vpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_frames
+  FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {FRAME_MATCH_MIN}
+)"""
+
+
+def _frame_neardup_sql() -> str:
+    return f"""
+WITH {_frame_pair_ctes()}
+SELECT doc_a, doc_b, shared_frames FROM vpairs
+"""
+
+
+def mm_video_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video-DEDUP corpus: one representative (min-id survivor) per
+    frame-overlap cluster, singletons kept — the decision step over
+    `mm_frame_neardup`'s pair evidence, completing the modality symmetry
+    (image, audio, and video each ship near-dup evidence AND a survivor
+    corpus). Clusters are connected components over the shared-frame pair
+    graph via the shared O(log n) star contraction; survivors semi-join
+    back to the media frame as (n_bytes, payload md5). At 100 TB: only
+    (doc_id, frame-hash) int64 rows and pair ids ever shuffle; payloads
+    are touched once by the scan and once by the survivor semi-join.
+    """
+    from ..operators.dedup import star_contraction_labels
+    from ..plans.cache import release_caches
+
+    release_caches()
+    media_text = _video_media(spark, sf_dir)
+    pairs = _frame_overlap_pairs(media_text)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = star_contraction_labels(edges).withColumnRenamed(
+        "node", "doc_id"
+    )
+    lab = media_text.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+    )
+    survivors = lab.filter(F.col("doc_id") == F.col("cluster_id"))
+    return media_text.join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    ).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_bytes"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("payload_md5"),
+    )
+
+
+def _video_dedup_corpus_sql() -> str:
+    return f"""
+WITH RECURSIVE {_frame_pair_ctes()},
+vedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM vpairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM media
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN vedges e ON e.src = reach.doc_id
+),
+labels AS (
+  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT m.doc_id, CAST(strlen(m.text) AS BIGINT) AS n_bytes,
+       md5(m.text) AS payload_md5
+FROM media m JOIN labels l ON l.doc_id = m.doc_id
+WHERE l.doc_id = l.cluster_id
 """
 
 
@@ -733,6 +817,7 @@ QUERIES = {
     "mm_feature_extract": mm_feature_extract,
     "mm_image_neardup": mm_image_neardup,
     "mm_frame_neardup": mm_frame_neardup,
+    "mm_video_dedup_corpus": mm_video_dedup_corpus,
     "mm_frame_scene_cuts": mm_frame_scene_cuts,
     "mm_modality_report": mm_modality_report,
 }
@@ -787,6 +872,7 @@ ORACLES: dict[str, str] = {
     "mm_feature_extract": _FEATURE_SQL,
     "mm_image_neardup": _image_neardup_sql(),
     "mm_frame_neardup": _frame_neardup_sql(),
+    "mm_video_dedup_corpus": _video_dedup_corpus_sql(),
     "mm_frame_scene_cuts": _scene_cuts_sql(),
     "mm_modality_report": _MODALITY_SQL,
 }

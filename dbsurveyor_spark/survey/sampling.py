@@ -631,7 +631,95 @@ FROM scored
 """
 
 
+# ------------------------------------------- class-balanced downsampling
+
+BALANCE_PPM = 1_000_000  # keep-rate resolution (parts per million)
+
+
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling over the labeled embedding corpus: each
+    label is down-sampled to (approximately) the MINORITY class size via a
+    deterministic hash-Bernoulli keep — the standard rebalancing step
+    before training a classifier head / probe on skewed labels. Emits per
+    label the available count, the keep rate, the actually-kept count
+    under the hash filter, and the kept share — the audit table plus the
+    exact filter a pipeline re-applies scan-locally at any scale.
+
+    Plan: one groupBy(label) count (map-side combinable), rate arithmetic
+    on the |labels|-row frame (integer ppm — no float division parity
+    risk), then ONE scan-local hash filter + second |labels| aggregate.
+    The rate attach is a plain key join the planner is free to broadcast
+    from size stats (no forced hint; labels are a bounded enum).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_available")
+    )
+    w = Window.partitionBy()
+    min_n = counts.agg(F.min("n_available").alias("_min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).withColumn(
+        "keep_ppm",
+        F.expr(f"_min_n * {BALANCE_PPM} div n_available"),
+    ).drop("_min_n")
+    keep = portable_hash64(
+        F.concat(F.lit("bal_"), F.col("vec_id").cast("string"))
+    ) % BALANCE_PPM
+    kept = (
+        emb.join(rates.select("label", "keep_ppm"), "label")
+        .filter(keep < F.col("keep_ppm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "label", "left")
+        .select(
+            "label",
+            "n_available",
+            F.round(F.col("keep_ppm") / F.lit(float(BALANCE_PPM)), 6).alias(
+                "keep_rate"
+            ),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias(
+                "n_kept"
+            ),
+        )
+        .withColumn(
+            "kept_share",
+            F.round(
+                F.col("n_kept") / F.sum("n_kept").over(w).cast("double"), 6
+            ),
+        )
+    )
+
+
+BALANCED_SQL = f"""
+WITH counts AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_available
+  FROM embeddings GROUP BY label
+),
+rates AS (
+  SELECT label, n_available,
+         MIN(n_available) OVER () * {BALANCE_PPM} // n_available AS keep_ppm
+  FROM counts
+),
+kept AS (
+  SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM embeddings e JOIN rates r ON r.label = e.label
+  WHERE {portable_hash64_sql("'bal_' || CAST(vec_id AS VARCHAR)")}
+        % {BALANCE_PPM} < r.keep_ppm
+  GROUP BY e.label
+)
+SELECT r.label, r.n_available,
+       ROUND(r.keep_ppm / CAST({BALANCE_PPM} AS DOUBLE), 6) AS keep_rate,
+       COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       ROUND(COALESCE(k.n_kept, 0)
+             / CAST(SUM(COALESCE(k.n_kept, 0)) OVER () AS DOUBLE), 6)
+         AS kept_share
+FROM rates r LEFT JOIN kept k USING (label)
+"""
+
+
 QUERIES = {
+    "sample_balanced_classes": sample_balanced_classes,
     "sample_neyman_allocation": sample_neyman_allocation,
     "sample_cluster_orders": sample_cluster_orders,
     "sample_importance_dsir": sample_importance_dsir,
@@ -646,6 +734,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_balanced_classes": BALANCED_SQL,
     "sample_neyman_allocation": _neyman_sql(),
     "sample_cluster_orders": _cluster_sample_sql(),
     "sample_importance_dsir": _dsir_sql(),

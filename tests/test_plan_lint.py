@@ -78,6 +78,7 @@ GLOBAL_WINDOW_ALLOW = {
     ),
     # module-constant gates
     "sample_neyman_allocation": "per-stratum aggregate — |strata| rows",
+    "sample_balanced_classes": "per-label aggregate — |labels| rows (enum)",
 }
 
 # ---------------------------------------------------------------------------
