@@ -1342,6 +1342,113 @@ SELECT src_id, dst_id, cos_sim, rank FROM (
 
 
 
+def embed_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise estimate by k-NN label agreement (the confident-learning
+    / Cleanlab-style training-data check): for every labeled vector, how
+    often its IVF-kNN neighbors share its label, and — per label — the
+    share of vectors whose neighbor MAJORITY label disagrees with their
+    own (the mislabel suspects a labeling-QA pass reviews first).
+
+    Plan: reuses `knn_graph`'s whole pipeline (one cached assignment pass,
+    Σ|cell|² candidates, per-src rank window), attaches labels with two
+    slim key joins, then per-src majority via a window PARTITIONED by src
+    (≤ k rows each) and two bounded per-label aggregates. Integer counts
+    everywhere; ratios round identically in both engines.
+    """
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    knn = knn_graph(spark, sf_dir)
+    src_l = labels.select(
+        F.col("vec_id").alias("src_id"), F.col("label").alias("own_label")
+    )
+    dst_l = labels.select(
+        F.col("vec_id").alias("dst_id"), F.col("label").alias("neigh_label")
+    )
+    j = knn.join(src_l, "src_id").join(dst_l, "dst_id")
+    votes = j.groupBy("src_id", "own_label", "neigh_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("c"), F.asc("neigh_label")
+    )
+    maj = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src_id", F.col("neigh_label").alias("maj_label"))
+    )
+    per_vec = (
+        votes.groupBy("src_id", "own_label")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("own_label") == F.col("neigh_label"), F.col("c")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_agree"),
+            F.sum("c").cast("bigint").alias("n_nb"),
+        )
+        .join(maj, "src_id")
+    )
+    return per_vec.groupBy(F.col("own_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum("n_agree").cast("double") / F.sum("n_nb").cast("double"), 6
+        ).alias("neighbor_agreement"),
+        F.round(
+            F.avg(
+                F.when(F.col("maj_label") != F.col("own_label"), 1.0).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        ).alias("est_noise_rate"),
+    )
+
+
+def _label_noise_sql(dim: int = IVF_SQL_DIM) -> str:
+    # reuse the knn oracle verbatim, rewriting only its final SELECT into a
+    # `knn` CTE — the replace targets are exact lines of _knn_graph_sql
+    # (the drive's parse+value check catches any drift immediately)
+    knn = _knn_graph_sql(dim).strip().removeprefix("WITH ")
+    return f"""
+WITH {knn.replace("SELECT src_id, dst_id, cos_sim, rank FROM (",
+                  ", knn AS (SELECT src_id, dst_id FROM (")
+         .replace(f") t WHERE rank <= {KNN_K}",
+                  f") t WHERE rank <= {KNN_K})")},
+labeled AS (
+  SELECT k.src_id, sl.label AS own_label, dl.label AS neigh_label
+  FROM knn k
+  JOIN embeddings sl ON sl.vec_id = k.src_id
+  JOIN embeddings dl ON dl.vec_id = k.dst_id
+),
+votes AS (
+  SELECT src_id, own_label, neigh_label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM labeled GROUP BY 1, 2, 3
+),
+maj AS (
+  SELECT src_id, neigh_label AS maj_label FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY src_id ORDER BY c DESC, neigh_label ASC) AS rn
+    FROM votes
+  ) t WHERE rn = 1
+),
+per_vec AS (
+  SELECT v.src_id, v.own_label,
+         CAST(SUM(CASE WHEN v.own_label = v.neigh_label THEN v.c
+                       ELSE 0 END) AS BIGINT) AS n_agree,
+         CAST(SUM(v.c) AS BIGINT) AS n_nb
+  FROM votes v GROUP BY 1, 2
+)
+SELECT p.own_label AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(n_agree) AS DOUBLE) / CAST(SUM(n_nb) AS DOUBLE), 6)
+         AS neighbor_agreement,
+       ROUND(AVG(CASE WHEN m.maj_label <> p.own_label THEN 1.0
+                      ELSE 0.0 END), 6) AS est_noise_rate
+FROM per_vec p JOIN maj m ON m.src_id = p.src_id
+GROUP BY p.own_label
+"""
+
+
 # -------------------------------------------------------- filtered search
 
 FILTER_K = 3
@@ -2181,6 +2288,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "knn_graph": knn_graph,
+    "embed_label_noise": embed_label_noise,
     "ann_filtered_search": ann_filtered_search,
     "embedding_drift_psi": embedding_drift_psi,
     "ann_nprobe_curve": ann_nprobe_curve,
@@ -2202,6 +2310,7 @@ ORACLES = {
     "ann_bruteforce_topk": _bruteforce_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "knn_graph": _knn_graph_sql(),
+    "embed_label_noise": _label_noise_sql(),
     "ann_filtered_search": _filtered_search_sql(),
     "embedding_drift_psi": _embedding_drift_sql(),
     "ann_nprobe_curve": _nprobe_curve_sql(),
