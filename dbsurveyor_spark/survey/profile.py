@@ -328,6 +328,147 @@ SELECT '{ct}' AS child_table, '{cc}' AS child_column,
     return "\nUNION ALL\n".join(parts)
 
 
+# Blind FK DISCOVERY column universe: every integer key-ish column in the
+# lake. The pair space is columns², not data — bounded by schema size.
+FK_DISCOVERY_COLS = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"),
+    ("customer", "c_custkey"),
+    ("customer", "c_nationkey"),
+    ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+FK_DISCOVERY_MIN_CONTAINMENT = 0.5
+
+
+def survey_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blind FK DISCOVERY by value containment — no candidate list: every
+    integer key column in the lake against every other, ranked by
+    |child ∩ parent| / |child| (`survey_fk_inference` checks a KNOWN
+    candidate list; this finds the list). A pair is an FK candidate when
+    the child is fully contained AND the parent is unique. Surrogate-key
+    ranges that merely overlap numerically surface honestly with their
+    containment score — the inherent false-positive mode of value-overlap
+    discovery, which real tools cross-check against names/types (here:
+    the recorded column metadata).
+
+    Plan — the whole pair matrix costs ONE value shuffle, never a join
+    per pair: melt all columns into (col, v) rows (one projected scan per
+    column), distinct, then self-join on v — each value lands in ≤
+    |columns| columns, so the join fan-out is ≤ columns² per value,
+    bounded by SCHEMA, not data. Per-column stats and the pair
+    intersections aggregate off the same melted frame; the final
+    containment arithmetic runs on the ≤ columns²-row frame.
+    """
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    frames = []
+    for t, c in FK_DISCOVERY_COLS:
+        frames.append(
+            load_table(spark, sf_dir, t)
+            .select(
+                F.lit(f"{t}.{c}").alias("col"),
+                F.col(c).cast("bigint").alias("v"),
+            )
+            .filter(F.col("v").isNotNull())
+        )
+    vals = reduce(DataFrame.unionByName, frames)
+    dv = tracked_cache(vals.distinct())
+    n_rows = vals.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    n_dist = dv.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    stats = n_rows.join(n_dist, "col")
+    child = dv.select(F.col("col").alias("child_column"), "v")
+    parent = dv.select(F.col("col").alias("parent_column"), "v")
+    inter = (
+        child.join(parent, "v")
+        .filter(F.col("child_column") != F.col("parent_column"))
+        .groupBy("child_column", "parent_column")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    cs = stats.select(
+        F.col("col").alias("child_column"),
+        F.col("n_distinct").alias("child_distinct"),
+    )
+    ps = stats.select(
+        F.col("col").alias("parent_column"),
+        F.col("n_distinct").alias("parent_distinct"),
+        (F.col("n_distinct") == F.col("n_rows")).alias("parent_unique"),
+    )
+    containment = F.col("n_common").cast("double") / F.col("child_distinct")
+    return (
+        inter.join(cs, "child_column")
+        .join(ps, "parent_column")
+        .filter(containment >= FK_DISCOVERY_MIN_CONTAINMENT)
+        .select(
+            "child_column",
+            "parent_column",
+            "child_distinct",
+            "parent_distinct",
+            "n_common",
+            F.round(containment, 6).alias("containment"),
+            "parent_unique",
+            ((F.col("n_common") == F.col("child_distinct")) & F.col(
+                "parent_unique"
+            )).alias("is_fk_candidate"),
+        )
+    )
+
+
+def _fk_discovery_sql() -> str:
+    melt = "\n  UNION ALL\n".join(
+        f"  SELECT '{t}.{c}' AS col, CAST({c} AS BIGINT) AS v FROM {t} "
+        f"WHERE {c} IS NOT NULL"
+        for t, c in FK_DISCOVERY_COLS
+    )
+    return f"""
+WITH vals AS (
+{melt}
+),
+dv AS (SELECT DISTINCT col, v FROM vals),
+stats AS (
+  SELECT r.col, r.n_rows, d.n_distinct
+  FROM (SELECT col, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM vals GROUP BY col) r
+  JOIN (SELECT col, CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM dv GROUP BY col) d USING (col)
+),
+inter AS (
+  SELECT a.col AS child_column, b.col AS parent_column,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM dv a JOIN dv b ON a.v = b.v AND a.col <> b.col
+  GROUP BY 1, 2
+)
+SELECT i.child_column, i.parent_column,
+       cs.n_distinct AS child_distinct,
+       ps.n_distinct AS parent_distinct,
+       i.n_common,
+       ROUND(CAST(i.n_common AS DOUBLE) / cs.n_distinct, 6) AS containment,
+       ps.n_distinct = ps.n_rows AS parent_unique,
+       i.n_common = cs.n_distinct AND ps.n_distinct = ps.n_rows
+         AS is_fk_candidate
+FROM inter i
+JOIN stats cs ON cs.col = i.child_column
+JOIN stats ps ON ps.col = i.parent_column
+WHERE CAST(i.n_common AS DOUBLE) / cs.n_distinct
+      >= {FK_DISCOVERY_MIN_CONTAINMENT}
+"""
+
+
 def survey_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry for the HLL scale path (rows-only driver check:
     approx_count_distinct has no exact SQL oracle by construction)."""
@@ -1651,6 +1792,7 @@ QUERIES = {
     "survey_profile_approx": survey_profile_approx,
     "survey_pk_inference": survey_pk_inference,
     "survey_fk_inference": survey_fk_inference,
+    "survey_fk_discovery": survey_fk_discovery,
     "survey_numeric_quantiles": survey_numeric_quantiles,
     "survey_numeric_histogram": survey_numeric_histogram,
     "survey_correlation": survey_correlation,
@@ -1675,5 +1817,6 @@ ORACLES = {
     "survey_column_profile": _profile_sql(),
     "survey_pk_inference": _pk_sql(),
     "survey_fk_inference": _fk_sql(),
+    "survey_fk_discovery": _fk_discovery_sql(),
     "survey_numeric_quantiles": _quantiles_sql(),
 }
