@@ -825,7 +825,162 @@ FROM counts, base, total
 """
 
 
+# ------------------------------------------------------------- A/B lift
+
+# Deterministic user-level arm assignment (hash-Bernoulli, the same
+# portable split every sampler here uses); the synthetic feed has no
+# experiment, so (dirtied-in-query convention, both engines) the CONTROL
+# arm loses every 10th purchase — a real sustained conversion effect the
+# two-proportion z-test must detect.
+AB_SALT = "ab_"
+AB_DROP_MOD = 10
+AB_VALUE_MIN = 180.0  # conversion = a HIGH-VALUE purchase (~quarter of users
+# at any SF; an any-purchase metric saturates at rate 1.0 and degenerates
+# the z denominator)
+
+
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: user-level hash assignment into
+    treatment/control, per-arm users and converters (≥1 counted purchase),
+    conversion rates, absolute and relative lift, and the pooled
+    two-proportion z statistic — the table every growth experiment reads.
+    One row; every input is an integer count, so both engines compute
+    bit-identical doubles from the same closed forms.
+
+    Plan: one scan → per-user (arm, converted) aggregate (map-side
+    combinable) → one 1-row conditional aggregate; no windows, no joins.
+    """
+    from ..functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    arm = F.when(
+        portable_hash64(
+            F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))
+        )
+        % 2
+        == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    counted = (
+        (F.col("event_type") == "purchase")
+        & (F.col("value") >= AB_VALUE_MIN)
+        & ((arm == "treatment") | (F.col("event_id") % AB_DROP_MOD != 0))
+    )
+    per_user = ev.groupBy(F.col("user_id"), arm.alias("arm")).agg(
+        F.max(F.when(counted, 1).otherwise(0)).alias("converted")
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treatment"),
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum(
+            F.when(F.col("arm") == "treatment", F.col("converted")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("conv_treatment"),
+        F.sum(
+            F.when(F.col("arm") == "control", F.col("converted")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv_control"),
+    )
+    pt = F.col("conv_treatment").cast("double") / F.col("n_treatment")
+    pc = F.col("conv_control").cast("double") / F.col("n_control")
+    pool = (
+        (F.col("conv_treatment") + F.col("conv_control")).cast("double")
+        / (F.col("n_treatment") + F.col("n_control"))
+    )
+    se = F.sqrt(
+        pool
+        * (1.0 - pool)
+        * (
+            1.0 / F.col("n_treatment").cast("double")
+            + 1.0 / F.col("n_control").cast("double")
+        )
+    )
+    # degenerate experiments (everyone or no one converts) have no sampling
+    # variance — z is undefined, not infinite, in both engines
+    z = F.when(se > 0.0, (pt - pc) / se)
+    return agg.select(
+        "n_treatment",
+        "n_control",
+        "conv_treatment",
+        "conv_control",
+        F.round(pt, 6).alias("rate_treatment"),
+        F.round(pc, 6).alias("rate_control"),
+        F.round(pt - pc, 6).alias("abs_lift"),
+        F.round((pt - pc) / pc, 6).alias("rel_lift"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+def _ab_lift_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    arm = (
+        f"CASE WHEN {portable_hash64_sql(f'{AB_SALT!r} || CAST(user_id AS VARCHAR)')}"
+        " % 2 = 0 THEN 'control' ELSE 'treatment' END"
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id, {arm} AS arm,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND value >= {AB_VALUE_MIN}
+                   AND ({arm} = 'treatment'
+                        OR event_id % {AB_DROP_MOD} <> 0)
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_treatment,
+    CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_control,
+    CAST(SUM(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END)
+         AS BIGINT) AS conv_treatment,
+    CAST(SUM(CASE WHEN arm = 'control' THEN converted ELSE 0 END)
+         AS BIGINT) AS conv_control
+  FROM per_user
+)
+SELECT n_treatment, n_control, conv_treatment, conv_control,
+  ROUND(CAST(conv_treatment AS DOUBLE) / n_treatment, 6) AS rate_treatment,
+  ROUND(CAST(conv_control AS DOUBLE) / n_control, 6) AS rate_control,
+  ROUND(CAST(conv_treatment AS DOUBLE) / n_treatment
+        - CAST(conv_control AS DOUBLE) / n_control, 6) AS abs_lift,
+  ROUND((CAST(conv_treatment AS DOUBLE) / n_treatment
+         - CAST(conv_control AS DOUBLE) / n_control)
+        / (CAST(conv_control AS DOUBLE) / n_control), 6) AS rel_lift,
+  ROUND(CASE WHEN sqrt(
+            (CAST(conv_treatment + conv_control AS DOUBLE)
+             / (n_treatment + n_control))
+            * (1.0 - CAST(conv_treatment + conv_control AS DOUBLE)
+                     / (n_treatment + n_control))
+            * (1.0 / CAST(n_treatment AS DOUBLE)
+               + 1.0 / CAST(n_control AS DOUBLE))) > 0.0
+        THEN (CAST(conv_treatment AS DOUBLE) / n_treatment
+              - CAST(conv_control AS DOUBLE) / n_control)
+             / sqrt(
+            (CAST(conv_treatment + conv_control AS DOUBLE)
+             / (n_treatment + n_control))
+            * (1.0 - CAST(conv_treatment + conv_control AS DOUBLE)
+                     / (n_treatment + n_control))
+            * (1.0 / CAST(n_treatment AS DOUBLE)
+               + 1.0 / CAST(n_control AS DOUBLE)))
+        END, 6) AS z_stat
+FROM agg
+"""
+
+
 QUERIES = {
+    "events_ab_lift": events_ab_lift,
     "funnel_within_session": funnel_within_session,
     "funnel_time_to_convert": funnel_time_to_convert,
     "events_pit_features": events_pit_features,
@@ -839,6 +994,7 @@ QUERIES = {
     "event_time_heatmap": event_time_heatmap,
 }
 ORACLES = {
+    "events_ab_lift": _ab_lift_sql(),
     "funnel_within_session": WITHIN_SESSION_FUNNEL_SQL,
     "funnel_time_to_convert": _ttc_sql(),
     "events_pit_features": _pit_features_sql(),
