@@ -246,12 +246,114 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+# ------------------------------------------------------------- key skew
+
+# Join/shuffle keys audited for skew: the columns the engine's heaviest
+# joins and aggregations hash-partition on.
+SKEW_KEY_COLS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def layout_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-join-key skew report: for each shuffle key the engine joins or
+    aggregates on, the per-key row-count distribution — key count, mean /
+    p50 / p99 / max rows per key, the skew ratio (max / mean), and the
+    hottest key's share of all rows. This is the table that decides
+    whether a join needs salting or AQE skew splitting BEFORE it runs
+    (`graph_degree_distribution` answers the same question for the
+    derived co-purchase graph; this audits the raw fact keys).
+
+    Plan: melt the audited columns into (col, key) rows (one projected
+    scan per source column) → ONE map-side-combinable (col, key) count →
+    ONE per-col aggregate over the counts frame (exact `percentile` ↔
+    DuckDB `quantile_cont`, the survey_numeric_quantiles parity pair).
+    Nothing driver-side; both shuffles are slim int64 pairs.
+    """
+    from functools import reduce as _reduce
+
+    frames = []
+    for t, c in SKEW_KEY_COLS:
+        frames.append(
+            load_table(spark, sf_dir, t)
+            .select(
+                F.lit(f"{t}.{c}").alias("col"),
+                F.col(c).cast("bigint").alias("k"),
+            )
+            .filter(F.col("k").isNotNull())
+        )
+    melted = _reduce(DataFrame.unionByName, frames)
+    counts = melted.groupBy("col", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    probs = F.array(F.lit(0.5), F.lit(0.99))
+    agg = counts.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_rows_per_key"),
+        F.percentile(F.col("c").cast("double"), probs).alias("_q"),
+    )
+    mean = F.col("n_rows").cast("double") / F.col("n_keys")
+    return agg.select(
+        F.col("col").alias("key_column"),
+        "n_keys",
+        "n_rows",
+        F.round(mean, 6).alias("mean_rows_per_key"),
+        F.round(F.col("_q")[0], 6).alias("p50_rows_per_key"),
+        F.round(F.col("_q")[1], 6).alias("p99_rows_per_key"),
+        "max_rows_per_key",
+        F.round(F.col("max_rows_per_key") / mean, 6).alias("skew_ratio"),
+        F.round(
+            F.col("max_rows_per_key").cast("double") / F.col("n_rows"), 9
+        ).alias("top_key_share"),
+    )
+
+
+def _key_skew_sql() -> str:
+    melt = "\n  UNION ALL\n".join(
+        f"  SELECT '{t}.{c}' AS col, CAST({c} AS BIGINT) AS k FROM {t} "
+        f"WHERE {c} IS NOT NULL"
+        for t, c in SKEW_KEY_COLS
+    )
+    return f"""
+WITH melted AS (
+{melt}
+),
+counts AS (
+  SELECT col, k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM melted GROUP BY col, k
+),
+agg AS (
+  SELECT col, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
+         quantile_cont(CAST(c AS DOUBLE), [0.5, 0.99]) AS q
+  FROM counts GROUP BY col
+)
+SELECT col AS key_column, n_keys, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS mean_rows_per_key,
+       ROUND(q[1], 6) AS p50_rows_per_key,
+       ROUND(q[2], 6) AS p99_rows_per_key,
+       max_rows_per_key,
+       ROUND(max_rows_per_key / (CAST(n_rows AS DOUBLE) / n_keys), 6)
+         AS skew_ratio,
+       ROUND(CAST(max_rows_per_key AS DOUBLE) / n_rows, 9) AS top_key_share
+FROM agg
+"""
+
+
 QUERIES = {
     "layout_zorder_stats": layout_zorder_stats,
     "join_size_estimate": join_size_estimate,
+    "layout_key_skew": layout_key_skew,
 }
 
 ORACLES = {
     "layout_zorder_stats": _zorder_sql(),
     "join_size_estimate": _join_size_sql(),
+    "layout_key_skew": _key_skew_sql(),
 }
