@@ -773,6 +773,99 @@ SELECT rank, tok_a, tok_b, support, pmi, npmi FROM (
 
 
 
+# ------------------------------------------------------- vocab coverage
+
+# Candidate tokenizer vocabulary sizes: what fraction of all token
+# OCCURRENCES does a top-N vocabulary cover (the out-of-vocabulary /
+# byte-fallback rate is 1 − coverage) — the table that sizes a tokenizer.
+COVERAGE_LEVELS = (100, 500, 1000, 5000, 10000)
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve for vocabulary sizing: for each candidate
+    vocab size N, the corpus token share covered by the N most frequent
+    types (ties broken lexically) and the implied OOV rate. Zipf says the
+    curve saturates fast; WHERE it saturates is the vocab-size decision
+    (`text_zipf_fit` fits the law, this reads the budget off it).
+
+    Plan: one token groupBy, global frequency rank via the §6 TWO-LEVEL
+    parallel prefix (`plans/prefix.py` — a raw vocabulary is 10⁸-10⁹ rows
+    at 100 TB, never a single-partition window), then ONE conditional
+    aggregate emits every level via inline (the §6 single-aggregate
+    report rule).
+    """
+    from ..plans.cache import release_caches
+    from ..plans.prefix import two_level_prefix
+
+    release_caches()
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = two_level_prefix(
+        counts, [F.desc("cnt"), F.asc("t")], out_col="rank"
+    )
+    agg = ranked.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        *[
+            F.sum(F.when(F.col("rank") <= n, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{n}")
+            for n in COVERAGE_LEVELS
+        ],
+    )
+    entries = [
+        F.struct(
+            F.lit(n).cast("bigint").alias("vocab_size"),
+            F.col(f"c{n}").alias("covered_tokens"),
+            F.round(F.col(f"c{n}") / F.col("n_total").cast("double"), 9).alias(
+                "coverage"
+            ),
+            F.round(
+                1.0 - F.col(f"c{n}") / F.col("n_total").cast("double"), 9
+            ).alias("oov_rate"),
+            F.col("n_types").alias("total_types"),
+        )
+        for n in COVERAGE_LEVELS
+    ]
+    return agg.select(F.inline(F.array(*entries)))
+
+
+def _vocab_coverage_sql() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN rank <= {n} THEN cnt ELSE 0 END) AS BIGINT)"
+        f" AS c{n}"
+        for n in COVERAGE_LEVELS
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT CAST({n} AS BIGINT) AS vocab_size, c{n} AS covered_tokens,"
+        f" ROUND(c{n} / CAST(n_total AS DOUBLE), 9) AS coverage,"
+        f" ROUND(1.0 - c{n} / CAST(n_total AS DOUBLE), 9) AS oov_rate,"
+        f" n_types AS total_types FROM agg"
+        for n in COVERAGE_LEVELS
+    )
+    return f"""
+WITH counts AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({tokens_sql("text")}) AS t FROM documents)
+  GROUP BY t
+),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS rank
+  FROM counts
+),
+agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_types, {sums}
+  FROM ranked
+)
+{branches}
+"""
+
+
 # --------------------------------------------------------- vocab growth
 
 VOCAB_LEVELS = 10  # corpus fractions 10%..100%
@@ -960,6 +1053,7 @@ QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_cooccurrence_pmi": text_cooccurrence_pmi,
     "text_vocab_growth": text_vocab_growth,
+    "text_vocab_coverage": text_vocab_coverage,
     "text_zipf_fit": text_zipf_fit,
     "text_lm_score": text_lm_score,
     "text_stats": text_stats,
@@ -978,6 +1072,7 @@ ORACLES = {
     "text_char_entropy": _char_entropy_sql(),
     "text_cooccurrence_pmi": _pmi_sql(),
     "text_vocab_growth": _vocab_growth_sql(),
+    "text_vocab_coverage": _vocab_coverage_sql(),
     "text_zipf_fit": ZIPF_SQL,
     "text_lm_score": _lm_score_sql(),
     "text_stats": _stats_sql(),
