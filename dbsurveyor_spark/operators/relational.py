@@ -1124,6 +1124,65 @@ FROM base CROSS JOIN fences
 # ------------------------------------------------------------- YoY growth
 
 
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index: per month-of-year (1-12), the
+    average monthly revenue and its ratio to the overall monthly average —
+    the multiplicative seasonal profile behind demand planning and the
+    deseasonalization step of any forecast (`window_yoy_revenue` compares
+    one month to itself a year back; this pools ALL years per calendar
+    month). Index > 1 = seasonally strong month.
+
+    Plan: one exact-decimal groupBy(yyyy-MM) aggregate (the scan reduces
+    to ≤ months rows immediately), a 12-row month-of-year aggregate over
+    it, and a broadcast 1-row overall mean — no windows at all.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    dec = "decimal(30,6)"
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.month("o_orderdate").cast("bigint").alias("month_num"),
+    ).agg(F.sum(F.col("o_totalprice").cast(dec)).alias("rev"))
+    per_month = monthly.groupBy("month_num").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("avg_rev"),
+    )
+    overall = monthly.agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("overall_avg")
+    )
+    return per_month.crossJoin(F.broadcast(overall)).select(
+        "month_num",
+        "n_months",
+        F.round("avg_rev", 6).alias("avg_monthly_revenue"),
+        F.round(F.col("avg_rev") / F.col("overall_avg"), 9).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+SEASONALITY_SQL = """
+WITH monthly AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+         CAST(month(o_orderdate) AS BIGINT) AS month_num,
+         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+  FROM orders GROUP BY 1, 2
+),
+per_month AS (
+  SELECT month_num, CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_rev
+  FROM monthly GROUP BY month_num
+),
+overall AS (
+  SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS overall_avg FROM monthly
+)
+SELECT month_num, n_months,
+       ROUND(avg_rev, 6) AS avg_monthly_revenue,
+       ROUND(avg_rev / overall_avg, 9) AS seasonal_index
+FROM per_month, overall
+"""
+
+
 def window_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year monthly revenue growth — the canonical reporting
     window (LAG 12 over the month series): per month, revenue, the
@@ -1487,6 +1546,7 @@ QUERIES = {
     "orders_backlog_aging": orders_backlog_aging,
     "rfm_segmentation": rfm_segmentation,
     "window_yoy_revenue": window_yoy_revenue,
+    "orders_seasonality_index": orders_seasonality_index,
     "abc_part_classification": abc_part_classification,
     "customer_churn_flags": customer_churn_flags,
     "supplier_concentration_hhi": supplier_concentration_hhi,
@@ -1517,6 +1577,7 @@ ORACLES = {
     "orders_backlog_aging": _backlog_aging_sql(),
     "rfm_segmentation": _rfm_sql(),
     "window_yoy_revenue": YOY_SQL,
+    "orders_seasonality_index": SEASONALITY_SQL,
     "abc_part_classification": ABC_SQL,
     "customer_churn_flags": CHURN_SQL,
     "supplier_concentration_hhi": HHI_SQL,
