@@ -1388,6 +1388,84 @@ FROM per_cust CROSS JOIN wm
 # -------------------------------------------------------------------- HHI
 
 
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per supplier nation: mean / p50 / p95 /
+    max days between o_orderdate and l_shipdate, plus the late-ish share
+    (> 60 days) — the fulfillment-SLA screen beside
+    `supplier_concentration_hhi`'s supply-risk one.
+
+    Plan: ONE fact-fact join on the order key (both sides shuffle on the
+    same key — the engine's co-partitioned join discipline), supplier
+    nation attached via the broadcastable dim chain, then one per-nation
+    aggregate with exact `percentile` ↔ `quantile_cont` parity. Nothing
+    beyond the one co-key shuffle is data-sized.
+    """
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    lead = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("double")
+    probs = F.array(F.lit(0.5), F.lit(0.95))
+    return (
+        lines.join(orders, lines["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, lines["l_suppkey"] == supp["s_suppkey"])
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), lead.alias("lead_days"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shipments"),
+            F.round(F.avg("lead_days"), 6).alias("mean_lead_days"),
+            F.percentile(F.col("lead_days"), probs).alias("_q"),
+            F.max("lead_days").cast("bigint").alias("max_lead_days"),
+            F.round(
+                F.avg(F.when(F.col("lead_days") > 60, 1.0).otherwise(0.0)), 9
+            ).alias("late_share"),
+        )
+        .select(
+            "nation",
+            "n_shipments",
+            "mean_lead_days",
+            F.round(F.col("_q")[0], 6).alias("p50_lead_days"),
+            F.round(F.col("_q")[1], 6).alias("p95_lead_days"),
+            "max_lead_days",
+            "late_share",
+        )
+    )
+
+
+LEAD_TIME_SQL = """
+WITH leads AS (
+  SELECT n.n_name AS nation,
+         CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS DOUBLE) AS lead_days
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_shipments,
+       ROUND(AVG(lead_days), 6) AS mean_lead_days,
+       ROUND(quantile_cont(lead_days, 0.5), 6) AS p50_lead_days,
+       ROUND(quantile_cont(lead_days, 0.95), 6) AS p95_lead_days,
+       CAST(MAX(lead_days) AS BIGINT) AS max_lead_days,
+       ROUND(AVG(CASE WHEN lead_days > 60 THEN 1.0 ELSE 0.0 END), 9)
+         AS late_share
+FROM leads GROUP BY nation
+"""
+
+
 def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier market concentration per nation: the Herfindahl-Hirschman
     index (Σ market-share², 0 = atomized, 1 = monopoly) over supplier
@@ -1550,6 +1628,7 @@ QUERIES = {
     "abc_part_classification": abc_part_classification,
     "customer_churn_flags": customer_churn_flags,
     "supplier_concentration_hhi": supplier_concentration_hhi,
+    "supplier_lead_time": supplier_lead_time,
     "cohort_revenue_ltv": cohort_revenue_ltv,
     "fuzzy_name_match": fuzzy_name_match,
     "basket_copurchase_lift": basket_copurchase_lift,
@@ -1581,6 +1660,7 @@ ORACLES = {
     "abc_part_classification": ABC_SQL,
     "customer_churn_flags": CHURN_SQL,
     "supplier_concentration_hhi": HHI_SQL,
+    "supplier_lead_time": LEAD_TIME_SQL,
     "cohort_revenue_ltv": COHORT_LTV_SQL,
     "fuzzy_name_match": FUZZY_SQL,
     "basket_copurchase_lift": BASKET_SQL,
