@@ -80,6 +80,13 @@ HEADLINE = [
     "mm_audio_dedup_corpus",
     "text_zipf_fit",
     "abc_part_classification",
+    # round 6 continuation: retrieval + backbone segmentation
+    "text_bm25_search",
+    "ann_hybrid_search",
+    "ann_graph_search",
+    "graph_connected_components",
+    "quality_cross_table_checks",
+    "sample_kcenter_greedy",
 ]
 
 STEADY_PASSES = 2  # steady = per-query MIN over this many post-warm passes

@@ -83,9 +83,16 @@ def copurchase_graph(
 
     Edge construction never self-joins the fact table: distinct
     (order, part) lines → per-order basket arrays (fan-out bounded by
-    basket size, ≤7 at TPC-H ratios) → in-array pair expansion → distinct.
-    No pre-distinct before the groupBy: collect_set dedupes parts within an
-    order anyway, so it would only add a shuffle.
+    basket size, ≤7 at TPC-H ratios) → in-array pair expansion → one
+    groupBy(a, b). No pre-distinct before the groupBy: collect_set dedupes
+    parts within an order anyway, so it would only add a shuffle.
+
+    `half` also carries `support` = number of distinct orders containing
+    both endpoints (each order's basket emits a pair at most once, so the
+    groupBy count IS the co-order support). The count agg costs the same
+    shuffle the old `.distinct()` did, and the extra int64 column lets
+    `graph_connected_components` threshold a backbone without a second
+    basket build; pagerank/triangle/degree select (a, b) and ignore it.
     """
     from .dedup import _bucket_pairs
 
@@ -118,7 +125,8 @@ def copurchase_graph(
     half = (
         baskets.select(F.explode(_bucket_pairs(F.col("parts"))).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .cache()
     )
     deg = (
@@ -502,14 +510,122 @@ FROM bins
 """
 
 
+# --------------------------------------------------- connected components
+
+# Backbone threshold: an edge must be supported by ≥ this many distinct
+# co-orders. Support-1 edges are coincidence at TPC-H ratios (the raw
+# co-purchase graph is one giant component — a useless segmentation);
+# thresholding is the standard association-graph denoising step and leaves
+# real product communities.
+CC_MIN_SUPPORT = 2
+
+
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the support-thresholded co-purchase
+    backbone: per component — id (min part id), node count, edge count.
+    Parts with no backbone edge are singleton components, so the output
+    partitions the ENTIRE part universe (the same contract as
+    `dedup_neardup_clusters`'s corpus labels); component_id = min reachable
+    part id is a unique fixpoint, independent of iteration order.
+
+    Plan: the memoized co-purchase `half` frame already carries co-order
+    `support`, so the backbone is a filter — no second basket build. Labels
+    come from the shared O(log n) star contraction
+    (`dedup.star_contraction_labels`: alternating large/small-star over a
+    two-int64-column frame, eager localCheckpoint per round — the §6
+    iterative doctrine); singletons attach via one left join on the part
+    dimension, and both outputs are component-count-sized aggregates. At
+    100× every frame is |E| or |V| slim integers; nothing broadcasts and
+    no window appears anywhere.
+
+    Reference analog: none — extends §2.D's graph family (PageRank /
+    triangles / degrees) with the segmentation op the dedup suite uses
+    internally (dedup.py:983), surfaced on the relational graph.
+    """
+    from .dedup import star_contraction_labels
+
+    release_caches()
+
+    half, _ = copurchase_graph(spark, sf_dir)
+    backbone = half.filter(F.col("support") >= CC_MIN_SUPPORT).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    labels = star_contraction_labels(backbone)
+    universe = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node")
+    )
+    all_labels = universe.join(labels, "node", "left").select(
+        "node", F.coalesce("label", "node").alias("component_id")
+    )
+    comp_nodes = all_labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    # NB: join on all_labels, not the raw contraction labels — the star
+    # fixpoint has no (min, min) self-row, so an inner join on raw labels
+    # silently drops every edge whose src IS its component's min id.
+    edge_counts = (
+        backbone.join(all_labels, backbone["src"] == all_labels["node"])
+        .groupBy("component_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    return comp_nodes.join(edge_counts, "component_id", "left").select(
+        "component_id",
+        "n_nodes",
+        F.coalesce(F.col("n_edges"), F.lit(0).cast("bigint")).alias(
+            "n_edges"
+        ),
+    )
+
+
+def _components_sql() -> str:
+    # The recursive closure materializes Σ|component|² (node, seed) pairs —
+    # tractable because the THRESHOLDED backbone has small components
+    # (measured: sum-of-squares 40k / 3.5M / 18k at sf0.001/0.01/0.1);
+    # the Spark side never pays this, star contraction is O(log n).
+    return f"""
+WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+),
+bb AS (SELECT a, b FROM half WHERE support >= {CC_MIN_SUPPORT}),
+edges AS (
+  SELECT a AS src, b AS dst FROM bb
+  UNION ALL
+  SELECT b AS src, a AS dst FROM bb
+),
+nodes AS (SELECT p_partkey AS node FROM part),
+reach(node, seed) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, reach.seed FROM reach JOIN edges e ON e.src = reach.node
+),
+labels AS (SELECT node, MIN(seed) AS component_id FROM reach GROUP BY node),
+edge_comp AS (
+  SELECT l.component_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM bb JOIN labels l ON l.node = bb.a GROUP BY 1
+)
+SELECT l.component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       COALESCE(MAX(ec.n_edges), 0) AS n_edges
+FROM labels l LEFT JOIN edge_comp ec ON ec.component_id = l.component_id
+GROUP BY l.component_id
+"""
+
+
 QUERIES = {
     "graph_pagerank_parts": graph_pagerank_parts,
     "graph_triangle_count": graph_triangle_count,
     "graph_degree_distribution": graph_degree_distribution,
+    "graph_connected_components": graph_connected_components,
 }
 
 ORACLES = {
     "graph_pagerank_parts": _pagerank_sql(),
     "graph_triangle_count": _triangle_sql(),
     "graph_degree_distribution": _degree_dist_sql(),
+    "graph_connected_components": _components_sql(),
 }

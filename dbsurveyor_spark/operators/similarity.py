@@ -2278,7 +2278,305 @@ def _pareto_sql() -> str:
     )
 
 
+# --------------------------------------------------- graph-ANN beam search
+
+GANN_N_QUERIES = 5  # probe set: vec_id < 5
+GANN_BEAM = 8  # beam width (HNSW's ef parameter)
+GANN_HOPS = 3  # fixed expansion rounds (determinism > convergence)
+GANN_TOP_K = 5
+
+
+def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN search (the HNSW/NSG family, third index paradigm
+    beside IVF and PQ): greedy best-first BEAM search over the k-NN
+    navigation graph — start at a fixed entry node (min vec_id, the
+    single-layer stand-in for HNSW's top-layer descent), expand every beam
+    member's graph neighbors each hop, keep the top-`GANN_BEAM` scored
+    nodes, answer the top-K of the final beam. Fixed `GANN_HOPS` rounds
+    instead of a convergence test keep the unrolled-CTE oracle an exact
+    mirror (same trade as PageRank's fixed iterations).
+
+    Scale shape: the navigation graph is `knn_graph`'s bucketed build
+    (Σ|cell|² pairs, cached once and probed every hop); the beam state is
+    |Q|×BEAM rows — CONSTANT, so the per-hop beam-side broadcast join is
+    bounded by module constants at any corpus size, and each hop costs one
+    slim key join into the edge frame plus one key join to re-attach
+    candidate embeddings. Scores are rounded Arrow cosines; ties break by
+    node id, so beam membership is deterministic and the oracle replays
+    the identical search path.
+    """
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    edges = tracked_cache(
+        knn_graph(spark, sf_dir).select("src_id", "dst_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    probes = emb.filter(F.col("vec_id") < GANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    entry = emb.agg(F.min("vec_id").alias("node"))
+    cos = cosine_rounded_arrow(
+        F.col("q_emb").cast("array<double>"),
+        F.col("embedding").cast("array<double>"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("node")
+    )
+
+    def score_and_prune(cand: DataFrame) -> DataFrame:
+        """(query_id, node) → top-BEAM (query_id, node, cos_sim)."""
+        return (
+            cand.join(emb, cand["node"] == emb["vec_id"])
+            .join(F.broadcast(probes), "query_id")
+            .select("query_id", "node", cos.alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= GANN_BEAM)
+            .select("query_id", "node", "cos_sim")
+        )
+
+    beam = score_and_prune(
+        probes.select("query_id").crossJoin(F.broadcast(entry))
+    )
+    for _ in range(GANN_HOPS):
+        expanded = (
+            F.broadcast(beam.select("query_id", "node"))
+            .join(edges, beam["node"] == edges["src_id"])
+            .select("query_id", F.col("dst_id").alias("node"))
+        )
+        cand = (
+            beam.select("query_id", "node").unionByName(expanded).distinct()
+        )
+        beam = score_and_prune(cand)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        beam.filter(F.col("node") != F.col("query_id"))
+        .select(
+            "query_id", F.col("node").alias("neighbor_id"), "cos_sim"
+        )
+        .withColumn("rank", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rank") <= GANN_TOP_K)
+    )
+
+
+def _graph_search_sql(dim: int = IVF_SQL_DIM) -> str:
+    cos_assign = cosine_sql("c.c_emb", "e.embedding")
+    cos_edge = cosine_rounded_sql("q.embedding", "a.embedding")
+    cos_beam = cosine_rounded_sql("p.embedding", "e.embedding")
+    train_ctes, cent = train_sql_ctes("embeddings", dim)
+    hops = []
+    prev = "b0"
+    for i in range(1, GANN_HOPS + 1):
+        hops.append(f"""cand{i} AS (
+  SELECT query_id, node FROM {prev}
+  UNION
+  SELECT b.query_id, g.dst_id AS node
+  FROM {prev} b JOIN knn g ON g.src_id = b.node
+),
+b{i} AS (
+  SELECT query_id, node, cos_sim FROM (
+    SELECT c.query_id, c.node, {cos_beam} AS cos_sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {cos_beam} DESC, c.node ASC) AS rn
+    FROM cand{i} c
+    JOIN embeddings e ON e.vec_id = c.node
+    JOIN probes p ON p.query_id = c.query_id
+  ) t WHERE rn <= {GANN_BEAM}
+)""")
+        prev = f"b{i}"
+    hop_chain = ",\n".join(hops)
+    return f"""
+WITH {train_ctes},
+final AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_assign} DESC, c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {cent} c
+),
+assigned AS (SELECT vec_id, embedding, cell_id FROM final WHERE rn = 1),
+queries AS (SELECT vec_id, embedding, cell_id FROM final
+            WHERE rn <= {NPROBE}),
+knn_scored AS (
+  SELECT q.vec_id AS src_id, a.vec_id AS dst_id, {cos_edge} AS cos_sim
+  FROM queries q JOIN assigned a
+    ON a.cell_id = q.cell_id AND a.vec_id <> q.vec_id
+),
+knn AS (
+  SELECT src_id, dst_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY src_id ORDER BY cos_sim DESC, dst_id ASC) AS rank
+    FROM knn_scored
+  ) t WHERE rank <= {KNN_K}
+),
+probes AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < {GANN_N_QUERIES}),
+entry AS (SELECT MIN(vec_id) AS node FROM embeddings),
+b0 AS (
+  SELECT query_id, node, cos_sim FROM (
+    SELECT p.query_id, en.node, {cos_beam} AS cos_sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {cos_beam} DESC, en.node ASC) AS rn
+    FROM probes p CROSS JOIN entry en
+    JOIN embeddings e ON e.vec_id = en.node
+  ) t WHERE rn <= {GANN_BEAM}
+),
+{hop_chain}
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, node AS neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_sim DESC, node ASC) AS BIGINT) AS rank
+  FROM {prev} WHERE node <> query_id
+) t WHERE rank <= {GANN_TOP_K}
+"""
+
+
+# ------------------------------------------------------- hybrid retrieval
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+HYBRID_C = 20  # per-leg candidate-list depth entering the fusion
+HYBRID_TOP_K = 10
+# Lexical leg of each hybrid query; the vector leg uses the corpus
+# embedding whose vec_id equals the query_id (in production the vector is
+# the ENCODED QUERY — the fixture stands it in so both legs stay
+# deterministic and oracle-replayable).
+HYBRID_QUERIES: dict[int, tuple[str, ...]] = {
+    1: ("spark", "window", "sort"),
+    2: ("join", "filter", "scan"),
+    3: ("dup", "table"),
+}
+
+
+def ann_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion
+    (Cormack et al., SIGIR'09): BM25 top-C and cosine top-C candidate
+    lists per query, fused by Σ 1/(RRF_K + rank) — the standard
+    score-scale-free way to combine sparse and dense retrieval (RRF needs
+    no score calibration, which is why every hybrid search engine ships
+    it).
+
+    Scale shape: each leg is already a bounded top-C list per query — the
+    lexical leg's corpus work is `textstats.bm25_scores` (tokenize once,
+    map-side term gate), the vector leg is the documented brute-force
+    baseline (`ann_ivf_topk` is the scale path for the same leg, swap at
+    will); the fusion itself joins two |Q|×C frames — metadata scale. A
+    doc missing from one leg contributes only the other leg's reciprocal
+    (standard RRF). Reciprocals are fixed-order double expressions rounded
+    at 9, never aggregated, so cross-engine ordering is exact; ties break
+    by doc_id.
+    """
+    from pyspark.sql.window import Window
+
+    from .textstats import bm25_scores
+
+    lex_w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    lex = (
+        bm25_scores(spark, sf_dir, HYBRID_QUERIES)
+        .withColumn("lex_rank", F.row_number().over(lex_w).cast("bigint"))
+        .filter(F.col("lex_rank") <= HYBRID_C)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    probes = emb.filter(
+        F.col("vec_id").isin(sorted(HYBRID_QUERIES))
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    cos = cosine_rounded_arrow(
+        F.col("q_emb").cast("array<double>"),
+        F.col("embedding").cast("array<double>"),
+    )
+    vec_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    vec = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("doc_id"), cos.alias("cos_sim")
+        )
+        .withColumn("vec_rank", F.row_number().over(vec_w).cast("bigint"))
+        .filter(F.col("vec_rank") <= HYBRID_C)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+        ),
+        9,
+    )
+    fuse_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id", "doc_id", "lex_rank", "vec_rank",
+            rrf.alias("rrf_score"),
+        )
+        .withColumn("rank", F.row_number().over(fuse_w).cast("bigint"))
+        .filter(F.col("rank") <= HYBRID_TOP_K)
+        .select(
+            "query_id", "rank", "doc_id", "lex_rank", "vec_rank", "rrf_score"
+        )
+    )
+
+
+def _hybrid_sql() -> str:
+    from .textstats import bm25_sql_ctes
+
+    cos = cosine_rounded_sql("p.embedding", "e.embedding")
+    ids = ", ".join(str(q) for q in sorted(HYBRID_QUERIES))
+    return f"""
+WITH {bm25_sql_ctes(HYBRID_QUERIES)},
+lex AS (
+  SELECT query_id, doc_id, lex_rank FROM (
+    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+    ) AS BIGINT) AS lex_rank FROM bm25
+  ) t WHERE lex_rank <= {HYBRID_C}
+),
+probes AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id IN ({ids})),
+vecscored AS (
+  SELECT p.query_id, e.vec_id AS doc_id, {cos} AS cos_sim
+  FROM probes p JOIN embeddings e ON e.vec_id <> p.query_id
+),
+vec AS (
+  SELECT query_id, doc_id, vec_rank FROM (
+    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, doc_id ASC
+    ) AS BIGINT) AS vec_rank FROM vecscored
+  ) t WHERE vec_rank <= {HYBRID_C}
+),
+fused AS (
+  SELECT query_id, doc_id, lex_rank, vec_rank,
+         ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0)
+             + COALESCE(1.0 / ({RRF_K} + vec_rank), 0), 9) AS rrf_score
+  FROM lex FULL OUTER JOIN vec USING (query_id, doc_id)
+)
+SELECT query_id, rank, doc_id, lex_rank, vec_rank, rrf_score FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+  ) AS BIGINT) AS rank FROM fused
+) t WHERE rank <= {HYBRID_TOP_K}
+"""
+
+
 QUERIES = {
+    "ann_graph_search": ann_graph_search,
+    "ann_hybrid_search": ann_hybrid_search,
     "ann_compression_pareto": ann_compression_pareto,
     "ann_ivfsq_topk": ann_ivfsq_topk,
     "ann_sq8_topk": ann_sq8_topk,
@@ -2301,6 +2599,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_graph_search": _graph_search_sql(),
+    "ann_hybrid_search": _hybrid_sql(),
     "ann_compression_pareto": _pareto_sql(),
     "ann_ivfsq_topk": _ivfsq_sql(),
     "ann_sq8_topk": _sq_sql(),

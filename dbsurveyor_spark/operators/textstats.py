@@ -1049,6 +1049,187 @@ SELECT CAST(n AS BIGINT) AS vocab_size,
 FROM agg
 """
 
+# ------------------------------------------------------------- BM25 search
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# Fixed lexical query workload (query_id → terms). `dup` is the one rare
+# token in the synthetic vocabulary (df ≈ 5%), so query 3 exercises the
+# high-idf path; 1/2 rank near-ubiquitous terms, where the score is decided
+# by tf × the k1/b length normalization rather than idf.
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    1: ("spark", "window", "sort"),
+    2: ("join", "filter", "scan"),
+    3: ("dup", "table"),
+}
+
+
+def bm25_scores(
+    spark: SparkSession, sf_dir: str, queries: dict[int, tuple[str, ...]]
+) -> DataFrame:
+    """(query_id, doc_id, score) BM25 relevance — Robertson/Sparck Jones
+    probabilistic idf (ln(1 + (N−df+0.5)/(df+0.5))) with k1/b term-frequency
+    saturation and length normalization. Shared by `text_bm25_search` and
+    the hybrid-retrieval fusion (similarity.ann_hybrid_search).
+
+    Scale shape: the corpus is tokenized ONCE; the explode is gated
+    map-side to the (constant-size) union of query terms BEFORE the
+    (doc, token) groupBy, so the only corpus-sized shuffle carries rows
+    that actually match a query term. df comes from the tf frame itself
+    (one row per (doc, token) ⇒ rows per token = df, the tfidf trick);
+    corpus stats (N, Σdl) are a 1-row aggregate; the query-term frame is a
+    driver-local relation. Per-term scores round at 9 and sum on the
+    decimal(20,9) lattice, so the (query, doc) total is order-independent
+    and the rank comparison below is exact in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    stats = toks.select(
+        F.size("toks").cast("bigint").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("dl").cast("decimal(30,6)")).alias("sum_dl"),
+    )
+    # Inline VALUES (a JVM LocalRelation), not createDataFrame: the Python
+    # path plans a LogicalRDD whose every task forks a Python worker —
+    # measured multi-second first-run overhead for a constant 8-row frame.
+    vals = ", ".join(
+        f"(CAST({q} AS BIGINT), '{t}')"
+        for q, ts in sorted(queries.items())
+        for t in ts
+    )
+    terms = spark.sql(
+        f"SELECT query_id, token FROM (VALUES {vals}) AS t(query_id, token)"
+    )
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    # dl rides through the explode (constant per doc, folded back with max)
+    # so the corpus is scanned once for the match side — a separate dl
+    # branch would re-scan and re-join the whole table just to attach one
+    # int; only the 1-row stats aggregate pays a second (map-side) pass.
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .filter(F.col("token").isin(all_terms))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfnorm = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+    )
+    return (
+        tf.join(F.broadcast(terms), "token")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfnorm, 9).cast("decimal(20,9)").alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+
+
+def bm25_sql_ctes(queries: dict[int, tuple[str, ...]]) -> str:
+    """DuckDB CTE chain mirroring :func:`bm25_scores`; terminates in a
+    `bm25(query_id, doc_id, score)` CTE (decimal score, exact)."""
+    vals = ", ".join(
+        f"(CAST({q} AS BIGINT), '{t}')"
+        for q, ts in sorted(queries.items())
+        for t in ts
+    )
+    in_list = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in queries.values() for t in ts})
+    )
+    return f"""qterms(query_id, token) AS (VALUES {vals}),
+toks AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 SUM(CAST(len(toks) AS DECIMAL(30,6))) AS sum_dl FROM toks),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+         MAX(dl) AS dl
+  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS token FROM toks)
+  WHERE token IN ({in_list})
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+bm25 AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(CAST(ROUND(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+           (tf.tf * {BM25_K1 + 1.0}) /
+           (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tf.dl /
+              (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+         , 9) AS DECIMAL(20,9))) AS score
+  FROM tf
+  JOIN qterms q USING (token)
+  JOIN dfreq d USING (token)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)"""
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-K retrieval: BM25 ranking of the documents table for a
+    fixed query workload — the full-text-search operator of the text
+    family (idf from the probabilistic relevance model, k1/b saturation +
+    length normalization), and the lexical leg the hybrid-retrieval fusion
+    reuses.
+
+    The rank window partitions by query_id over the per-query CANDIDATE
+    set (docs sharing ≥1 query term) — at 100 TB that set is bounded by
+    the posting lists of the query's terms, the quantity a search engine's
+    index bounds by construction; scores are exact decimals so rank has no
+    float-tie hazard across engines.
+    """
+    from pyspark.sql.window import Window
+
+    scored = bm25_scores(spark, sf_dir, BM25_QUERIES)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+        )
+    )
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH {bm25_sql_ctes(BM25_QUERIES)}
+SELECT query_id, rank, doc_id, CAST(score AS DOUBLE) AS score FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM bm25
+) t WHERE rank <= {BM25_TOP_K}
+"""
+
+
 QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_cooccurrence_pmi": text_cooccurrence_pmi,
@@ -1066,6 +1247,7 @@ QUERIES = {
     "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_tfidf_keywords": text_tfidf_keywords,
     "text_rolling_fingerprint": text_rolling_fingerprint,
+    "text_bm25_search": text_bm25_search,
 }
 
 ORACLES = {
@@ -1085,4 +1267,5 @@ ORACLES = {
     "text_tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "text_tfidf_keywords": _tfidf_sql(),
     "text_rolling_fingerprint": ROLLING_FP_SQL,
+    "text_bm25_search": _bm25_sql(),
 }

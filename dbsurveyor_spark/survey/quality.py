@@ -2243,7 +2243,137 @@ FROM (
     return "\nUNION ALL\n".join(branches)
 
 
+# -------------------------------------------------- cross-table contracts
+
+# |o_totalprice − Σ line revenue| tolerance, in 1e-6 price units (= 0.01).
+CROSS_PRICE_TOL = 10_000
+
+
+def quality_cross_table_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE business-contract validation — the rules no single-table
+    scan (`quality_rule_checks`) or FK orphan count
+    (`quality_referential_integrity`) can see:
+
+    * `order_has_lines` — every order carries ≥1 line (childless parents,
+      the inverse of the orphan check);
+    * `ship_not_before_order` — no line ships before its order was placed
+      (temporal contract across the FK edge);
+    * `totalprice_matches_lines` — the order header's denormalized total
+      equals Σ extendedprice·(1−discount)·(1+tax) within 0.01 (the classic
+      header/detail reconciliation).
+
+    Plan: ONE groupBy(l_orderkey) pre-aggregates the line side to order
+    grain (min shipdate + exact revenue sum), ONE left join against
+    orders on the shared key — both sides shuffle once, co-keyed — then a
+    single map-side-combinable 1-row aggregate evaluates every rule;
+    adding a rule adds an expression, never a join. Money math is integer:
+    cents × (100−d%) × (100+t%) ≤ ~1e12 per line sums exactly in int64, so
+    the reconciliation is bit-identical in any engine at any partitioning
+    (a double Σ would be merge-order-dependent precisely at the tolerance
+    boundary this rule tests).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "l_tax"
+    )
+    scaled = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        * (F.lit(100) + F.round(F.col("l_tax") * 100).cast("bigint"))
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("min_ship"),
+        F.sum(scaled).alias("sum_scaled"),
+    )
+    joined = orders.join(
+        per_order, orders["o_orderkey"] == per_order["l_orderkey"], "left"
+    )
+    has_lines = F.col("l_orderkey").isNotNull()
+    tp_scaled = F.round(F.col("o_totalprice") * F.lit(1e6)).cast("bigint")
+    price_bad = has_lines & (
+        F.abs(tp_scaled - F.col("sum_scaled")) > CROSS_PRICE_TOL
+    )
+    ship_bad = has_lines & (F.col("min_ship") < F.col("o_orderdate"))
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((~has_lines).cast("bigint")).alias("childless"),
+        F.sum(has_lines.cast("bigint")).alias("with_lines"),
+        F.sum(ship_bad.cast("bigint")).alias("ship_viol"),
+        F.sum(price_bad.cast("bigint")).alias("price_viol"),
+    )
+    rules = [
+        ("order_has_lines", F.col("n_orders"), F.col("childless")),
+        ("ship_not_before_order", F.col("with_lines"), F.col("ship_viol")),
+        ("totalprice_matches_lines", F.col("with_lines"), F.col("price_viol")),
+    ]
+    entries = [
+        F.struct(
+            F.lit(name).alias("rule_name"),
+            checked.alias("n_checked"),
+            viol.alias("violations"),
+            F.round(viol.cast("double") / checked, 9).alias(
+                "violation_rate"
+            ),
+            (viol == 0).cast("int").alias("passed"),
+        )
+        for name, checked, viol in rules
+    ]
+    return agg.select(F.inline(F.array(*entries)))
+
+
+def _cross_table_checks_sql() -> str:
+    return f"""
+WITH per_order AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS min_ship,
+         CAST(SUM(
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+           * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))
+         ) AS BIGINT) AS sum_scaled
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey, o.o_orderdate,
+         CAST(ROUND(o.o_totalprice * 1e6) AS BIGINT) AS tp_scaled,
+         p.l_orderkey, p.min_ship, p.sum_scaled
+  FROM orders o LEFT JOIN per_order p ON p.l_orderkey = o.o_orderkey
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS childless,
+         CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS with_lines,
+         CAST(SUM(CASE WHEN l_orderkey IS NOT NULL
+                        AND min_ship < o_orderdate THEN 1 ELSE 0 END)
+              AS BIGINT) AS ship_viol,
+         CAST(SUM(CASE WHEN l_orderkey IS NOT NULL
+                        AND abs(tp_scaled - sum_scaled) > {CROSS_PRICE_TOL}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS price_viol
+  FROM j
+)
+SELECT 'order_has_lines' AS rule_name, n_orders AS n_checked,
+       childless AS violations,
+       ROUND(CAST(childless AS DOUBLE) / n_orders, 9) AS violation_rate,
+       CAST(childless = 0 AS INT) AS passed
+FROM agg
+UNION ALL
+SELECT 'ship_not_before_order', with_lines, ship_viol,
+       ROUND(CAST(ship_viol AS DOUBLE) / with_lines, 9),
+       CAST(ship_viol = 0 AS INT)
+FROM agg
+UNION ALL
+SELECT 'totalprice_matches_lines', with_lines, price_viol,
+       ROUND(CAST(price_viol AS DOUBLE) / with_lines, 9),
+       CAST(price_viol = 0 AS INT)
+FROM agg
+"""
+
+
 QUERIES = {
+    "quality_cross_table_checks": quality_cross_table_checks,
     "quality_ks_drift": quality_ks_drift,
     "quality_completeness_trend": quality_completeness_trend,
     "quality_null_patterns": quality_null_patterns,
@@ -2266,6 +2396,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_cross_table_checks": _cross_table_checks_sql(),
     "quality_ks_drift": _ks_drift_sql(),
     "quality_completeness_trend": _completeness_trend_sql(),
     "quality_null_patterns": NULL_PATTERNS_SQL,

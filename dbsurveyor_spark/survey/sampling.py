@@ -718,6 +718,128 @@ FROM rates r LEFT JOIN kept k USING (label)
 """
 
 
+# --------------------------------------------------- k-center coreset
+
+KCENTER_K = 8  # centers selected (seed + 7 greedy rounds)
+
+
+def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy CORESET selection over the embedding space
+    (Gonzalez'85 2-approximation; Sener & Savarese ICLR'18 as the
+    active-learning/data-selection incarnation): seed at the min vec_id,
+    then K−1 rounds of "take the point farthest from every chosen center"
+    — the diversity-maximizing counterpart of `sample_importance_dsir`'s
+    distribution matching. Output: (round, center_id, max_min_dist), where
+    max_min_dist is the corpus coverage radius at that selection — the
+    curve a data-selection owner reads to pick K.
+
+    Scale shape: the running state is ONE slim (vec_id, max_cos) frame —
+    max cosine to any chosen center, updated per round against the single
+    new center (a 1-row broadcast; k-center needs no pairwise matrix), and
+    the next center is a TakeOrderedAndProject top-1, never a sort. Each
+    round ends in an eager localCheckpoint (§6 iterative doctrine — the
+    state is referenced twice per round). Distances are rounded Arrow
+    cosines with id tiebreaks, so the greedy path is deterministic and the
+    unrolled-CTE oracle replays it exactly.
+    """
+    from ..functions.vectors import cosine_rounded_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cos = cosine_rounded_arrow(
+        F.col("c_emb").cast("array<double>"),
+        F.col("embedding").cast("array<double>"),
+    )
+
+    def center_frame(cid_frame: DataFrame) -> DataFrame:
+        """1-row (center_id, c_emb) for the chosen id frame."""
+        return emb.join(
+            cid_frame.withColumnRenamed("center_id", "vec_id"), "vec_id"
+        ).select(
+            F.col("vec_id").alias("center_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+
+    seed = emb.agg(F.min("vec_id").alias("center_id"))
+    picks = [
+        seed.select(
+            F.lit(0).cast("bigint").alias("round"),
+            "center_id",
+            F.lit(None).cast("double").alias("max_min_dist"),
+        )
+    ]
+    center = center_frame(seed)
+    state = (
+        emb.crossJoin(F.broadcast(center))
+        .select("vec_id", "embedding", cos.alias("max_cos"))
+        .localCheckpoint(eager=True)
+    )
+    for rnd in range(1, KCENTER_K):
+        nxt = (
+            state.orderBy(F.asc("max_cos"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                F.col("vec_id").alias("center_id"),
+                F.round(F.lit(1.0) - F.col("max_cos"), 9).alias(
+                    "max_min_dist"
+                ),
+            )
+        )
+        picks.append(nxt)
+        center = center_frame(nxt.select("center_id"))
+        state = (
+            state.crossJoin(F.broadcast(center))
+            .select(
+                "vec_id",
+                "embedding",
+                F.greatest("max_cos", cos).alias("max_cos"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    res = picks[0]
+    for p in picks[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def _kcenter_sql() -> str:
+    from ..functions.vectors import cosine_rounded_sql
+
+    cos = cosine_rounded_sql("c.c_emb", "e.embedding")
+    blocks = [
+        """c0 AS (SELECT MIN(vec_id) AS center_id FROM embeddings),
+ce0 AS (SELECT e.vec_id AS center_id, e.embedding AS c_emb
+        FROM embeddings e JOIN c0 ON c0.center_id = e.vec_id),
+s0 AS (
+  SELECT e.vec_id, e.embedding, {cos} AS max_cos
+  FROM embeddings e CROSS JOIN ce0 c
+)""".replace("{cos}", cos)
+    ]
+    for r in range(1, KCENTER_K):
+        p = r - 1
+        blocks.append(f"""c{r} AS (
+  SELECT vec_id AS center_id, ROUND(1.0 - max_cos, 9) AS max_min_dist
+  FROM s{p} ORDER BY max_cos ASC, vec_id ASC LIMIT 1
+),
+ce{r} AS (SELECT e.vec_id AS center_id, e.embedding AS c_emb
+          FROM embeddings e JOIN c{r} ON c{r}.center_id = e.vec_id),
+s{r} AS (
+  SELECT e.vec_id, e.embedding, GREATEST(e.max_cos, {cos}) AS max_cos
+  FROM s{p} e CROSS JOIN ce{r} c
+)""")
+    ctes = ",\n".join(blocks)
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS round, center_id, "
+        "CAST(NULL AS DOUBLE) AS max_min_dist FROM c0"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT), center_id, max_min_dist FROM c{r}"
+        for r in range(1, KCENTER_K)
+    ]
+    return "WITH " + ctes + "\n" + "\nUNION ALL\n".join(selects)
+
+
 QUERIES = {
     "sample_balanced_classes": sample_balanced_classes,
     "sample_neyman_allocation": sample_neyman_allocation,
@@ -731,6 +853,7 @@ QUERIES = {
     "sample_by_pk_orders": sample_by_pk_orders,
     "sample_hash_split": sample_hash_split,
     "sample_weighted_mix": sample_weighted_mix,
+    "sample_kcenter_greedy": sample_kcenter_greedy,
 }
 
 ORACLES = {
@@ -746,4 +869,5 @@ ORACLES = {
     "sample_by_pk_orders": BY_PK_SQL,
     "sample_hash_split": SPLIT_SQL,
     "sample_weighted_mix": MIX_SQL,
+    "sample_kcenter_greedy": _kcenter_sql(),
 }

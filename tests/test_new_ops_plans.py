@@ -933,6 +933,63 @@ class TestCopurchaseGraphCache:
         got = {r.v: r.deg for r in deg.collect()}
         assert got == dict(counts)
 
+    def test_support_counts_co_orders(self, spark):
+        """half.support = number of distinct orders containing both
+        endpoints (per-order baskets emit each pair at most once)."""
+        from collections import Counter
+
+        from dbsurveyor_spark.operators import graph
+        from dbsurveyor_spark.catalog import load_table
+
+        half, _ = graph.copurchase_graph(spark, SF)
+        lines = (
+            load_table(spark, SF, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        baskets = {}
+        for r in lines:
+            baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        want = Counter()
+        for parts in baskets.values():
+            ps = sorted(parts)
+            for i, x in enumerate(ps):
+                for y in ps[i + 1 :]:
+                    want[(x, y)] += 1
+        got = {(r.a, r.b): r.support for r in half.collect()}
+        assert got == dict(want)
+
+
+class TestConnectedComponents:
+    """graph_connected_components invariants (operators/graph.py)."""
+
+    def test_partitions_part_universe(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import graph
+
+        out = graph.graph_connected_components(spark, SF).collect()
+        n_parts = load_table(spark, SF, "part").count()
+        assert sum(r.n_nodes for r in out) == n_parts
+
+    def test_edge_totals_and_singletons(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbsurveyor_spark.operators import graph
+
+        out = graph.graph_connected_components(spark, SF).collect()
+        half, _ = graph.copurchase_graph(spark, SF)
+        n_backbone = half.filter(
+            F.col("support") >= graph.CC_MIN_SUPPORT
+        ).count()
+        assert sum(r.n_edges for r in out) == n_backbone
+        for r in out:
+            if r.n_nodes == 1:
+                assert r.n_edges == 0
+            else:
+                # connectivity floor: a component of k nodes has ≥ k-1 edges
+                assert r.n_edges >= r.n_nodes - 1
+
 
 class TestPageRank:
     """Fixed-point PageRank invariants (operators/graph.py)."""
@@ -2183,3 +2240,212 @@ class TestNewOpPlanShapes:
 
         plan = formatted_plan(prof.survey_incremental_profile(spark, SF))
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestBm25AndHybrid:
+    """BM25 retrieval + RRF hybrid fusion semantics
+    (operators/textstats.py / operators/similarity.py)."""
+
+    def test_bm25_rank_contract(self, spark):
+        from collections import defaultdict
+
+        from dbsurveyor_spark.operators import textstats as T
+
+        rows = T.text_bm25_search(spark, SF).collect()
+        by_q = defaultdict(list)
+        for r in rows:
+            by_q[r.query_id].append(r)
+        assert set(by_q) == set(T.BM25_QUERIES)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= T.BM25_TOP_K
+            scores = [r.score for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            assert all(s > 0 for s in scores)
+
+    def test_bm25_matches_only_docs_with_query_terms(self, spark):
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.operators import textstats as T
+
+        rows = T.text_bm25_search(spark, SF).collect()
+        texts = {
+            r.doc_id: set(r.text.split())
+            for r in load_table(spark, SF, "documents").collect()
+        }
+        for r in rows:
+            q_terms = set(T.BM25_QUERIES[r.query_id])
+            assert texts[r.doc_id] & q_terms, (r.query_id, r.doc_id)
+
+    def test_hybrid_rrf_arithmetic_and_rank(self, spark):
+        from collections import defaultdict
+
+        from dbsurveyor_spark.operators import similarity as S
+
+        rows = S.ann_hybrid_search(spark, SF).collect()
+        by_q = defaultdict(list)
+        for r in rows:
+            want = round(
+                (1.0 / (S.RRF_K + r.lex_rank) if r.lex_rank else 0.0)
+                + (1.0 / (S.RRF_K + r.vec_rank) if r.vec_rank else 0.0),
+                9,
+            )
+            assert abs(r.rrf_score - want) < 1e-12, r
+            assert r.lex_rank is None or 1 <= r.lex_rank <= S.HYBRID_C
+            assert r.vec_rank is None or 1 <= r.vec_rank <= S.HYBRID_C
+            by_q[r.query_id].append(r)
+        assert set(by_q) == set(S.HYBRID_QUERIES)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= S.HYBRID_TOP_K
+            vals = [r.rrf_score for r in rs]
+            assert vals == sorted(vals, reverse=True)
+
+    def test_bm25_no_python_eval(self, spark):
+        from dbsurveyor_spark.operators import textstats as T
+
+        assert_no_python_eval(T.text_bm25_search(spark, SF))
+
+
+class TestGraphAnnSearch:
+    """ann_graph_search (operators/similarity.py): beam-search invariants."""
+
+    def test_result_contract_and_graph_reachability(self, spark):
+        from collections import defaultdict
+
+        from dbsurveyor_spark.operators import similarity as S
+
+        rows = S.ann_graph_search(spark, SF).collect()
+        by_q = defaultdict(list)
+        for r in rows:
+            assert r.neighbor_id != r.query_id
+            by_q[r.query_id].append(r)
+        assert set(by_q) <= set(range(S.GANN_N_QUERIES))
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= S.GANN_TOP_K
+            sims = [r.cos_sim for r in rs]
+            assert sims == sorted(sims, reverse=True)
+
+    def test_results_within_hop_radius_of_entry(self, spark):
+        """Every answered neighbor must be reachable from the entry node
+        in ≤ GANN_HOPS hops of the knn graph (beam can only shrink the
+        reachable set, never leave it)."""
+        from collections import defaultdict
+
+        from dbsurveyor_spark.operators import similarity as S
+
+        edges = defaultdict(set)
+        for r in S.knn_graph(spark, SF).collect():
+            edges[r.src_id].add(r.dst_id)
+        entry = 0
+        frontier = {entry}
+        reach = {entry}
+        for _ in range(S.GANN_HOPS):
+            frontier = {d for n in frontier for d in edges[n]} - reach
+            reach |= frontier
+        for r in S.ann_graph_search(spark, SF).collect():
+            assert r.neighbor_id in reach, r
+
+
+class TestPartitionAdvisor:
+    """survey_partition_advisor (survey/profile.py): advice arithmetic."""
+
+    def test_advice_consistent_with_measurements(self, spark):
+        import math
+
+        from dbsurveyor_spark.survey import profile as prof
+
+        rows = {r.table_name: r for r in
+                prof.survey_partition_advisor(spark, SF).collect()}
+        assert set(rows) == set(prof._ADVISOR_SPEC)
+        for t, r in rows.items():
+            tc = prof._ADVISOR_TIME_COL.get(t)
+            assert r.time_col == tc
+            assert r.target_files == max(
+                1, math.ceil(r.est_total_mb / prof.ADVISOR_FILE_MB)
+            )
+            assert r.broadcast_ok == (
+                1 if r.est_total_mb <= prof.ADVISOR_BROADCAST_MB else 0
+            )
+            if tc is None:
+                assert r.partition_grain == "none"
+                assert r.span_days is None and r.mb_per_day is None
+            else:
+                assert r.span_days >= 1
+                want = (
+                    "day" if r.mb_per_day >= prof.ADVISOR_MIN_PART_MB
+                    else "month"
+                    if r.mb_per_day * 30.0 >= prof.ADVISOR_MIN_PART_MB
+                    else "sort-only"
+                )
+                assert r.partition_grain == want
+
+    def test_one_scan_per_table_no_joins(self, spark):
+        from dbsurveyor_spark.survey import profile as prof
+
+        df = prof.survey_partition_advisor(spark, SF)
+        assert_no_python_eval(df)
+        plan = formatted_plan(df)
+        assert "Join" not in plan, plan
+        # one scan per advised table ("Location:" appears once per scan's
+        # detail block; the tree line would double-count)
+        assert plan.count("Location: InMemoryFileIndex") == len(
+            prof._ADVISOR_SPEC
+        ), plan
+
+
+class TestKCenterGreedy:
+    """sample_kcenter_greedy (survey/sampling.py): greedy-path invariants."""
+
+    def test_selection_contract(self, spark):
+        from dbsurveyor_spark.survey import sampling as S
+
+        rows = sorted(
+            S.sample_kcenter_greedy(spark, SF).collect(),
+            key=lambda r: r.round,
+        )
+        assert [r.round for r in rows] == list(range(S.KCENTER_K))
+        assert len({r.center_id for r in rows}) == S.KCENTER_K  # distinct
+        assert rows[0].max_min_dist is None
+        radii = [r.max_min_dist for r in rows[1:]]
+        assert all(d >= 0 for d in radii)
+        # greedy coverage radius is non-increasing round over round
+        assert all(a >= b - 1e-12 for a, b in zip(radii, radii[1:]))
+
+    def test_matches_python_greedy_replay(self, spark):
+        import numpy as np
+
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.survey import sampling as S
+
+        emb = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in load_table(spark, SF, "embeddings").collect()
+        }
+        ids = sorted(emb)
+
+        def cos(a, b):
+            return round(
+                float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))),
+                9,
+            )
+
+        centers = [min(ids)]
+        max_cos = {i: cos(emb[i], emb[centers[0]]) for i in ids}
+        want = [(0, centers[0], None)]
+        for rnd in range(1, S.KCENTER_K):
+            nxt = min(ids, key=lambda i: (max_cos[i], i))
+            want.append((rnd, nxt, round(1.0 - max_cos[nxt], 9)))
+            for i in ids:
+                max_cos[i] = max(max_cos[i], cos(emb[i], emb[nxt]))
+        got = [
+            (r.round, r.center_id, r.max_min_dist)
+            for r in sorted(
+                S.sample_kcenter_greedy(spark, SF).collect(),
+                key=lambda r: r.round,
+            )
+        ]
+        assert got == want

@@ -88,6 +88,11 @@ BROADCAST_ALLOW = {
     # trained model / probe frames: rows bounded by module constants
     # (N_QUERIES probes, k centroids, m codebooks, nprobe sweep levels)
     "ann_bruteforce_topk": "probe set — ANN_N_QUERIES rows",
+    "ann_hybrid_search": "probe set — |HYBRID_QUERIES| rows",
+    "ann_graph_search": (
+        "probe set + beam state — GANN_N_QUERIES and |Q|×GANN_BEAM rows, "
+        "both module constants at any corpus size"
+    ),
     "ann_ivf_topk": "probe set + centroid model — N_QUERIES + k rows",
     "ann_nprobe_curve": "probe/centroid frames per sweep level — constants",
     "ann_range_search": "probe set — constant rows",

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from dbsurveyor_spark.functions.hashing import minhash_params, portable_hash64
 from dbsurveyor_spark.functions.text import shingles, tokens
 
+SF = "/root/testdata/sf0.001"
+
 
 def _completeness(spark, rows, col):
     df = spark.createDataFrame(rows, f"{col} string")
@@ -284,3 +286,52 @@ def test_ks_drift_fires_on_shift_not_control(spark):
         assert r.n_ref > 0 and r.n_cur > 0
     # the injected shift moves ~1/3 of the mass up 15% — D well above crit
     assert shifted.ks_d > 1.5 * shifted.ks_critical
+
+
+class TestCrossTableChecks:
+    """quality_cross_table_checks (survey/quality.py): rule arithmetic
+    re-derived driver-side from the raw tables."""
+
+    def test_rules_match_python_recount(self, spark):
+        from collections import defaultdict
+
+        from dbsurveyor_spark.catalog import load_table
+        from dbsurveyor_spark.survey import quality as Q
+
+        rows = {r.rule_name: r for r in
+                Q.quality_cross_table_checks(spark, SF).collect()}
+        assert set(rows) == {
+            "order_has_lines",
+            "ship_not_before_order",
+            "totalprice_matches_lines",
+        }
+        orders = load_table(spark, SF, "orders").collect()
+        lines = load_table(spark, SF, "lineitem").collect()
+        per = defaultdict(lambda: [None, 0])  # orderkey -> [min_ship, sum]
+        for l in lines:
+            s = (round(l.l_extendedprice * 100)
+                 * (100 - round(l.l_discount * 100))
+                 * (100 + round(l.l_tax * 100)))
+            e = per[l.l_orderkey]
+            e[0] = l.l_shipdate if e[0] is None else min(e[0], l.l_shipdate)
+            e[1] += s
+        childless = sum(1 for o in orders if o.o_orderkey not in per)
+        with_lines = len(orders) - childless
+        ship_viol = sum(
+            1 for o in orders
+            if o.o_orderkey in per and per[o.o_orderkey][0] < o.o_orderdate
+        )
+        price_viol = sum(
+            1 for o in orders
+            if o.o_orderkey in per
+            and abs(round(o.o_totalprice * 1e6) - per[o.o_orderkey][1])
+            > Q.CROSS_PRICE_TOL
+        )
+        r = rows["order_has_lines"]
+        assert (r.n_checked, r.violations) == (len(orders), childless)
+        r = rows["ship_not_before_order"]
+        assert (r.n_checked, r.violations) == (with_lines, ship_viol)
+        r = rows["totalprice_matches_lines"]
+        assert (r.n_checked, r.violations) == (with_lines, price_viol)
+        for r in rows.values():
+            assert r.passed == (1 if r.violations == 0 else 0)
