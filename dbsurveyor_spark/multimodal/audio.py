@@ -341,12 +341,149 @@ WHERE l.doc_id = l.cluster_id
 """
 
 
+# ------------------------------------------------- activity segmentation
+
+
+def mm_audio_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio ACTIVITY segmentation (the VAD / silence-trim step a media
+    pipeline runs before fingerprinting or transcription): per document,
+    maximal runs of frames whose stub energy exceeds the document mean —
+    (doc_id, seg_id, start_frame, end_frame, n_frames, sum_energy). The
+    threshold compare is the integer cross-multiply E[t]·nf > ΣE (never a
+    float mean), so activity flags are bit-exact in any engine.
+
+    Scale shape: the entire computation is DOCUMENT-LOCAL, so it runs as
+    ONE Arrow mapInPandas pass — frame energies via the shared prefix-sum
+    kernel, run detection in numpy — with no shuffle anywhere; output rows
+    are segments only. The same frontend seam as the fingerprint kernel: a
+    real energy/VAD model drops into the same batch signature.
+    """
+    import numpy as np
+
+    from ..plans.cache import release_caches
+
+    release_caches()
+    media = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("seg_id", LongType()),
+            StructField("start_frame", LongType()),
+            StructField("end_frame", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("sum_energy", LongType()),
+        ]
+    )
+
+    def _segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: list[tuple] = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                buf = bytes(payload)
+                nf = max(0, (len(buf) - AUDIO_WIN) // AUDIO_STRIDE + 1)
+                if nf == 0:
+                    continue
+                b = np.frombuffer(buf, dtype=np.uint8)
+                cs = np.zeros(len(b) + 1, dtype=np.int64)
+                np.cumsum(b, out=cs[1:])
+                starts = np.arange(nf, dtype=np.int64) * AUDIO_STRIDE
+                e = cs[starts + AUDIO_WIN] - cs[starts]
+                active = e * nf > e.sum()
+                if not active.any():
+                    continue
+                # run boundaries: starts where active turns on, ends where
+                # it turns off
+                edges = np.diff(active.astype(np.int8))
+                run_starts = np.flatnonzero(edges == 1) + 1
+                run_ends = np.flatnonzero(edges == -1) + 1
+                if active[0]:
+                    run_starts = np.concatenate(([0], run_starts))
+                if active[-1]:
+                    run_ends = np.concatenate((run_ends, [nf]))
+                ecs = np.zeros(nf + 1, dtype=np.int64)
+                np.cumsum(e, out=ecs[1:])
+                for sid, (s, t) in enumerate(
+                    zip(run_starts, run_ends), start=1
+                ):
+                    out.append(
+                        (
+                            int(doc_id),
+                            sid,
+                            int(s),
+                            int(t - 1),
+                            int(t - s),
+                            int(ecs[t] - ecs[s]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "seg_id",
+                    "start_frame",
+                    "end_frame",
+                    "n_frames",
+                    "sum_energy",
+                ],
+            )
+
+    return media.mapInPandas(_segs, schema)
+
+
+def _activity_segments_sql() -> str:
+    return f"""
+WITH framed AS (
+  SELECT doc_id, text,
+         GREATEST(0, (strlen(text) - {AUDIO_WIN}) // {AUDIO_STRIDE} + 1)
+           AS nf
+  FROM documents
+),
+fe AS (
+  SELECT doc_id, nf, CAST(t AS BIGINT) AS t,
+         CAST(COALESCE(list_sum(list_transform(
+           range(CAST(t * {AUDIO_STRIDE} + 1 AS BIGINT),
+                 CAST(t * {AUDIO_STRIDE} + {AUDIO_WIN} + 1 AS BIGINT)),
+           p -> ord(substr(text, CAST(p AS INTEGER), 1)))), 0) AS BIGINT)
+           AS e
+  FROM framed, unnest(range(0, CAST(nf AS BIGINT))) AS u(t)
+  WHERE nf > 0
+),
+tot AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS tot_e FROM fe GROUP BY doc_id),
+active AS (
+  SELECT fe.doc_id, fe.t, fe.e
+  FROM fe JOIN tot ON tot.doc_id = fe.doc_id
+  WHERE fe.e * fe.nf > tot.tot_e
+),
+isl AS (
+  SELECT doc_id, t, e,
+         t - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+  FROM active
+),
+segs AS (
+  SELECT doc_id, MIN(t) AS start_frame, MAX(t) AS end_frame,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(e) AS BIGINT) AS sum_energy
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY doc_id ORDER BY start_frame) AS BIGINT) AS seg_id,
+       start_frame, end_frame, n_frames, sum_energy
+FROM segs
+"""
+
+
 QUERIES = {
     "mm_audio_fingerprint_match": mm_audio_fingerprint_match,
     "mm_audio_dedup_corpus": mm_audio_dedup_corpus,
+    "mm_audio_activity_segments": mm_audio_activity_segments,
 }
 
 ORACLES = {
     "mm_audio_fingerprint_match": _audio_sql(),
     "mm_audio_dedup_corpus": _audio_dedup_corpus_sql(),
+    "mm_audio_activity_segments": _activity_segments_sql(),
 }

@@ -64,6 +64,12 @@ DEFAULT_OPS = [
     "text_zipf_fit",
     "abc_part_classification",
     "mm_audio_dedup_corpus",
+    # round 6 continuation: retrieval + iterative-selection operators
+    "text_bm25_search",
+    "ann_hybrid_search",
+    "ann_graph_search",
+    "graph_connected_components",
+    "sample_kcenter_greedy",
 ]
 
 

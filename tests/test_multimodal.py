@@ -239,3 +239,49 @@ def test_image_dedup_corpus_removes_every_injected_clone(spark):
     paired = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
     singletons = media_ids - paired
     assert singletons <= ids
+
+
+class TestAudioActivitySegments:
+    """mm_audio_activity_segments: segment invariants + python replay."""
+
+    def test_segments_match_python_replay(self, spark):
+        import numpy as np
+
+        from dbsurveyor_spark.multimodal import audio as A
+
+        rows = A.mm_audio_activity_segments(spark, SF_ORACLE).collect()
+        got = sorted((r.doc_id, r.seg_id, r.start_frame, r.end_frame,
+                      r.n_frames, r.sum_energy) for r in rows)
+        want = []
+        for d in load_table(spark, SF_ORACLE, "documents").collect():
+            buf = d.text.encode()
+            nf = max(0, (len(buf) - A.AUDIO_WIN) // A.AUDIO_STRIDE + 1)
+            if nf == 0:
+                continue
+            e = [
+                sum(buf[t * A.AUDIO_STRIDE: t * A.AUDIO_STRIDE + A.AUDIO_WIN])
+                for t in range(nf)
+            ]
+            tot = sum(e)
+            active = [v * nf > tot for v in e]
+            sid, t = 0, 0
+            while t < nf:
+                if active[t]:
+                    s = t
+                    while t < nf and active[t]:
+                        t += 1
+                    sid += 1
+                    want.append((d.doc_id, sid, s, t - 1, t - s,
+                                 sum(e[s:t])))
+                else:
+                    t += 1
+        assert got == sorted(want)
+        # every doc's segments are disjoint, ordered, within frame range
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for d, rs in by_doc.items():
+            rs.sort(key=lambda r: r.seg_id)
+            assert [r.seg_id for r in rs] == list(range(1, len(rs) + 1))
+            for a, b in zip(rs, rs[1:]):
+                assert a.end_frame + 1 < b.start_frame  # gap between runs
