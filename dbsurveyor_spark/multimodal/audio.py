@@ -23,6 +23,7 @@ aggregations pick the dominant offset per pair. Payloads never shuffle.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator
 
 import pandas as pd
@@ -89,6 +90,62 @@ def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(pad), F.col("text")).alias("text"),
     )
     return docs.unionByName(shifted)
+
+
+# The aligned-pair frame is INDEX STATE (a fingerprint database is built
+# once and queried by every match/dedup decision), memoized per
+# (application, lake, content fingerprint) like the IVF quantizer and the
+# k-NN graph: `mm_audio_fingerprint_match` and `mm_audio_dedup_corpus`
+# share one subfingerprint extraction + vote pass per session. The cached
+# payload is the slim (doc_a, doc_b, offset, aligned_matches) frame —
+# pair-count rows of four int64 — outside the tracked-cache registry.
+_PAIR_CACHE: dict[tuple, DataFrame] = {}
+_PAIR_LOCK = threading.Lock()
+
+
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    paths = [root]
+    if os.path.isdir(root):
+        paths = sorted(os.path.join(root, p) for p in os.listdir(root))
+    out = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            continue
+    return tuple(out)
+
+
+def aligned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized dominant-offset aligned pair frame for the lake."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _docs_fingerprint(sf_dir),
+    )
+    with _PAIR_LOCK:
+        hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        # clearCache() drops CacheManager registrations (graph.py lesson)
+        try:
+            if not hit.storageLevel.useMemory:
+                hit.cache()
+        except Exception:  # pragma: no cover - defensive
+            pass
+        return hit
+    built = _aligned_pair_frame(_audio_media(spark, sf_dir)).cache()
+    with _PAIR_LOCK:
+        for k in [k for k in _PAIR_CACHE if k != key]:
+            try:
+                _PAIR_CACHE.pop(k).unpersist()
+            except Exception:  # pragma: no cover - session already gone
+                pass
+        _PAIR_CACHE[key] = built
+    return built
 
 
 def _aligned_pair_frame(media_text: DataFrame) -> DataFrame:
@@ -190,7 +247,7 @@ def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.cache import release_caches
 
     release_caches()
-    return _aligned_pair_frame(_audio_media(spark, sf_dir))
+    return aligned_pairs(spark, sf_dir)
 
 
 def mm_audio_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,7 +268,7 @@ def mm_audio_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     release_caches()
     media_text = _audio_media(spark, sf_dir)
-    pairs = _aligned_pair_frame(media_text)
+    pairs = aligned_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

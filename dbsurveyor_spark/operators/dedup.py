@@ -1010,6 +1010,17 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
     """
     # canonical big→small orientation: (a, b) with a > b
     a, b = F.col("a"), F.col("b")
+    # Tiny-frame rounds are JOB-LATENCY bound, not data bound: ~4 jobs per
+    # round each scanning the checkpointed frame at full session
+    # parallelism (32-64 near-empty tasks apiece — AQE can't help, the
+    # checkpoint scan is not an AQE shuffle). When the edge frame is
+    # small, coalesce it (narrow, no shuffle, content untouched) before
+    # checkpointing so every downstream job runs a handful of tasks;
+    # big frames keep full parallelism. Measured: audio dedup corpus
+    # 3.9 → 2.2 s steady at sf0.1, same labels.
+    sc = edges.sparkSession.sparkContext
+    small_n = 1_000_000
+    small_par = max(4, sc.defaultParallelism // 8)
     cur = (
         edges.select(
             F.greatest("src", "dst").alias("a"),
@@ -1020,6 +1031,8 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
     )
     cur = cur.localCheckpoint(eager=True)
     n_cur = cur.count()
+    if n_cur < small_n:
+        cur = cur.coalesce(small_par).localCheckpoint(eager=True)
     for _ in range(max_rounds):
         # -- large-star: u links every strictly-larger neighbor to
         #    m(u) = min(N(u) ∪ {u}). All emitted pairs keep a > b.
@@ -1045,6 +1058,8 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
+        if n_cur < small_n:
+            nxt = nxt.coalesce(small_par)
         nxt = nxt.localCheckpoint(eager=True)
         n_nxt = nxt.count()
         converged = n_nxt == n_cur and nxt.exceptAll(cur).isEmpty()
