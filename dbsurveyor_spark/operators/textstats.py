@@ -1107,7 +1107,15 @@ def bm25_scores(
     # so the corpus is scanned once for the match side — a separate dl
     # branch would re-scan and re-join the whole table just to attach one
     # int; only the 1-row stats aggregate pays a second (map-side) pass.
-    tf = (
+    # The postings frame is CACHED: it feeds both the scoring join and the
+    # df aggregate, and an uncached plan re-runs the scan+tokenize+explode
+    # for the second consumer (two Generate subtrees, no exchange reuse).
+    # Its size is the query terms' posting lists — exactly what a search
+    # engine materializes — never the corpus.
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    tf = tracked_cache(
         toks.select(
             "doc_id",
             F.size("toks").cast("bigint").alias("dl"),

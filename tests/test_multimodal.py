@@ -285,3 +285,23 @@ class TestAudioActivitySegments:
             assert [r.seg_id for r in rs] == list(range(1, len(rs) + 1))
             for a, b in zip(rs, rs[1:]):
                 assert a.end_frame + 1 < b.start_frame  # gap between runs
+
+
+class TestAudioPairMemo:
+    """aligned_pairs memo (multimodal/audio.py): one build per lake."""
+
+    def test_same_lake_returns_same_cached_frame(self, spark):
+        from dbsurveyor_spark.multimodal import audio as A
+
+        p1 = A.aligned_pairs(spark, SF_ORACLE)
+        p2 = A.aligned_pairs(spark, SF_ORACLE)
+        assert p1 is p2
+        assert p1.storageLevel.useMemory
+
+    def test_reregisters_after_clear_cache(self, spark):
+        from dbsurveyor_spark.multimodal import audio as A
+
+        A.aligned_pairs(spark, SF_ORACLE)
+        spark.catalog.clearCache()
+        p = A.aligned_pairs(spark, SF_ORACLE)
+        assert p.storageLevel.useMemory  # re-registered on memo hit

@@ -2449,3 +2449,25 @@ class TestKCenterGreedy:
             )
         ]
         assert got == want
+
+
+class TestKnnGraphMemo:
+    """knn_edges memo (operators/similarity.py): one build per lake,
+    shared by knn_graph / ann_graph_search / embed_label_noise."""
+
+    def test_same_lake_returns_same_cached_frame(self, spark):
+        from dbsurveyor_spark.operators import similarity as S
+
+        e1 = S.knn_edges(spark, SF)
+        e2 = S.knn_edges(spark, SF)
+        assert e1 is e2
+        assert e1.storageLevel.useMemory
+
+    def test_different_lake_evicts_previous(self, spark):
+        from dbsurveyor_spark.operators import similarity as S
+
+        e_small = S.knn_edges(spark, SF)
+        S.knn_edges(spark, "/root/testdata/sf0.01")
+        assert len(S._KNN_CACHE) == 1
+        e_again = S.knn_edges(spark, SF)
+        assert e_again is not e_small
