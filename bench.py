@@ -87,9 +87,39 @@ HEADLINE = [
     "graph_connected_components",
     "quality_cross_table_checks",
     "sample_kcenter_greedy",
+    # round 7: substring-excision survivor corpus
+    "dedup_substring_corpus",
 ]
 
-STEADY_PASSES = 2  # steady = per-query MIN over this many post-warm passes
+STEADY_PASSES = 3  # steady = per-query MIN over this many post-warm passes
+
+
+def _machine_state() -> dict:
+    """Loadavg / free memory / process count at measurement time, embedded
+    in the bench record so a CONTENDED run is self-labeling: the round-6
+    driver snapshot showed +41% on 52 unchanged queries that the same code
+    measured idle did not reproduce, and nothing on the record could prove
+    the machine (not the code) was at fault. Now the record carries it."""
+    state: dict = {}
+    try:
+        l1, l5, _ = os.getloadavg()
+        state["load1"] = round(l1, 2)
+        state["load5"] = round(l5, 2)
+    except OSError:  # pragma: no cover - non-POSIX
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    state["mem_avail_gb"] = round(int(line.split()[1]) / 1048576, 1)
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    try:
+        state["n_procs"] = sum(1 for p in os.listdir("/proc") if p.isdigit())
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return state
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -257,14 +287,20 @@ def main() -> None:
         except Exception:
             pass
 
+    machine_pre = _machine_state()
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     passes = [timings] + [dict() for _ in range(STEADY_PASSES)]
     for i, out in enumerate(passes):
         # Start every timed pass (including the first — warmup allocates
-        # heavily too) with no stale cached blocks to evict mid-query.
+        # heavily too) with no stale cached blocks to evict mid-query, a
+        # full GC, and a short settle so one pass's allocation tail (old-gen
+        # promotion, lazy block eviction) can't bleed into the next pass's
+        # first queries.
         spark.catalog.clearCache()
         _gc()
+        if i > 0:
+            time.sleep(1.0)
         # One-time model state (the IVF coarse quantizer) is timed as its
         # own line item, like any ANN benchmark's build/search split: the
         # first pass pays the training, later passes show ~0 because the
@@ -297,8 +333,21 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[key] = round(time.perf_counter() - t0, 3)
+    cov: dict[str, float] = {}
     for key in passes[1]:
-        steady[key] = min(p[key] for p in passes[1:])
+        vals = [p[key] for p in passes[1:]]
+        steady[key] = min(vals)
+        # Coefficient of variation across the steady passes: a quiet
+        # machine keeps this near zero, so a contended record flags
+        # itself per-query. Skip near-zero means (memo-hit build items).
+        m = sum(vals) / len(vals)
+        if m >= 0.05:
+            var = sum((v - m) ** 2 for v in vals) / len(vals)
+            cov[key] = round(var**0.5 / m, 3)
+    machine_post = _machine_state()
+    cov_sorted = sorted(cov.values())
+    cov_p50 = round(cov_sorted[len(cov_sorted) // 2], 3) if cov_sorted else 0.0
+    cov_max = max(cov_sorted) if cov_sorted else 0.0
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Detailed per-query record first (2dp — r4's 3dp line hit ~3.3 KB)…
@@ -311,6 +360,9 @@ def main() -> None:
                 "queries": {k: round(v, 2) for k, v in timings.items()},
                 "steady_value": round(sum(steady.values()), 3),
                 "queries_steady": {k: round(v, 2) for k, v in steady.items()},
+                "queries_cov": cov,
+                "machine_pre": machine_pre,
+                "machine_post": machine_post,
                 "sf": sf_val,
             }
         )
@@ -329,10 +381,20 @@ def main() -> None:
                 "steady_value": round(sum(steady.values()), 3),
                 "sf": sf_val,
                 "n_items": len(timings),
+                "cov_p50": cov_p50,
+                "cov_max": cov_max,
+                "load1_pre": machine_pre.get("load1"),
+                "load1_post": machine_post.get("load1"),
+                "mem_avail_gb": machine_post.get("mem_avail_gb"),
                 "detail": "full per-query map on the previous stdout line",
             }
         )
     )
+    # Reclaim the session-pinned index memos (k-NN graph, audio pairs,
+    # co-purchase graph) — the documented evict hook for suite boundaries.
+    from dbsurveyor_spark.plans.cache import clear_index_memos
+
+    clear_index_memos()
     spark.stop()
 
 

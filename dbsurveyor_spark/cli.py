@@ -797,6 +797,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     d.set_defaults(fn=cmd_diff)
 
+    ix = sub.add_parser(
+        "index",
+        help="build / list persisted index artifacts (quantizers, graphs)",
+    )
+    ix.add_argument("action", choices=("build", "list"))
+    ix.add_argument("lake_dir", nargs="?", default=None)
+    ix.add_argument(
+        "--store",
+        default=None,
+        help="artifact store dir (defaults to $DBSURVEYOR_INDEX_DIR)",
+    )
+    ix.set_defaults(fn=cmd_index)
+
     cp = sub.add_parser(
         "completions",
         help="emit a shell completion script (bash or zsh)",
@@ -823,6 +836,67 @@ def _parser_surface(p: argparse.ArgumentParser) -> dict[str, list[str]]:
         )
         for verb, sp in sub_action.choices.items()
     }
+
+
+def cmd_index(args: argparse.Namespace) -> int:
+    """Index-artifact lifecycle (the Faiss write_index/read_index analog;
+    see plans/index_store): ``index build <lake>`` trains/derives every
+    persistable index (IVF centroids, PQ + residual-PQ codebooks, SQ
+    residual bounds, k-NN graph, co-purchase graph, audio aligned pairs)
+    and writes each to the store keyed by the lake's content fingerprint;
+    ``index list`` prints the store inventory. A later session (or any
+    engine run with DBSURVEYOR_INDEX_DIR set) warms its memos from these
+    artifacts — zero training jobs."""
+    from .plans import index_store
+
+    if args.store:
+        os.environ["DBSURVEYOR_INDEX_DIR"] = args.store
+    if index_store.store_root() is None:
+        print(
+            "error: no store — pass --store DIR or set DBSURVEYOR_INDEX_DIR",
+            file=sys.stderr,
+        )
+        return 1
+    if args.action == "list":
+        print(json.dumps(index_store.list_artifacts(), indent=2))
+        return 0
+    if not args.lake_dir or not os.path.isdir(args.lake_dir):
+        print("error: index build requires a lake directory", file=sys.stderr)
+        return 1
+    from .multimodal.audio import aligned_pairs
+    from .operators.graph import copurchase_graph
+    from .operators.similarity import (
+        knn_edges,
+        trained_centroid_rows,
+        trained_pq_codebooks,
+        trained_residual_codebooks,
+        trained_residual_sq_bounds,
+    )
+
+    spark = _get_spark()
+    lake = args.lake_dir.rstrip("/")
+    trained_centroid_rows(spark, lake)
+    trained_pq_codebooks(spark, lake)
+    trained_residual_codebooks(spark, lake)
+    trained_residual_sq_bounds(spark, lake)
+    knn_edges(spark, lake).count()
+    half, deg = copurchase_graph(spark, lake)
+    half.count()
+    deg.count()
+    aligned_pairs(spark, lake).count()
+    arts = index_store.list_artifacts()
+    print(
+        json.dumps(
+            {
+                "store": index_store.store_root(),
+                "lake": lake,
+                "artifacts": arts,
+                "total_bytes": sum(a["bytes"] for a in arts),
+            },
+            indent=2,
+        )
+    )
+    return 0
 
 
 def cmd_completions(args: argparse.Namespace) -> int:

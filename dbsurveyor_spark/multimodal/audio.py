@@ -137,8 +137,31 @@ def aligned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:  # pragma: no cover - defensive
             pass
         return hit
-    built = _aligned_pair_frame(_audio_media(spark, sf_dir)).cache()
+    # Warm from the persisted artifact when the store is enabled (see
+    # plans/index_store) — the fingerprint database read path.
+    from ..plans import index_store
+
+    loaded = index_store.try_read_frame(
+        spark, index_store.AUDIO_PAIRS, key[1:]
+    )
+    built = (
+        loaded
+        if loaded is not None
+        else _aligned_pair_frame(_audio_media(spark, sf_dir))
+    ).cache()
+    if loaded is None:
+        index_store.write_frame(built, index_store.AUDIO_PAIRS, key[1:])
     with _PAIR_LOCK:
+        # Re-check under the lock (see similarity.knn_edges): a concurrent
+        # first call may have won the race; keep its frame and unpersist
+        # our duplicate instead of leaking the loser's cached blocks.
+        hit = _PAIR_CACHE.get(key)
+        if hit is not None:
+            try:
+                built.unpersist()
+            except Exception:  # pragma: no cover - session already gone
+                pass
+            return hit
         for k in [k for k in _PAIR_CACHE if k != key]:
             try:
                 _PAIR_CACHE.pop(k).unpersist()

@@ -56,6 +56,7 @@ from ..functions.vectors import (
     cosine_sql,
 )
 from ..plans.cache import release_caches, tracked_cache as _tracked_cache
+from ..plans.roundcheck import checkpoint_round
 
 ID_OFFSET = 1_000_000
 JACCARD_T = 0.8
@@ -1029,10 +1030,14 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
         .filter(a != b)
         .distinct()
     )
-    cur = cur.localCheckpoint(eager=True)
+    cur = checkpoint_round(cur, "star_contraction:init")
     n_cur = cur.count()
     if n_cur < small_n:
-        cur = cur.coalesce(small_par).localCheckpoint(eager=True)
+        # Narrow coalesce OVER the already-checkpointed blocks: downstream
+        # round jobs run small_par tasks reading the same materialized
+        # partitions — no second materialization pass (the loop's own
+        # checkpoints keep the plan bounded from round 1 onward).
+        cur = cur.coalesce(small_par)
     for _ in range(max_rounds):
         # -- large-star: u links every strictly-larger neighbor to
         #    m(u) = min(N(u) ∪ {u}). All emitted pairs keep a > b.
@@ -1060,7 +1065,7 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
         )
         if n_cur < small_n:
             nxt = nxt.coalesce(small_par)
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = checkpoint_round(nxt, "star_contraction:round")
         n_nxt = nxt.count()
         converged = n_nxt == n_cur and nxt.exceptAll(cur).isEmpty()
         cur, n_cur = nxt, n_nxt
@@ -1649,6 +1654,138 @@ FROM per_doc p LEFT JOIN sh s USING (doc_id)
 """
 
 
+def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-EXCISION survivor corpus — the decide step that completes
+    `dedup_substring`'s detect step (the pattern every other dedup family
+    ships: near-dup / semantic / image / audio / video all end in a
+    survivor corpus). This is Lee et al. 2022's actual ExactSubstr dedup:
+    every token covered by a ≥``SUBSTR_W``-token window that repeats
+    across documents is excised (ALL occurrences — the paper's choice),
+    and the output is the per-doc excision summary
+    (doc_id, n_tokens, dropped_tokens, kept_tokens, dropped_share).
+
+    Plan: the gram machinery is `dedup_substring`'s codegen rolling hash
+    (posexplode → lead chain; the cached token frame serves both the gram
+    pass and the per-doc token counts). New work is the SPAN MERGE: a
+    shared gram at position p covers tokens [p, p+W−1]; overlapping
+    covers must not double-count, so the flagged positions run through
+    gaps-and-islands (the `user_activity_streaks` pattern — lag + running
+    sum of island breaks, both windows PARTITIONED BY doc_id) and each
+    island contributes max(pos)−min(pos)+W covered tokens. Everything
+    after the shared-gram join is per-doc windowed arithmetic over int64
+    rows — no global window, no broadcast, nothing data-scaled pinned.
+    """
+    release_caches()
+    corpus = _corpus(spark, sf_dir)
+    hrows = _tracked_cache(
+        corpus.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+        ).select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("t"), 1, 7), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = F.col("h")
+    for j in range(1, SUBSTR_W):
+        g = (g * _SUB_BASE + F.lead("h", j).over(w)) % _SUB_MOD
+    pos_grams = _tracked_cache(
+        hrows.select("doc_id", "pos", g.alias("g")).filter(
+            F.col("g").isNotNull()
+        )
+    )
+    shared = (
+        pos_grams.dropDuplicates(["doc_id", "g"])
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("g")
+    )
+    hits = pos_grams.join(shared, "g").select("doc_id", "pos")
+    # gaps-and-islands: intervals [pos, pos+W-1] sorted by pos have sorted
+    # ends too, so a break at gap > W merges every overlapping cover
+    # (equal-length intervals: adjacent-disjoint islands sum identically
+    # either way, only OVERLAP must merge).
+    lagp = F.lag("pos").over(w)
+    isl = hits.withColumn(
+        "brk",
+        F.when(
+            lagp.isNull() | (F.col("pos") - lagp > SUBSTR_W), 1
+        ).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    dropped = (
+        isl.groupBy("doc_id", "isl")
+        .agg(
+            (F.max("pos") - F.min("pos") + SUBSTR_W)
+            .cast("bigint")
+            .alias("covered")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("covered").cast("bigint").alias("dropped_tokens"))
+    )
+    ntok = hrows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    dt = F.coalesce(F.col("dropped_tokens"), F.lit(0).cast("bigint"))
+    return ntok.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        dt.alias("dropped_tokens"),
+        (F.col("n_tokens") - dt).cast("bigint").alias("kept_tokens"),
+        F.round(
+            dt.cast("double") / F.nullif(F.col("n_tokens"), F.lit(0)), 9
+        ).alias("dropped_share"),
+    )
+
+
+SUBSTRING_CORPUS_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tk AS (SELECT doc_id,
+  list_transform({tokens_sql("text")},
+    t -> CAST(('0x' || substring(md5(t), 1, 7)) AS BIGINT)) AS th
+  FROM corpus),
+gl AS (SELECT doc_id, len(th) AS n_tokens,
+  CASE WHEN len(th) >= {SUBSTR_W} THEN
+    list_transform(range(1, len(th) - {SUBSTR_W - 1} + 1),
+      i -> list_reduce(th[i : i + {SUBSTR_W - 1}],
+             (acc, h) -> (acc * {_SUB_BASE} + h) % {_SUB_MOD}))
+  ELSE [] END AS gh FROM tk),
+ex AS (SELECT doc_id,
+         unnest(range(1, len(gh) + 1)) AS pos,
+         unnest(gh) AS g
+       FROM gl),
+shared AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM ex)
+           GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM ex JOIN shared USING (g)),
+isl AS (SELECT doc_id, pos,
+  SUM(CASE WHEN prev IS NULL OR pos - prev > {SUBSTR_W} THEN 1 ELSE 0 END)
+    OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS UNBOUNDED PRECEDING) AS isl
+  FROM (SELECT doc_id, pos,
+          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)),
+spans AS (SELECT doc_id, isl,
+            MAX(pos) - MIN(pos) + {SUBSTR_W} AS covered
+          FROM isl GROUP BY doc_id, isl),
+dropped AS (SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dropped_tokens
+            FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  COALESCE(d.dropped_tokens, 0) AS dropped_tokens,
+  CAST(t.n_tokens - COALESCE(d.dropped_tokens, 0) AS BIGINT) AS kept_tokens,
+  round(CAST(COALESCE(d.dropped_tokens, 0) AS DOUBLE)
+        / NULLIF(t.n_tokens, 0), 9) AS dropped_share
+FROM gl t LEFT JOIN dropped d USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- winnowing
 
 WINNOW_K = 5  # token-gram size
@@ -1774,6 +1911,7 @@ HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
 QUERIES = {
     "dedup_lsh_quality_report": dedup_lsh_quality_report,
     "dedup_substring": dedup_substring,
+    "dedup_substring_corpus": dedup_substring_corpus,
     "dedup_survivor_corpus": dedup_survivor_corpus,
     "dedup_neardup_corpus": dedup_neardup_corpus,
     "dedup_exact": dedup_exact,
@@ -1792,6 +1930,7 @@ QUERIES = {
 ORACLES = {
     "dedup_lsh_quality_report": _lsh_quality_sql(),
     "dedup_substring": SUBSTRING_SQL,
+    "dedup_substring_corpus": SUBSTRING_CORPUS_SQL,
     "dedup_survivor_corpus": SURVIVOR_SQL,
     "dedup_neardup_corpus": NEARDUP_CORPUS_SQL,
     "dedup_exact": EXACT_SQL,

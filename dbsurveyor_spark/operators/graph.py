@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..plans.cache import release_caches, tracked_cache as _tracked_cache
+from ..plans.roundcheck import checkpoint_round
 
 PAGERANK_ITERS = 5
 PR_SCALE = 10**12
@@ -116,27 +117,58 @@ def copurchase_graph(
             except Exception:  # pragma: no cover - defensive
                 pass
         return hit
-    lines = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+    # Warm both frames from the persisted artifacts when the store is
+    # enabled (plans/index_store) — disk key excludes the appId.
+    from ..plans import index_store
+
+    loaded_half = index_store.try_read_frame(
+        spark, index_store.COPURCHASE_HALF, key[1:]
     )
-    baskets = lines.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    loaded_deg = (
+        index_store.try_read_frame(spark, index_store.COPURCHASE_DEG, key[1:])
+        if loaded_half is not None
+        else None
     )
-    half = (
-        baskets.select(F.explode(_bucket_pairs(F.col("parts"))).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
-        .cache()
-    )
-    deg = (
-        half.select(F.col("a").alias("v"))
-        .unionByName(half.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-        .cache()
-    )
+    if loaded_half is not None and loaded_deg is not None:
+        half = loaded_half.cache()
+        deg = loaded_deg.cache()
+    else:
+        lines = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        baskets = lines.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("parts")
+        )
+        half = (
+            baskets.select(
+                F.explode(_bucket_pairs(F.col("parts"))).alias("p")
+            )
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+            .cache()
+        )
+        deg = (
+            half.select(F.col("a").alias("v"))
+            .unionByName(half.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            .cache()
+        )
+        index_store.write_frame(half, index_store.COPURCHASE_HALF, key[1:])
+        index_store.write_frame(deg, index_store.COPURCHASE_DEG, key[1:])
     with _GRAPH_LOCK:
+        # Re-check under the lock: a concurrent first call may have won
+        # the build race; keep its frames and unpersist our duplicates
+        # instead of leaking the loser's cached blocks until session end.
+        hit = _GRAPH_CACHE.get(key)
+        if hit is not None:
+            for df in (half, deg):
+                try:
+                    df.unpersist()
+                except Exception:  # pragma: no cover - session already gone
+                    pass
+            return hit
         for k in [k for k in _GRAPH_CACHE if k != key]:
             for df in _GRAPH_CACHE.pop(k):
                 try:
@@ -229,8 +261,10 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Each round ends in a localCheckpoint (§6 iterative doctrine): the
         # next iteration's join then reads materialized rows, not a
         # deepening logical plan.
-        ranks = _pagerank_step(edges_deg, ranks, teleport).localCheckpoint(
-            eager=False
+        ranks = checkpoint_round(
+            _pagerank_step(edges_deg, ranks, teleport),
+            "graph_pagerank_parts:round",
+            eager=False,
         )
     isolated = nodes.join(ranks.select("node"), "node", "left_anti").select(
         "node", F.lit(teleport).alias("r")

@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..plans.roundcheck import checkpoint_round
 
 MOST_RECENT_LIMIT = 100
 RANDOM_PCT = 5  # percent of rows kept by the deterministic Bernoulli sample
@@ -770,10 +771,11 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     center = center_frame(seed)
-    state = (
-        emb.crossJoin(F.broadcast(center))
-        .select("vec_id", "embedding", cos.alias("max_cos"))
-        .localCheckpoint(eager=True)
+    state = checkpoint_round(
+        emb.crossJoin(F.broadcast(center)).select(
+            "vec_id", "embedding", cos.alias("max_cos")
+        ),
+        "sample_kcenter_greedy:round0",
     )
     for rnd in range(1, KCENTER_K):
         nxt = (
@@ -789,14 +791,13 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         picks.append(nxt)
         center = center_frame(nxt.select("center_id"))
-        state = (
-            state.crossJoin(F.broadcast(center))
-            .select(
+        state = checkpoint_round(
+            state.crossJoin(F.broadcast(center)).select(
                 "vec_id",
                 "embedding",
                 F.greatest("max_cos", cos).alias("max_cos"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            f"sample_kcenter_greedy:round{rnd}",
         )
     res = picks[0]
     for p in picks[1:]:

@@ -178,3 +178,133 @@ class TestRollingFingerprintParity:
         con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
         got_duck = {r[0]: r[1] for r in con.execute(ROLLING_FP_SQL).fetchall()}
         assert got_duck == want
+
+
+# --------------------------------------------------------------------------
+# Retrieval-trio rank-stability properties (VERDICT r6 item 6): the oracle
+# pins ONE workload per operator; these pin the load-bearing determinism
+# claims on randomized micro-corpora (fixed seeds, ≤200 docs) — the claims
+# a 1000-executor run relies on.
+
+
+class TestBM25RankStability:
+    """`bm25_scores` claims per-term scores round to the decimal(20,9)
+    lattice and sum order-independently, so (query, doc) totals — and the
+    derived ranking — are EXACT across engines for any corpus. Pin it on a
+    randomized corpus + randomized query workload."""
+
+    def test_random_corpus_exact_cross_engine(self, spark, tmp_path):
+        from dbsurveyor_spark.operators.textstats import (
+            bm25_scores,
+            bm25_sql_ctes,
+        )
+
+        rng = random.Random(0xB25)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = [
+            (
+                d,
+                " ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randrange(3, 60))
+                ),
+            )
+            for d in range(180)
+        ]
+        lake = str(tmp_path / "lake")
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            2
+        ).write.parquet(f"{lake}/documents.parquet")
+        queries = {
+            q: tuple(
+                sorted(rng.sample(vocab, rng.randrange(1, 4)))
+            )
+            for q in range(1, 7)
+        }
+        got = sorted(
+            (r["query_id"], r["doc_id"], str(r["score"]))
+            for r in bm25_scores(spark, lake, queries).collect()
+        )
+        assert got, "randomized workload matched no documents"
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = sorted(
+            (r[0], r[1], str(r[2]))
+            for r in con.execute(
+                f"WITH {bm25_sql_ctes(queries)} "
+                "SELECT query_id, doc_id, score FROM bm25"
+            ).fetchall()
+        )
+        # exact decimal equality — not approx: the lattice claim IS that
+        # both engines produce the identical decimal, hence identical ranks
+        assert got == want
+
+
+class TestRRFScoreScaleInvariance:
+    """RRF fuses RANKS; any rank-preserving transform of a leg's scores
+    must leave the fusion bit-identical (Cormack'09 — why hybrid engines
+    need no score calibration). Exercised through the REAL operator by
+    wrapping the lexical leg in random positive-affine transforms."""
+
+    def test_affine_lex_scores_do_not_move_fusion(self, spark, monkeypatch):
+        from dbsurveyor_spark.operators import similarity, textstats
+
+        sf = "/root/testdata/sf0.001"
+        baseline = sorted(
+            map(tuple, similarity.ann_hybrid_search(spark, sf).collect())
+        )
+        assert baseline
+        orig = textstats.bm25_scores
+        rng = random.Random(0x44F)
+        for _ in range(3):
+            a = rng.uniform(0.25, 40.0)
+            b = rng.uniform(0.0, 9.0)
+
+            def scaled(spark_, sf_dir, queries, _a=a, _b=b):
+                return orig(spark_, sf_dir, queries).select(
+                    "query_id",
+                    "doc_id",
+                    (F.col("score").cast("double") * F.lit(_a) + F.lit(_b))
+                    .alias("score"),
+                )
+
+            monkeypatch.setattr(textstats, "bm25_scores", scaled)
+            got = sorted(
+                map(
+                    tuple,
+                    similarity.ann_hybrid_search(spark, sf).collect(),
+                )
+            )
+            assert got == baseline, f"fusion moved under a={a}, b={b}"
+        monkeypatch.setattr(textstats, "bm25_scores", orig)
+
+
+class TestBeamDeterminismUnderRepartition:
+    """`ann_graph_search` claims the beam path is deterministic (rounded
+    cosines + id tiebreaks) regardless of data layout. Pin it end-to-end:
+    the same embeddings written in shuffled row order across a different
+    file count must produce the identical search result — covering the
+    quantizer training, the k-NN graph build, and every beam hop."""
+
+    def test_shuffled_layout_identical_result(self, spark, tmp_path):
+        from dbsurveyor_spark.operators import similarity
+
+        sf = "/root/testdata/sf0.001"
+        base = sorted(
+            map(tuple, similarity.ann_graph_search(spark, sf).collect())
+        )
+        assert base
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        lake = str(tmp_path / "lake")
+        (
+            emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+            .repartition(7)
+            .write.parquet(f"{lake}/embeddings.parquet")
+        )
+        got = sorted(
+            map(tuple, similarity.ann_graph_search(spark, lake).collect())
+        )
+        assert got == base

@@ -90,10 +90,8 @@ BROADCAST_ALLOW = {
     "ann_bruteforce_topk": "probe set — ANN_N_QUERIES rows",
     "ann_hybrid_search": "probe set — |HYBRID_QUERIES| rows",
     # NB: ann_graph_search's probe/beam broadcasts (GANN constants) live
-    # inside per-hop localCheckpoint subplans that execute eagerly at
-    # build time, so the final analyzed plan the lint walks never shows
-    # them — no allowlist entry needed (boundedness documented in the
-    # operator docstring).
+    # inside per-hop localCheckpoint subplans invisible to THIS registry
+    # walk — the per-round sweep below (ROUND_BROADCAST_ALLOW) lints them.
     "ann_ivf_topk": "probe set + centroid model — N_QUERIES + k rows",
     "ann_nprobe_curve": "probe/centroid frames per sweep level — constants",
     "ann_range_search": "probe set — constant rows",
@@ -119,9 +117,9 @@ BROADCAST_ALLOW = {
     # sketch frames: rows bounded by sketch parameters, not data
     "sketch_cm_heavy_hitters": "CM sketch table — depth×width constants",
     "survey_equidepth_histogram": "quantile-fence frame — n_buckets rows",
-    "survey_incremental_profile": "merged KMV sketch — k minima per column",
-    # module-constant vocabulary gate (VERDICT r5: "genuinely bounded")
-    "text_cooccurrence_pmi": "broadcast top-PMI_VOCAB(=1000) vocabulary",
+    # NB: survey_incremental_profile (KMV k-minima) and
+    # text_cooccurrence_pmi (top-PMI_VOCAB limit) now auto-escape via
+    # _bounded_by_limit — their boundedness is provable from the plan.
     # §6 two-level prefix block frames (data-derived key, div 4096)
     "quality_sequence_gaps": "block-boundary frame — |seq| div 4096 rows",
     "stream_late_data_report": "block prefix frame — |arrivals| div 4096",
@@ -237,6 +235,18 @@ def _bounded_by_global_agg(jnode) -> bool:
     return False
 
 
+def _bounded_by_limit(jnode) -> bool:
+    """A GlobalLimit in the subtree bounds rows by a literal — the logical
+    mirror of the window walker's GlobalLimitExec escape. (Like the
+    global-agg escape, this is subtree-containment: a limit BELOW a
+    fan-out join could in principle false-escape, the documented leniency
+    both escapes share.)"""
+    for n in _logical_nodes(jnode):
+        if _cls(n) in ("GlobalLimit", "Limit"):
+            return True
+    return False
+
+
 def _lpid_grouped(jnode) -> bool:
     for n in _logical_nodes(jnode):
         if _cls(n) == "Aggregate":
@@ -265,7 +275,11 @@ def _broadcast_violations(qe) -> list[str]:
         if "broadcast" not in str(n.hints()).lower():
             continue
         child = n.children().apply(0)
-        if _bounded_by_global_agg(child) or _lpid_grouped(child):
+        if (
+            _bounded_by_global_agg(child)
+            or _lpid_grouped(child)
+            or _bounded_by_limit(child)
+        ):
             continue
         leaves = _leaf_names(child)
         if leaves <= _SAFE_LEAVES:
@@ -331,3 +345,129 @@ def test_broadcast_allowlist_is_live(lint_sweep):
     _, _, bcast_hits = lint_sweep
     stale = set(BROADCAST_ALLOW) - bcast_hits
     assert not stale, f"stale BROADCAST_ALLOW entries: {sorted(stale)}"
+
+
+# --------------------------------------------------- iterative round lint
+#
+# Eager per-round localCheckpoints execute at operator-construction time,
+# so the registry sweep above only ever walks the final stitched plan —
+# every iterative operator's per-round joins/windows/broadcasts were
+# invisible to the gate (VERDICT r6 "what's wrong" #1). The operators now
+# route round construction through `plans.roundcheck.checkpoint_round`,
+# and this sweep installs a test-time inspector that runs the SAME hazard
+# walkers on each round's pre-checkpoint DataFrame.
+
+# Ops allowed a forced fact-leaf broadcast INSIDE a round, with the
+# boundedness argument (same contract as BROADCAST_ALLOW above).
+ROUND_BROADCAST_ALLOW = {
+    # beam state / candidate / probe frames: |Q|·BEAM·(K+1) rows — all
+    # GANN_* module constants; the corpus side never shuffles per hop
+    "ann_graph_search": "beam/cand/probe frames — GANN constants",
+}
+ROUND_WINDOW_ALLOW: dict[str, str] = {}
+
+# Registry queries that exercise every checkpoint_round call site:
+# beam search, k-center rounds, star contraction (near-dup clusters +
+# the CC backbone), and the PageRank iteration core.
+ITERATIVE_QUERIES = [
+    "ann_graph_search",
+    "sample_kcenter_greedy",
+    "dedup_neardup_clusters",
+    "graph_connected_components",
+    "graph_pagerank_parts",
+]
+
+
+@pytest.fixture(scope="module")
+def round_sweep(spark):
+    from dbsurveyor_spark.plans.roundcheck import round_inspector
+
+    records: dict[str, dict] = {}
+
+    def inspect(df, label):
+        op = label.split(":", 1)[0]
+        qe = df._jdf.queryExecution()
+        rec = records.setdefault(op, {"rounds": 0, "win": [], "bcast": []})
+        rec["rounds"] += 1
+        rec["win"] += [f"{label}: {v}" for v in _window_violations(qe)]
+        rec["bcast"] += [f"{label}: {v}" for v in _broadcast_violations(qe)]
+
+    qs = entry_mod.queries()
+    with round_inspector(inspect):
+        for key in ITERATIVE_QUERIES:
+            # construction executes the eager per-round checkpoints; the
+            # lazy ones (PageRank) still build — and inspect — per round
+            qs[key](spark, SF)
+    return records
+
+
+def test_iterative_rounds_covered(round_sweep):
+    """Every iterative family must surface ≥2 inspected rounds — if a loop
+    stops routing through checkpoint_round, this fails."""
+    for op in (
+        "ann_graph_search",
+        "sample_kcenter_greedy",
+        "star_contraction",
+        "graph_pagerank_parts",
+    ):
+        assert round_sweep.get(op, {}).get("rounds", 0) >= 2, (
+            f"{op}: no per-round plans inspected — did the loop stop "
+            "routing through plans.roundcheck.checkpoint_round?"
+        )
+
+
+def test_iterative_rounds_no_unlisted_hazards(round_sweep):
+    bad = {}
+    for op, rec in sorted(round_sweep.items()):
+        v = [w for w in rec["win"] if op not in ROUND_WINDOW_ALLOW] + [
+            b for b in rec["bcast"] if op not in ROUND_BROADCAST_ALLOW
+        ]
+        if v:
+            bad[op] = v
+    msg = "\n".join(f"{k}: {'; '.join(v)}" for k, v in bad.items())
+    assert not bad, (
+        "per-round plan lint: hazards inside checkpointed rounds outside "
+        f"the allowlist:\n{msg}"
+    )
+
+
+def test_round_broadcast_allowlist_is_live(round_sweep):
+    stale = {
+        op
+        for op in ROUND_BROADCAST_ALLOW
+        if not round_sweep.get(op, {}).get("bcast")
+    }
+    assert not stale, f"stale ROUND_BROADCAST_ALLOW entries: {sorted(stale)}"
+
+
+def test_round_inspector_flags_sentinel(spark):
+    """The gate must CATCH a bad round: a partition-less window and a
+    data-scaled broadcast hint inside a checkpointed round each produce a
+    violation (proves the hook sees pre-checkpoint plans, not the stitched
+    post-checkpoint LogicalRDD)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dbsurveyor_spark.plans.roundcheck import (
+        checkpoint_round,
+        round_inspector,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bad_win = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    bad_bcast = docs.join(
+        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+    )
+    seen: dict[str, list] = {}
+
+    def inspect(df, label):
+        qe = df._jdf.queryExecution()
+        seen[label] = _window_violations(qe) + _broadcast_violations(qe)
+
+    with round_inspector(inspect):
+        checkpoint_round(bad_win, "sentinel:win", eager=False)
+        checkpoint_round(bad_bcast, "sentinel:bcast", eager=False)
+    assert seen["sentinel:win"], "global window sentinel not flagged"
+    assert seen["sentinel:bcast"], "fact broadcast sentinel not flagged"
