@@ -87,8 +87,10 @@ HEADLINE = [
     "graph_connected_components",
     "quality_cross_table_checks",
     "sample_kcenter_greedy",
-    # round 7: substring-excision survivor corpus
+    # round 7: substring-excision survivor corpus + k-core peel + refine
     "dedup_substring_corpus",
+    "graph_kcore",
+    "ann_rerank_topk",
 ]
 
 STEADY_PASSES = 3  # steady = per-query MIN over this many post-warm passes

@@ -650,11 +650,107 @@ GROUP BY l.component_id
 """
 
 
+# ------------------------------------------------------------ k-core peel
+
+KCORE_K = 3
+KCORE_ROUNDS = 8  # fixed unroll — determinism > convergence (the PageRank
+#                   trade: both engines compute the identical R-round peel
+#                   whether or not the true core fixpoint is reached)
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition peel (Seidman'83; Batagelj-Zaveršnik is the
+    sequential form — this is the standard parallel round-peel): repeatedly
+    drop vertices with degree < K from the support-thresholded co-purchase
+    backbone, `KCORE_ROUNDS` rounds. Output = surviving vertices with
+    their within-subgraph degree — the cohesive-subgraph statistic behind
+    community cores, influence seeding, and graph-sparsification cuts
+    (degree alone can't see cohesion: a hub with K leaf neighbors dies in
+    round 2).
+
+    Plan: each round is ONE degree aggregate + two co-keyed semi-joins on
+    a shrinking two-int64-column edge frame; every round ends in
+    `checkpoint_round` (the §6 iterative doctrine + the round-lint seam),
+    so the logical plan stays one round deep and the per-round plan is
+    gate-inspected. Fixed rounds keep the unrolled-CTE oracle an exact
+    mirror; at K=3 the peel is still converging at round 8 on the test
+    lake — the documented fixed-horizon semantics, identical both engines.
+    """
+    release_caches()
+    half, _ = copurchase_graph(spark, sf_dir)
+    backbone = half.filter(F.col("support") >= CC_MIN_SUPPORT).select(
+        "a", "b"
+    )
+    cur = backbone.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        backbone.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    for i in range(KCORE_ROUNDS):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        cur = checkpoint_round(
+            cur.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst"),
+            f"graph_kcore:round{i}",
+        )
+    return cur.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    ).select(F.col("src").alias("part_id"), "core_degree")
+
+
+def _kcore_sql() -> str:
+    # every CTE is MATERIALIZED: round r references round r-1 three times
+    # (degree agg + two semi-joins), so DuckDB's default CTE inlining
+    # would expand the chain 3^R-fold (observed: fd exhaustion on the
+    # lineitem scans before any work ran)
+    parts = [
+        f"""lp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS MATERIALIZED (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS support
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+),
+e0 AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM half WHERE support >= {CC_MIN_SUPPORT}
+  UNION ALL
+  SELECT b, a FROM half WHERE support >= {CC_MIN_SUPPORT}
+)"""
+    ]
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {KCORE_K}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN k{r} s ON s.src = e.src
+  JOIN k{r} d ON d.src = e.dst
+)"""
+        )
+        prev = f"e{r}"
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT src AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY src
+"""
+
+
 QUERIES = {
     "graph_pagerank_parts": graph_pagerank_parts,
     "graph_triangle_count": graph_triangle_count,
     "graph_degree_distribution": graph_degree_distribution,
     "graph_connected_components": graph_connected_components,
+    "graph_kcore": graph_kcore,
 }
 
 ORACLES = {
@@ -662,4 +758,5 @@ ORACLES = {
     "graph_triangle_count": _triangle_sql(),
     "graph_degree_distribution": _degree_dist_sql(),
     "graph_connected_components": _components_sql(),
+    "graph_kcore": _kcore_sql(),
 }

@@ -346,14 +346,153 @@ FROM agg
 """
 
 
+# ----------------------------------------------------------- sortedness
+
+SORT_TABLE = "orders"
+SORT_KEY = "o_orderkey"
+SORT_BLOCK = 4096
+# (column, normalized-double Spark expr, DuckDB expr) — the layout order
+# is the PK ingest order; each monitored column's physical clusteredness
+# under it is what zone-map pruning on that column would actually see.
+_SORT_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS DOUBLE)", "CAST(o_orderkey AS DOUBLE)"),
+    (
+        "o_orderdate",
+        "CAST(unix_timestamp(o_orderdate) AS DOUBLE)",
+        "CAST(epoch(o_orderdate) AS DOUBLE)",
+    ),
+    ("o_custkey", "CAST(o_custkey AS DOUBLE)", "CAST(o_custkey AS DOUBLE)"),
+    (
+        "o_totalprice",
+        "CAST(o_totalprice AS DOUBLE)",
+        "CAST(o_totalprice AS DOUBLE)",
+    ),
+]
+
+
+def layout_sortedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-clusteredness audit (the clustering-depth statistic behind
+    Snowflake's SYSTEM$CLUSTERING_INFORMATION / Delta's OPTIMIZE
+    decisions): per monitored column, how SORTED the table already is
+    under its ingest order — ascending-adjacent-pair share, monotonic run
+    count, average run length. A column with sortedness ≈ 1 gets zone-map
+    pruning for free (o_orderdate correlates with o_orderkey by
+    construction); a shuffled column (o_custkey) reads ~50% and needs the
+    Z-order rewrite `layout_zorder_stats` previews.
+
+    Scale shape: adjacency under the total order NEVER uses a global
+    window — the §6 two-level structure (same as `quality_sequence_gaps`):
+    within-block lag over (column, key-div-4096) partitions, plus each
+    block's first value compared to the previous block's last via the
+    metadata-sized per-block frame (|rows|/4096, attached by a plain
+    planner-chosen join, no forced broadcast). One melt scan, one bounded
+    aggregate per column.
+    """
+    from pyspark.sql.window import Window
+
+    base = load_table(spark, sf_dir, SORT_TABLE).select(
+        F.col(SORT_KEY),
+        F.expr(f"{SORT_KEY} div {SORT_BLOCK}").alias("block"),
+        *[
+            F.expr(sexpr).alias(f"__v_{name}")
+            for name, sexpr, _d in _SORT_COLS
+        ],
+    )
+    melted = base.select(
+        SORT_KEY,
+        "block",
+        F.stack(
+            F.lit(len(_SORT_COLS)),
+            *[
+                x
+                for name, _s, _d in _SORT_COLS
+                for x in (F.lit(name), F.col(f"__v_{name}"))
+            ],
+        ).alias("column_name", "v"),
+    )
+    bstats = melted.groupBy("column_name", "block").agg(
+        F.min_by("v", SORT_KEY).alias("first_v"),
+        F.max_by("v", SORT_KEY).alias("last_v"),
+    )
+    prev_block = bstats.select(
+        "column_name",
+        "block",
+        F.lag("last_v")
+        .over(Window.partitionBy("column_name").orderBy("block"))
+        .alias("prev_last"),
+    )
+    in_w = Window.partitionBy("column_name", "block").orderBy(SORT_KEY)
+    with_prev = (
+        melted.join(prev_block, ["column_name", "block"])
+        .withColumn("in_prev", F.lag("v").over(in_w))
+        .withColumn("prev", F.coalesce("in_prev", "prev_last"))
+    )
+    asc = F.sum(
+        F.when(F.col("prev").isNotNull() & (F.col("v") >= F.col("prev")), 1)
+        .otherwise(0)
+    ).cast("bigint")
+    pairs = F.count(F.col("prev")).cast("bigint")
+    n = F.count(F.lit(1)).cast("bigint")
+    agg = with_prev.groupBy("column_name").agg(
+        n.alias("n_rows"),
+        pairs.alias("pairs"),
+        asc.alias("asc_pairs"),
+    )
+    runs = F.col("pairs") - F.col("asc_pairs") + F.lit(1)
+    return agg.select(
+        F.lit(SORT_TABLE).alias("table_name"),
+        "column_name",
+        "n_rows",
+        "pairs",
+        "asc_pairs",
+        F.round(
+            F.col("asc_pairs").cast("double")
+            / F.nullif(F.col("pairs"), F.lit(0)),
+            9,
+        ).alias("sortedness"),
+        runs.cast("bigint").alias("n_runs"),
+        F.round(F.col("n_rows").cast("double") / runs, 9).alias(
+            "avg_run_len"
+        ),
+    )
+
+
+def _sortedness_sql() -> str:
+    parts = []
+    for name, _s, dexpr in _SORT_COLS:
+        parts.append(
+            f"""SELECT '{SORT_TABLE}' AS table_name, '{name}' AS column_name,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(prev) AS BIGINT) AS pairs,
+  CAST(SUM(CASE WHEN prev IS NOT NULL AND v >= prev THEN 1 ELSE 0 END)
+    AS BIGINT) AS asc_pairs,
+  round(CAST(SUM(CASE WHEN prev IS NOT NULL AND v >= prev THEN 1 ELSE 0 END)
+    AS DOUBLE) / NULLIF(COUNT(prev), 0), 9) AS sortedness,
+  CAST(COUNT(prev)
+    - SUM(CASE WHEN prev IS NOT NULL AND v >= prev THEN 1 ELSE 0 END)
+    + 1 AS BIGINT) AS n_runs,
+  round(CAST(COUNT(*) AS DOUBLE) / (COUNT(prev)
+    - SUM(CASE WHEN prev IS NOT NULL AND v >= prev THEN 1 ELSE 0 END) + 1),
+    9) AS avg_run_len
+FROM (
+  SELECT {dexpr} AS v,
+         lag({dexpr}) OVER (ORDER BY {SORT_KEY}) AS prev
+  FROM {SORT_TABLE}
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "layout_zorder_stats": layout_zorder_stats,
     "join_size_estimate": join_size_estimate,
     "layout_key_skew": layout_key_skew,
+    "layout_sortedness": layout_sortedness,
 }
 
 ORACLES = {
     "layout_zorder_stats": _zorder_sql(),
     "join_size_estimate": _join_size_sql(),
     "layout_key_skew": _key_skew_sql(),
+    "layout_sortedness": _sortedness_sql(),
 }

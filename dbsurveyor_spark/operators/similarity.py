@@ -1142,29 +1142,13 @@ def trained_residual_codebooks(spark: SparkSession, sf_dir: str) -> list:
     return books
 
 
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC search (Jégou et al. IVFPQ — the billion-scale Faiss mode):
-    coarse quantizer restricts each probe to its NPROBE inverted lists,
-    residual PQ codes score candidates by lookup. Under inner product
-    ⟨q, c + r⟩ = ⟨q, c⟩ + ⟨q, r⟩, so the residual ADC tables are built
-    from q once per probe (cell-independent) and only the scalar coarse
-    term ⟨q, c⟩ varies per probed cell.
-
-    Pipeline: ONE fused encode pass (assign cell → residualize → PQ-encode,
-    `pq_encode_mapper(cent_rows=…)`) emits the (vec_id, cell_id, codes)
-    posting list; ONE ADC scan (`ivfpq_adc_mapper`) scores only rows whose
-    cell is probed, with batch-local top-k; a final rank window runs over
-    ≤ batches×probes×k slim rows. The corpus vectors never move after the
-    encode pass — the scan ships m ints + a cell id per vector.
-    """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    cent_rows = trained_centroid_rows(spark, sf_dir)
-    books = trained_residual_codebooks(spark, sf_dir)
-    codes = emb.mapInPandas(
-        pq_encode_mapper(books, cent_rows=cent_rows), PQ_RESID_ENCODE_SCHEMA
-    )
+def _ivfpq_probe_model(
+    emb: DataFrame, cent_rows: list, books: list
+) -> tuple[list, list, list, list]:
+    """Driver-side IVFADC probe state shared by `ann_ivfpq_topk` and
+    `ann_rerank_topk`: (qids, ADC lookup tables, probed cell ids per
+    query, per-cell coarse bias ⟨q, c⟩) for the N_PROBES query set —
+    metadata-scale lists captured into the scan closure."""
     probe_rows = sorted(
         emb.filter(F.col("vec_id") < N_PROBES).collect(),
         key=lambda r: r["vec_id"],
@@ -1188,6 +1172,35 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row[int(code_id)] = _fold_dot(qs, cvec)
             t.append(row)
         tables.append(t)
+    return qids, tables, probe_cells, cell_bias
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC search (Jégou et al. IVFPQ — the billion-scale Faiss mode):
+    coarse quantizer restricts each probe to its NPROBE inverted lists,
+    residual PQ codes score candidates by lookup. Under inner product
+    ⟨q, c + r⟩ = ⟨q, c⟩ + ⟨q, r⟩, so the residual ADC tables are built
+    from q once per probe (cell-independent) and only the scalar coarse
+    term ⟨q, c⟩ varies per probed cell.
+
+    Pipeline: ONE fused encode pass (assign cell → residualize → PQ-encode,
+    `pq_encode_mapper(cent_rows=…)`) emits the (vec_id, cell_id, codes)
+    posting list; ONE ADC scan (`ivfpq_adc_mapper`) scores only rows whose
+    cell is probed, with batch-local top-k; a final rank window runs over
+    ≤ batches×probes×k slim rows. The corpus vectors never move after the
+    encode pass — the scan ships m ints + a cell id per vector.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    books = trained_residual_codebooks(spark, sf_dir)
+    codes = emb.mapInPandas(
+        pq_encode_mapper(books, cent_rows=cent_rows), PQ_RESID_ENCODE_SCHEMA
+    )
+    qids, tables, probe_cells, cell_bias = _ivfpq_probe_model(
+        emb, cent_rows, books
+    )
     cand = codes.mapInPandas(
         ivfpq_adc_mapper(tables, qids, probe_cells, cell_bias, IVF_K),
         PQ_ADC_SCHEMA,
@@ -1207,10 +1220,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_sql(dim: int = IVF_SQL_DIM) -> str:
-    """Full IVFADC replay: coarse training → assignment → residual relation
-    → per-subspace residual-codebook training → encode → probed-cell ADC
-    scoring with the literal bias + t1 + … + tm left-assoc sum."""
+def _ivfpq_scored_ctes(dim: int = IVF_SQL_DIM) -> str:
+    """Full IVFADC replay CTE chain: coarse training → assignment →
+    residual relation → per-subspace residual-codebook training → encode →
+    probed-cell ADC scoring with the literal bias + t1 + … + tm left-assoc
+    sum. Terminates in `scored(query_id, neighbor_id, score)` (plus the
+    `probes` CTE), shared by the IVFPQ and rerank oracles."""
     dsub = dim // PQ_M
     cos_assign = cosine_sql("c.c_emb", "e.embedding")
     train_ctes, cent = train_sql_ctes("embeddings", dim)
@@ -1281,8 +1296,7 @@ pcells AS (
         for s in range(PQ_M)
     )
     joined = ",\n".join(parts)
-    return f"""
-WITH {joined},
+    return f"""{joined},
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          pc.qc + {terms} AS score
@@ -1290,7 +1304,14 @@ scored AS (
   JOIN pcells pc ON pc.query_id = p.query_id
   JOIN assigned a ON a.cell_id = pc.cell_id AND a.vec_id <> p.query_id
   {joins}
-)
+)"""
+
+
+def _ivfpq_sql(dim: int = IVF_SQL_DIM) -> str:
+    """Full IVFADC replay ending in the top-IVF_K rank cut (see
+    `_ivfpq_scored_ctes` for the shared CTE chain)."""
+    return f"""
+WITH {_ivfpq_scored_ctes(dim)}
 SELECT query_id, neighbor_id, ROUND(score, 9) AS score_ivfpq, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT)
@@ -1300,6 +1321,111 @@ SELECT query_id, neighbor_id, ROUND(score, 9) AS score_ivfpq, rank FROM (
 """
 
 
+RERANK_C = 12  # stage-1 ADC candidate depth entering the exact rerank
+
+
+def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage REFINE search (Faiss IndexRefineFlat; the re-ranking
+    production pattern every compressed index ships behind): stage 1
+    scores the compressed codes (IVFADC — m ints per vector, corpus
+    vectors never move) and keeps a `RERANK_C`-deep candidate shortlist
+    per query; stage 2 re-attaches the ORIGINAL vectors for only those
+    |Q|×C candidates and reranks by exact cosine, answering the final
+    top-`IVF_K` with both scores so the refine lift is visible. This
+    recovers the exact-ordering quality PQ distortion loses while paying
+    full-precision distance for C candidates instead of the corpus.
+
+    Scale shape: stage 1 is `ann_ivfpq_topk`'s exact pipeline (one fused
+    encode pass + one ADC scan with batch-local top-C); the shortlist is
+    |Q|×C rows — metadata scale — so the stage-2 vector re-attach is one
+    slim key join into the corpus and the probe side broadcasts
+    (N_PROBES rows by module constant). Rounded Arrow cosines + id
+    tiebreaks keep the rerank oracle-replayable.
+    """
+    from ..plans.cache import release_caches
+
+    release_caches()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent_rows = trained_centroid_rows(spark, sf_dir)
+    books = trained_residual_codebooks(spark, sf_dir)
+    codes = emb.mapInPandas(
+        pq_encode_mapper(books, cent_rows=cent_rows), PQ_RESID_ENCODE_SCHEMA
+    )
+    qids, tables, probe_cells, cell_bias = _ivfpq_probe_model(
+        emb, cent_rows, books
+    )
+    cand = codes.mapInPandas(
+        ivfpq_adc_mapper(tables, qids, probe_cells, cell_bias, RERANK_C),
+        PQ_ADC_SCHEMA,
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= RERANK_C)
+        .select(
+            "query_id", "neighbor_id", F.round("score", 9).alias("score_adc")
+        )
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    exact = (
+        shortlist.join(nvec, "neighbor_id")
+        .join(F.broadcast(probes), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score_adc",
+            cosine_rounded_arrow(F.col("q_emb"), F.col("n_emb")).alias(
+                "score_exact"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_exact"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= IVF_K)
+        .select(
+            "query_id", "rank", "neighbor_id", "score_exact", "score_adc"
+        )
+    )
+
+
+def _rerank_sql(dim: int = IVF_SQL_DIM) -> str:
+    cos_exact = cosine_rounded_sql(
+        "p.q", "CAST(ne.embedding AS DOUBLE[])"
+    )
+    return f"""
+WITH {_ivfpq_scored_ctes(dim)},
+shortlist AS (
+  SELECT query_id, neighbor_id, ROUND(score, 9) AS score_adc FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM scored
+  ) t WHERE rn <= {RERANK_C}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id, s.score_adc, {cos_exact} AS score_exact
+  FROM shortlist s
+  JOIN probes p ON p.query_id = s.query_id
+  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, score_exact, score_adc FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_exact DESC, neighbor_id ASC)
+    AS BIGINT) AS rank
+  FROM exact
+) t WHERE rank <= {IVF_K}
+"""
 
 
 # -------------------------------------------------------------- k-NN graph
@@ -2729,6 +2855,7 @@ QUERIES = {
     "ann_sq8_topk": ann_sq8_topk,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_rerank_topk": ann_rerank_topk,
     "ann_ivf_add_batch": ann_ivf_add_batch,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -2753,6 +2880,7 @@ ORACLES = {
     "ann_sq8_topk": _sq_sql(),
     "ann_pq_topk": _pq_sql(),
     "ann_ivfpq_topk": _ivfpq_sql(),
+    "ann_rerank_topk": _rerank_sql(),
     "ann_ivf_add_batch": _add_batch_sql(),
     "ann_bruteforce_topk": _bruteforce_sql(),
     "ann_ivf_topk": _ivf_sql(),

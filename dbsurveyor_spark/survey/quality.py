@@ -2372,7 +2372,108 @@ FROM agg
 """
 
 
+# --------------------------------------------------- category novelty
+
+NOVEL_NEW_MOD = 101  # current-period events re-tagged to the NEW category
+NOVEL_GONE_MOD = 97  # reference-period events tagged with a category that
+#                      never recurs — the VANISHED case
+
+
+def quality_category_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-SET drift: which enum values are NEW in the current
+    period, which VANISHED since the reference period — the
+    schema-evolution alert (a producer shipped a new event name / retired
+    one) that chi-square homogeneity blurs into one statistic and PSI's
+    fixed buckets can't represent at all. Deequ's isContainedIn /
+    "distinctness of category sets" monitoring shape.
+
+    Dirt (both engines, in-query): every NOVEL_NEW_MOD-th current event
+    becomes `promo_click` (the newly shipped event) and every
+    NOVEL_GONE_MOD-th reference event becomes `legacy_beacon` (the
+    retired one) — NEW and VANISHED rows must both surface.
+
+    Plan: one pruned scan → per-category conditional-count aggregate
+    (state ≤ |categories|+2) → status/share arithmetic over that bounded
+    frame (the partition-less total window runs on the enum-bounded
+    counts frame, same contract as `quality_categorical_drift`).
+    """
+    from pyspark.sql.window import Window
+
+    split = F.lit(CHI2_SPLIT).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "event_id"
+    )
+    is_ref = F.col("ts") < split
+    cat = (
+        F.when(~is_ref & (F.col("event_id") % NOVEL_NEW_MOD == 0),
+               F.lit("promo_click"))
+        .when(is_ref & (F.col("event_id") % NOVEL_GONE_MOD == 0),
+              F.lit("legacy_beacon"))
+        .otherwise(F.col("event_type"))
+    )
+    counts = (
+        ev.select(cat.alias("category"), is_ref.alias("is_ref"))
+        .groupBy("category")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ref_n"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cur_n"),
+        )
+    )
+    w = Window.partitionBy()
+    status = (
+        F.when(F.col("ref_n") == 0, F.lit("NEW"))
+        .when(F.col("cur_n") == 0, F.lit("VANISHED"))
+        .otherwise(F.lit("STABLE"))
+    )
+    return counts.select(
+        F.lit("event_type").alias("column_name"),
+        "category",
+        "ref_n",
+        "cur_n",
+        status.alias("status"),
+        F.round(
+            F.col("cur_n").cast("double")
+            / F.nullif(F.sum("cur_n").over(w), F.lit(0)),
+            9,
+        ).alias("cur_share"),
+    )
+
+
+CATEGORY_NOVELTY_SQL = f"""
+WITH base AS (
+  SELECT CASE
+           WHEN ts >= TIMESTAMP '{CHI2_SPLIT}'
+                AND event_id % {NOVEL_NEW_MOD} = 0 THEN 'promo_click'
+           WHEN ts < TIMESTAMP '{CHI2_SPLIT}'
+                AND event_id % {NOVEL_GONE_MOD} = 0 THEN 'legacy_beacon'
+           ELSE event_type
+         END AS category,
+         ts < TIMESTAMP '{CHI2_SPLIT}' AS is_ref
+  FROM events
+),
+counts AS (
+  SELECT category,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+  FROM base GROUP BY category
+)
+SELECT 'event_type' AS column_name, category, ref_n, cur_n,
+       CASE WHEN ref_n = 0 THEN 'NEW'
+            WHEN cur_n = 0 THEN 'VANISHED'
+            ELSE 'STABLE' END AS status,
+       round(CAST(cur_n AS DOUBLE)
+             / NULLIF(CAST(SUM(cur_n) OVER () AS BIGINT), 0), 9)
+         AS cur_share
+FROM counts
+"""
+
+
 QUERIES = {
+    "quality_category_novelty": quality_category_novelty,
     "quality_cross_table_checks": quality_cross_table_checks,
     "quality_ks_drift": quality_ks_drift,
     "quality_completeness_trend": quality_completeness_trend,
@@ -2396,6 +2497,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_category_novelty": CATEGORY_NOVELTY_SQL,
     "quality_cross_table_checks": _cross_table_checks_sql(),
     "quality_ks_drift": _ks_drift_sql(),
     "quality_completeness_trend": _completeness_trend_sql(),

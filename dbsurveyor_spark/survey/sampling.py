@@ -841,7 +841,68 @@ s{r} AS (
     return "WITH " + ctes + "\n" + "\nUNION ALL\n".join(selects)
 
 
+WRES_N = 50  # weighted-reservoir sample size
+_WRES_DENOM = float(1 << 60)  # portable_hash64 is 60-bit non-negative
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    IPL 2006): inclusion chance proportional to row weight (here
+    o_totalprice — revenue-proportional order selection), exact size
+    `WRES_N`, no replacement. Each row draws u = hash-uniform(0,1] and
+    keys by u^(1/w); the N LARGEST keys are the sample — the one-pass
+    mergeable formulation (per-partition top-N partials merge exactly,
+    which is why A-ES is the standard distributed weighted sampler).
+
+    Determinism: u derives from the portable 60-bit md5 hash (rerun- and
+    partition-stable, like every sampler here); the key is the log form
+    ln(u)/w ROUNDED AT 12 dp so a last-ulp libm divergence between
+    engines cannot flip an ordering (grain 1e-12 ≪ double precision at
+    the key's ≤0.05 magnitude; residual grain ties break by PK both
+    engines). Plan: scan-local key arithmetic → `orderBy().limit(N)`
+    (TakeOrderedAndProject — per-partition top-N + driver merge, no
+    global sort); the rank window runs over the N-row result.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    u = (portable_hash64(F.col("o_orderkey")) + 1).cast("double") / F.lit(
+        _WRES_DENOM
+    )
+    key = F.round(F.log(u) / F.col("o_totalprice"), 12)
+    sel = (
+        orders.withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), F.asc("o_orderkey"))
+        .limit(WRES_N)
+    )
+    w = Window.orderBy(F.desc("es_key"), F.asc("o_orderkey"))
+    return sel.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select(
+        "rank",
+        "o_orderkey",
+        F.col("o_totalprice").alias("weight"),
+        "es_key",
+    )
+
+
+WEIGHTED_RESERVOIR_SQL = f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, o_orderkey ASC)
+         AS BIGINT) AS rank,
+       o_orderkey, o_totalprice AS weight, es_key
+FROM (
+  SELECT o_orderkey, o_totalprice,
+         round(ln(({portable_hash64_sql("o_orderkey")} + 1)
+                  / {_WRES_DENOM!r}) / o_totalprice, 12) AS es_key
+  FROM orders
+)
+ORDER BY es_key DESC, o_orderkey ASC
+LIMIT {WRES_N}
+"""
+
+
 QUERIES = {
+    "sample_weighted_reservoir": sample_weighted_reservoir,
     "sample_balanced_classes": sample_balanced_classes,
     "sample_neyman_allocation": sample_neyman_allocation,
     "sample_cluster_orders": sample_cluster_orders,
@@ -858,6 +919,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_weighted_reservoir": WEIGHTED_RESERVOIR_SQL,
     "sample_balanced_classes": BALANCED_SQL,
     "sample_neyman_allocation": _neyman_sql(),
     "sample_cluster_orders": _cluster_sample_sql(),

@@ -70,8 +70,9 @@ DEFAULT_OPS = [
     "ann_graph_search",
     "graph_connected_components",
     "sample_kcenter_greedy",
-    # round 7: the substring-excision survivor corpus
+    # round 7: the substring-excision survivor corpus + k-core peel
     "dedup_substring_corpus",
+    "graph_kcore",
 ]
 
 # Ops whose OUTPUT is the index build itself: timed COLD at both SFs

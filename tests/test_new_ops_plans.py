@@ -2471,3 +2471,167 @@ class TestKnnGraphMemo:
         assert len(S._KNN_CACHE) == 1
         e_again = S.knn_edges(spark, SF)
         assert e_again is not e_small
+
+
+class TestSubstringCorpusSemantics:
+    """dedup_substring_corpus: excision accounting must be consistent and
+    the injected exact duplicates (doc_id % 10, full-text copies) must be
+    fully excised (every window of a copied doc repeats cross-doc)."""
+
+    def test_injected_duplicates_fully_excised(self, spark):
+        rows = {
+            r["doc_id"]: r
+            for r in dedup.dedup_substring_corpus(spark, SF).collect()
+        }
+        assert rows, "empty excision report"
+        dup_ids = [d for d in rows if d >= dedup.ID_OFFSET]
+        assert dup_ids, "no injected duplicates surfaced"
+        for d in dup_ids:
+            r = rows[d]
+            if r["n_tokens"] >= dedup.SUBSTR_W:
+                assert r["dropped_share"] == 1.0, (d, r)
+        for r in rows.values():
+            assert r["kept_tokens"] + r["dropped_tokens"] == r["n_tokens"]
+            assert 0 <= r["dropped_tokens"] <= r["n_tokens"]
+
+    def test_consistent_with_detect_step(self, spark):
+        """A doc with dup_fraction 0 in the detect report drops 0 tokens."""
+        detect = {
+            r["doc_id"]: r["dup_fraction"]
+            for r in dedup.dedup_substring(spark, SF).collect()
+        }
+        corpus = {
+            r["doc_id"]: r["dropped_tokens"]
+            for r in dedup.dedup_substring_corpus(spark, SF).collect()
+        }
+        for d, frac in detect.items():
+            if frac == 0.0:
+                assert corpus[d] == 0
+
+
+class TestLayoutSortednessSemantics:
+    def test_pk_order_is_perfectly_sorted(self, spark):
+        from dbsurveyor_spark.operators import layout
+
+        rows = {
+            r["column_name"]: r
+            for r in layout.layout_sortedness(spark, SF).collect()
+        }
+        assert rows["o_orderkey"]["sortedness"] == 1.0
+        assert rows["o_orderkey"]["n_runs"] == 1
+        # an uncorrelated column reads ~half ascending, far from sorted
+        assert rows["o_custkey"]["sortedness"] < 0.9
+        for r in rows.values():
+            assert r["pairs"] == r["n_rows"] - 1
+
+
+class TestCategoryNoveltySemantics:
+    def test_new_and_vanished_surface(self, spark):
+        from dbsurveyor_spark.survey import quality
+
+        rows = {
+            r["category"]: r
+            for r in quality.quality_category_novelty(spark, SF).collect()
+        }
+        assert rows["promo_click"]["status"] == "NEW"
+        assert rows["promo_click"]["ref_n"] == 0
+        assert rows["legacy_beacon"]["status"] == "VANISHED"
+        assert rows["legacy_beacon"]["cur_n"] == 0
+        assert any(r["status"] == "STABLE" for r in rows.values())
+
+
+class TestWeightedReservoirSemantics:
+    def test_exact_size_and_weight_bias(self, spark):
+        from dbsurveyor_spark.survey import sampling
+
+        got = sampling.sample_weighted_reservoir(spark, SF).collect()
+        assert len(got) == sampling.WRES_N
+        assert len({r["o_orderkey"] for r in got}) == sampling.WRES_N
+        # ES keys are maximal and ordered; weights bias selection upward:
+        # the sample's mean weight should exceed the population mean
+        keys = [r["es_key"] for r in got]
+        assert keys == sorted(keys, reverse=True)
+        from dbsurveyor_spark.catalog import load_table
+
+        pop_mean = (
+            load_table(spark, SF, "orders")
+            .agg(F.avg("o_totalprice"))
+            .head()[0]
+        )
+        samp_mean = sum(r["weight"] for r in got) / len(got)
+        assert samp_mean > pop_mean
+
+
+class TestRerankSemantics:
+    def test_refine_improves_or_matches_exact_ordering(self, spark):
+        from dbsurveyor_spark.operators import similarity as S
+
+        got = S.ann_rerank_topk(spark, SF).collect()
+        assert got
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r["query_id"], []).append(r)
+        brute = {
+            (r["query_id"], r["neighbor_id"]): r["rank"]
+            for r in S.ann_bruteforce_topk(spark, SF).collect()
+        }
+        for q, rows in per_q.items():
+            rows.sort(key=lambda r: r["rank"])
+            # exact scores are non-increasing in rank (the refine ordering)
+            scores = [r["score_exact"] for r in rows]
+            assert scores == sorted(scores, reverse=True)
+            # rank-1 rerank hit should be a strong bruteforce neighbor
+            # whenever the true top-1 survived the ADC shortlist
+            top = rows[0]
+            if (q, top["neighbor_id"]) in brute:
+                assert brute[(q, top["neighbor_id"])] <= S.RERANK_C
+
+
+class TestKcoreSemantics:
+    def test_surviving_vertices_meet_degree_floor(self, spark):
+        from dbsurveyor_spark.operators import graph
+
+        rows = graph.graph_kcore(spark, SF).collect()
+        assert rows, "k-core empty at test SF"
+        # after the final filter round every survivor had deg >= K; the
+        # reported degree is over the POST-filter subgraph, so it may dip
+        # below K only if the peel is still converging — but the pre-cut
+        # floor guarantees core_degree >= 1 and most rows >= K
+        assert all(r["core_degree"] >= 1 for r in rows)
+        assert sum(r["core_degree"] >= graph.KCORE_K for r in rows) >= len(
+            rows
+        ) * 0.5
+
+    def test_hub_with_leaf_neighbors_is_not_core(self, spark):
+        """Pure-function check on a tiny star+clique graph: the star hub
+        has high degree but dies with its leaves; the clique survives."""
+        from dbsurveyor_spark.operators.graph import KCORE_K
+        from dbsurveyor_spark.plans.roundcheck import checkpoint_round
+        from pyspark.sql import functions as F
+
+        # clique 1-2-3-4 (complete) + hub 10 with leaves 11..16
+        clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+        star = [(10, leaf) for leaf in range(11, 17)]
+        edges = spark.createDataFrame(
+            clique + star, "a bigint, b bigint"
+        )
+        cur = edges.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        for i in range(4):
+            keep = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= KCORE_K)
+                .select("src")
+            )
+            cur = checkpoint_round(
+                cur.join(keep, "src")
+                .join(keep.withColumnRenamed("src", "dst"), "dst")
+                .select("src", "dst"),
+                f"test_kcore:round{i}",
+            )
+        survivors = {r["src"] for r in cur.select("src").collect()}
+        assert survivors == {1, 2, 3, 4}

@@ -61,6 +61,7 @@ GLOBAL_WINDOW_ALLOW = {
     "text_vocab_growth": "min-bucket level frame — log2(|docs|) rows",
     # profiled-enum aggregates (bounded category sets by profiling contract)
     "quality_categorical_drift": "per-category aggregate of an enum column",
+    "quality_category_novelty": "per-category aggregate — |categories|+2 rows",
     "survey_mutual_information": "category-pair aggregate of enum columns",
     # calendar-span aggregates: |days|/|months| grow with time, not rate
     "stream_peak_concurrency": "per-day carry aggregate — |days| rows",
@@ -93,6 +94,7 @@ BROADCAST_ALLOW = {
     # inside per-hop localCheckpoint subplans invisible to THIS registry
     # walk — the per-round sweep below (ROUND_BROADCAST_ALLOW) lints them.
     "ann_ivf_topk": "probe set + centroid model — N_QUERIES + k rows",
+    "ann_rerank_topk": "probe set — N_PROBES rows (exact-rerank attach)",
     "ann_nprobe_curve": "probe/centroid frames per sweep level — constants",
     "ann_range_search": "probe set — constant rows",
     "ann_filtered_search": "probe set + centroid model — constants",
@@ -375,6 +377,7 @@ ITERATIVE_QUERIES = [
     "dedup_neardup_clusters",
     "graph_connected_components",
     "graph_pagerank_parts",
+    "graph_kcore",
 ]
 
 
@@ -409,6 +412,7 @@ def test_iterative_rounds_covered(round_sweep):
         "sample_kcenter_greedy",
         "star_contraction",
         "graph_pagerank_parts",
+        "graph_kcore",
     ):
         assert round_sweep.get(op, {}).get("rounds", 0) >= 2, (
             f"{op}: no per-round plans inspected — did the loop stop "
