@@ -12,6 +12,9 @@ operators Spark lacks natively, built as compositions of existing ops.
   bucketed to 30-min grid cells and joined on (user, bucket ∈ {b-1, b}) then
   exact-range filtered — bounds the join fan-out to two buckets per row
   instead of |user_history|.
+- asof_join_nearest: the nearest-direction variant (pandas merge_asof
+  direction='nearest') — both directions from the SAME union+window
+  shuffle via preceding/following frames on one sorted partition.
 """
 
 from __future__ import annotations
