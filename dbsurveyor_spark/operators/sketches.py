@@ -531,11 +531,128 @@ b_ret AS (SELECT h FROM sk_b WHERE h < (SELECT theta_h FROM thetas))
 """
 
 
+# Sampled-quantile geometry: keep rows whose portable key-hash falls in
+# one residue class (rate = 1/SQ_MOD) — deterministic, rerun-stable, and
+# correlated with NOTHING in the measures (md5 of the PK).
+SQ_MOD = 100
+SQ_PROBS = (0.5, 0.9, 0.99)
+SQ_COLS = ("l_extendedprice", "l_quantity", "l_discount")
+
+
+def sketch_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile ESTIMATION from a deterministic hash sample, accuracy
+    proven in-query — the quantile member of the sketch family (the role
+    KLL/t-digest plays in DataSketches; `survey_numeric_quantiles`
+    documents `approx_percentile` as the built-in path, this op MEASURES
+    what sampling costs): per measure column, p50/p90/p99 from a 1%
+    hash-Bernoulli row sample next to the exact full-data quantiles, with
+    relative errors. The `join_size_estimate` doctrine applied to
+    order statistics — at 100 TB you estimate from the sample; this
+    operator is the calibration table that says how far off that is.
+
+    Plan: ONE aggregate over one scan computes both sides — the sample
+    quantile is `percentile(CASE WHEN sampled THEN x END)` (percentile
+    ignores NULLs in both engines), so no second pass and no shuffle
+    beyond the 1-row agg exchange. Exact percentile ↔ quantile_cont
+    parity and the round-6-dp edge are the established conventions.
+    """
+    df = load_table(spark, sf_dir, "lineitem").select(
+        *SQ_COLS,
+        (
+            portable_hash64(
+                F.concat_ws(
+                    "_",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % SQ_MOD
+            == 0
+        ).alias("__in_sample"),
+    )
+    probs = F.array(*[F.lit(p) for p in SQ_PROBS])
+    aggs = [
+        F.sum(F.when(F.col("__in_sample"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__n_sample")
+    ]
+    for c in SQ_COLS:
+        x = F.col(c).cast("double")
+        aggs.append(F.percentile(x, probs).alias(f"{c}__exact"))
+        aggs.append(
+            F.percentile(
+                F.when(F.col("__in_sample"), x), probs
+            ).alias(f"{c}__samp")
+        )
+    one = df.agg(*aggs)
+    entries = []
+    for c in SQ_COLS:
+        for i, p in enumerate(SQ_PROBS):
+            ex = F.col(f"{c}__exact")[i]
+            sa = F.col(f"{c}__samp")[i]
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit(p).alias("p"),
+                    F.round(ex, 6).alias("exact_q"),
+                    F.round(sa, 6).alias("sample_q"),
+                    F.round(
+                        F.abs(sa - ex) / F.abs(F.nullif(ex, F.lit(0.0))), 6
+                    ).alias("rel_error"),
+                    F.col("__n_sample").alias("sample_n"),
+                )
+            )
+    return one.select(F.inline(F.array(*entries)))
+
+
+def _sampled_quantiles_sql() -> str:
+    h = portable_hash64_sql(
+        "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)"
+    )
+    probs = ", ".join(str(p) for p in SQ_PROBS)
+    cols = []
+    for c in SQ_COLS:
+        cols.append(
+            f"quantile_cont(CAST({c} AS DOUBLE), [{probs}]) AS {c}__exact"
+        )
+        cols.append(
+            f"quantile_cont(CASE WHEN __in_sample THEN CAST({c} AS DOUBLE) "
+            f"END, [{probs}]) AS {c}__samp"
+        )
+    rows = []
+    for c in SQ_COLS:
+        for i, p in enumerate(SQ_PROBS, start=1):
+            rows.append(
+                f"""SELECT '{c}' AS column_name, {p} AS p,
+  round({c}__exact[{i}], 6) AS exact_q,
+  round({c}__samp[{i}], 6) AS sample_q,
+  round(abs({c}__samp[{i}] - {c}__exact[{i}])
+        / abs(NULLIF({c}__exact[{i}], 0.0)), 6) AS rel_error,
+  __n_sample AS sample_n
+FROM agg"""
+            )
+        # noqa: keep per-column ordering identical to the Spark inline
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH base AS (
+  SELECT *, ({h}) % {SQ_MOD} = 0 AS __in_sample FROM lineitem
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN __in_sample THEN 1 ELSE 0 END) AS BIGINT)
+           AS __n_sample,
+         {', '.join(cols)}
+  FROM base
+)
+{union}
+"""
+
+
 QUERIES = {
     "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
     "sketch_bloom_membership": sketch_bloom_membership,
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "sketch_theta_set_ops": sketch_theta_set_ops,
+    "sketch_sampled_quantiles": sketch_sampled_quantiles,
 }
 
 ORACLES = {
@@ -543,4 +660,5 @@ ORACLES = {
     "sketch_bloom_membership": _bloom_sql(),
     "sketch_kmv_distinct": _kmv_sql(),
     "sketch_theta_set_ops": _theta_sql(),
+    "sketch_sampled_quantiles": _sampled_quantiles_sql(),
 }
