@@ -91,9 +91,66 @@ HEADLINE = [
     "dedup_substring_corpus",
     "graph_kcore",
     "ann_rerank_topk",
+    # round 8: trained quality classifier (scores + evaluation)
+    "text_quality_classifier",
+    "text_quality_classifier_report",
 ]
 
 STEADY_PASSES = 3  # steady = per-query MIN over this many post-warm passes
+
+# Drift canaries: untouched pure-JVM scan/agg/join queries whose code has
+# been frozen since the early rounds. Host-scale timing drift (this VM
+# moves 15-25% day to day) shows up on them exactly as on everything else,
+# so the ratio Σsteady(canary)/Σbaseline(canary) IS the drift factor, and
+# dividing the common-item comparison by it separates code regressions
+# from machine drift MECHANICALLY — rounds 6 and 7 both had to argue this
+# from q1 after the fact.
+CANARY = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "rollup_sales",
+    "survey_join_cardinality",
+]
+# Committed settled record of the previous round (full per-query map —
+# the driver's own BENCH_r{N}.json keeps only a 2,000-char stdout tail).
+BASELINE_RECORD = os.environ.get(
+    "SPARK_GRAFT_BENCH_BASELINE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "bench_records", "latest.json"),
+)
+
+
+def _drift_fields(steady: dict[str, float]) -> dict:
+    """canary_ratio + raw and drift-normalized common-item sums vs the
+    committed baseline record; {} when no baseline is readable."""
+    try:
+        with open(BASELINE_RECORD) as fh:
+            base = json.load(fh)["queries_steady"]
+    except (OSError, ValueError, KeyError):
+        return {}
+    canary_now = [steady[k] for k in CANARY if k in steady and k in base]
+    canary_base = [base[k] for k in CANARY if k in steady and k in base]
+    if not canary_now or sum(canary_base) <= 0:
+        return {}
+    ratio = sum(canary_now) / sum(canary_base)
+    common = [
+        k for k in steady
+        if k in base and not k.endswith("_build")
+    ]
+    now_sum = sum(steady[k] for k in common)
+    base_sum = sum(base[k] for k in common)
+    out = {
+        "canary_ratio": round(ratio, 3),
+        "common_items": len(common),
+        "common_sum": round(now_sum, 2),
+        "common_sum_baseline": round(base_sum, 2),
+    }
+    if base_sum > 0:
+        out["common_ratio_raw"] = round(now_sum / base_sum, 3)
+        out["common_ratio_drift_normalized"] = round(
+            now_sum / base_sum / ratio, 3
+        )
+    return out
 
 
 def _machine_state() -> dict:
@@ -347,6 +404,7 @@ def main() -> None:
             var = sum((v - m) ** 2 for v in vals) / len(vals)
             cov[key] = round(var**0.5 / m, 3)
     machine_post = _machine_state()
+    drift = _drift_fields(steady)
     cov_sorted = sorted(cov.values())
     cov_p50 = round(cov_sorted[len(cov_sorted) // 2], 3) if cov_sorted else 0.0
     cov_max = max(cov_sorted) if cov_sorted else 0.0
@@ -365,6 +423,7 @@ def main() -> None:
                 "queries_cov": cov,
                 "machine_pre": machine_pre,
                 "machine_post": machine_post,
+                "drift": drift,
                 "sf": sf_val,
             }
         )
@@ -388,6 +447,11 @@ def main() -> None:
                 "load1_pre": machine_pre.get("load1"),
                 "load1_post": machine_post.get("load1"),
                 "mem_avail_gb": machine_post.get("mem_avail_gb"),
+                "canary_ratio": drift.get("canary_ratio"),
+                "common_ratio_raw": drift.get("common_ratio_raw"),
+                "common_ratio_drift_normalized": drift.get(
+                    "common_ratio_drift_normalized"
+                ),
                 "detail": "full per-query map on the previous stdout line",
             }
         )

@@ -801,8 +801,8 @@ def build_parser() -> argparse.ArgumentParser:
         "index",
         help="build / list persisted index artifacts (quantizers, graphs)",
     )
-    ix.add_argument("action", choices=("build", "list"))
-    ix.add_argument("lake_dir", nargs="?", default=None)
+    ix.add_argument("action", choices=("build", "list", "gc"))
+    ix.add_argument("lake_dir", nargs="*", default=[])
     ix.add_argument(
         "--store",
         default=None,
@@ -860,9 +860,31 @@ def cmd_index(args: argparse.Namespace) -> int:
     if args.action == "list":
         print(json.dumps(index_store.list_artifacts(), indent=2))
         return 0
-    if not args.lake_dir or not os.path.isdir(args.lake_dir):
-        print("error: index build requires a lake directory", file=sys.stderr)
+    lakes = [d for d in args.lake_dir if os.path.isdir(d)]
+    if not lakes or len(lakes) != len(args.lake_dir):
+        print(
+            f"error: index {args.action} requires existing lake "
+            "director(y/ies)",
+            file=sys.stderr,
+        )
         return 1
+    if args.action == "gc":
+        # prune artifacts no CURRENT lake content addresses — the caller
+        # names every lake to keep; anything else is unreferenced by
+        # construction (content-fingerprint keys).
+        pruned = index_store.gc_unreferenced(lakes)
+        print(
+            json.dumps(
+                {
+                    "store": index_store.store_root(),
+                    "kept_lakes": lakes,
+                    "pruned": pruned,
+                    "pruned_bytes": sum(a["bytes"] for a in pruned),
+                },
+                indent=2,
+            )
+        )
+        return 0
     from .multimodal.audio import aligned_pairs
     from .operators.graph import copurchase_graph
     from .operators.similarity import (
@@ -874,7 +896,7 @@ def cmd_index(args: argparse.Namespace) -> int:
     )
 
     spark = _get_spark()
-    lake = args.lake_dir.rstrip("/")
+    lake = lakes[0].rstrip("/")
     trained_centroid_rows(spark, lake)
     trained_pq_codebooks(spark, lake)
     trained_residual_codebooks(spark, lake)
@@ -884,6 +906,16 @@ def cmd_index(args: argparse.Namespace) -> int:
     half.count()
     deg.count()
     aligned_pairs(spark, lake).count()
+    from .operators.similarity import HYBRID_QUERIES
+    from .operators.textstats import BM25_QUERIES, bm25_scores, qcls_model
+    from .survey.sampling import dsir_log_ratio_rows
+
+    # BM25 corpus statistics (both fixed workloads), the DSIR model, and
+    # the trained quality classifier
+    bm25_scores(spark, lake, BM25_QUERIES).count()
+    bm25_scores(spark, lake, HYBRID_QUERIES).count()
+    dsir_log_ratio_rows(spark, lake)
+    qcls_model(spark, lake)
     arts = index_store.list_artifacts()
     print(
         json.dumps(

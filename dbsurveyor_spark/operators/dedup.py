@@ -1735,14 +1735,23 @@ def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_tokens")
     )
     dt = F.coalesce(F.col("dropped_tokens"), F.lit(0).cast("bigint"))
-    return ntok.join(dropped, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        dt.alias("dropped_tokens"),
-        (F.col("n_tokens") - dt).cast("bigint").alias("kept_tokens"),
-        F.round(
-            dt.cast("double") / F.nullif(F.col("n_tokens"), F.lit(0)), 9
-        ).alias("dropped_share"),
+    nt = F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint"))
+    # anchor on corpus doc_ids (like dedup_substring): a doc whose text
+    # tokenizes empty has no posexploded rows, but must still appear with
+    # n_tokens=0 — the oracle's gl CTE emits one row per corpus doc.
+    return (
+        corpus.select("doc_id")
+        .join(ntok, "doc_id", "left")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            nt.alias("n_tokens"),
+            dt.alias("dropped_tokens"),
+            (nt - dt).cast("bigint").alias("kept_tokens"),
+            F.round(
+                dt.cast("double") / F.nullif(nt, F.lit(0)), 9
+            ).alias("dropped_share"),
+        )
     )
 
 

@@ -672,9 +672,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shrinking two-int64-column edge frame; every round ends in
     `checkpoint_round` (the §6 iterative doctrine + the round-lint seam),
     so the logical plan stays one round deep and the per-round plan is
-    gate-inspected. Fixed rounds keep the unrolled-CTE oracle an exact
-    mirror; at K=3 the peel is still converging at round 8 on the test
-    lake — the documented fixed-horizon semantics, identical both engines.
+    gate-inspected. The peel EARLY-EXITS when a round removes no edges
+    (one cheap count on the already-materialized checkpoint — rounds only
+    remove edges, so equal counts ⇒ identical sets ⇒ fixpoint), and every
+    output row carries a `converged` flag: true iff the fixpoint was
+    reached within `KCORE_ROUNDS` rounds (the unrolled-CTE oracle emits
+    the same flag by comparing round R's edge count to round R−1's —
+    exact in both engines whether or not the horizon sufficed).
     """
     release_caches()
     half, _ = copurchase_graph(spark, sf_dir)
@@ -686,6 +690,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         backbone.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
+    prev_cnt = cur.count()
+    converged = False
     for i in range(KCORE_ROUNDS):
         keep = (
             cur.groupBy("src")
@@ -699,9 +705,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst"),
             f"graph_kcore:round{i}",
         )
+        cnt = cur.count()
+        if cnt == prev_cnt:  # zero-delta round: fixpoint reached
+            converged = True
+            # never exit before round 2: the plan-lint gate inspects ≥2
+            # per-round plans per iterative family, and the extra no-op
+            # round is a count on an already-empty delta — free
+            if i >= 1:
+                break
+        prev_cnt = cnt
     return cur.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
-    ).select(F.col("src").alias("part_id"), "core_degree")
+    ).select(
+        F.col("src").alias("part_id"),
+        "core_degree",
+        F.lit(bool(converged)).alias("converged"),
+    )
 
 
 def _kcore_sql() -> str:
@@ -737,11 +756,17 @@ e{r} AS MATERIALIZED (
 )"""
         )
         prev = f"e{r}"
+    parts.append(
+        f"""flag AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM e{KCORE_ROUNDS})
+       = (SELECT COUNT(*) FROM e{KCORE_ROUNDS - 1}) AS converged
+)"""
+    )
     joined = ",\n".join(parts)
     return f"""
 WITH {joined}
-SELECT src AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
-FROM {prev} GROUP BY src
+SELECT src AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree, converged
+FROM {prev} CROSS JOIN flag GROUP BY src, converged
 """
 
 

@@ -425,7 +425,17 @@ def layout_sortedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_prev = (
         melted.join(prev_block, ["column_name", "block"])
         .withColumn("in_prev", F.lag("v").over(in_w))
-        .withColumn("prev", F.coalesce("in_prev", "prev_last"))
+        # prev_last applies ONLY to each block's first row — coalescing on
+        # NULL would also fire when the lagged value is a genuine NULL in
+        # the data, where the oracle's global lag yields NULL (pair
+        # skipped). Gate on row position, not nullness.
+        .withColumn("__rn", F.row_number().over(in_w))
+        .withColumn(
+            "prev",
+            F.when(F.col("__rn") == 1, F.col("prev_last")).otherwise(
+                F.col("in_prev")
+            ),
+        )
     )
     asc = F.sum(
         F.when(F.col("prev").isNotNull() & (F.col("v") >= F.col("prev")), 1)

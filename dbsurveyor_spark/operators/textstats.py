@@ -12,6 +12,8 @@ explode + aggregate (map-side partial counts) + top-N.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1065,6 +1067,91 @@ BM25_QUERIES: dict[int, tuple[str, ...]] = {
 }
 
 
+# BM25 corpus statistics (n_docs, Σdl, per-term df) are INDEX STATE — the
+# quantities a search engine persists alongside its postings. Memoized per
+# (lake, documents content fingerprint, workload term set) and persisted
+# through plans/index_store like the IVF quantizer: a warmed session skips
+# the full-corpus stats aggregate and the df aggregate entirely (at 100 TB
+# that is the whole-corpus tokenize+count pass).
+_BM25_STATS_CACHE: dict[tuple, dict] = {}
+_BM25_STATS_LOCK = threading.Lock()
+
+
+def _bm25_workload_terms(
+    queries: dict[int, tuple[str, ...]]
+) -> tuple[str, ...]:
+    return tuple(sorted({t for ts in queries.values() for t in ts}))
+
+
+def _bm25_store_key(
+    sf_dir: str, queries: dict[int, tuple[str, ...]] | None = None
+) -> tuple:
+    from ..multimodal.audio import _docs_fingerprint
+
+    lake = sf_dir.rstrip("/")
+    return (
+        lake,
+        _docs_fingerprint(lake),
+        _bm25_workload_terms(BM25_QUERIES if queries is None else queries),
+    )
+
+
+def _bm25_store_keys(sf_dir: str) -> list[tuple]:
+    """Every fixed BM25 workload's store key (the search operator's and
+    the hybrid-retrieval lexical leg's) — enumerated for index gc."""
+    from .similarity import HYBRID_QUERIES
+
+    return [
+        _bm25_store_key(sf_dir, BM25_QUERIES),
+        _bm25_store_key(sf_dir, HYBRID_QUERIES),
+    ]
+
+
+def _train_bm25_stats(toks: DataFrame, tf: DataFrame) -> dict:
+    srow = toks.select(
+        F.size("toks").cast("bigint").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("dl").cast("decimal(30,6)")).alias("sum_dl"),
+    ).collect()[0]
+    dfrows = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    ).collect()
+    return {
+        "n_docs": int(srow["n_docs"]),
+        "sum_dl": str(srow["sum_dl"]),
+        "df": {r["token"]: int(r["df"]) for r in dfrows},
+    }
+
+
+def _bm25_index_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: dict[int, tuple[str, ...]],
+    toks: DataFrame,
+    tf: DataFrame,
+) -> dict:
+    """{"n_docs": int, "sum_dl": str-decimal, "df": {token: int}} for the
+    (lake, workload). Cold: two bounded aggregates (1-row corpus stats,
+    ≤|terms|-row df) collected and persisted; warm: zero jobs. Decimal
+    sum_dl round-trips as a string so the warmed avgdl is bit-identical.
+    """
+    key = _bm25_store_key(sf_dir, queries)
+    with _BM25_STATS_LOCK:
+        hit = _BM25_STATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from ..plans import index_store
+
+    model = index_store.try_read_model(index_store.BM25_STATS, key)
+    if model is None:
+        model = _train_bm25_stats(toks, tf)
+        index_store.write_model(model, index_store.BM25_STATS, key)
+    with _BM25_STATS_LOCK:
+        _BM25_STATS_CACHE[key] = model
+    return model
+
+
 def bm25_scores(
     spark: SparkSession, sf_dir: str, queries: dict[int, tuple[str, ...]]
 ) -> DataFrame:
@@ -1076,21 +1163,18 @@ def bm25_scores(
     Scale shape: the corpus is tokenized ONCE; the explode is gated
     map-side to the (constant-size) union of query terms BEFORE the
     (doc, token) groupBy, so the only corpus-sized shuffle carries rows
-    that actually match a query term. df comes from the tf frame itself
-    (one row per (doc, token) ⇒ rows per token = df, the tfidf trick);
-    corpus stats (N, Σdl) are a 1-row aggregate; the query-term frame is a
-    driver-local relation. Per-term scores round at 9 and sum on the
+    that actually match a query term. df / N / Σdl are persisted INDEX
+    STATISTICS (`_bm25_index_stats` — memoized per lake fingerprint +
+    workload, plans/index_store): cold they collect from the tf frame
+    (df = rows per token) and one full-corpus 1-row aggregate; warm they
+    re-enter the plan as LocalRelations with zero jobs — at 100 TB the
+    corpus-stats pass is exactly what a search engine persists beside
+    its postings. Per-term scores round at 9 and sum on the
     decimal(20,9) lattice, so the (query, doc) total is order-independent
     and the rank comparison below is exact in both engines.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    stats = toks.select(
-        F.size("toks").cast("bigint").alias("dl")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.col("dl").cast("decimal(30,6)")).alias("sum_dl"),
-    )
     # Inline VALUES (a JVM LocalRelation), not createDataFrame: the Python
     # path plans a LogicalRDD whose every task forks a Python worker —
     # measured multi-second first-run overhead for a constant 8-row frame.
@@ -1128,9 +1212,28 @@ def bm25_scores(
             F.max("dl").alias("dl"),
         )
     )
-    dfreq = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
+    # df / N / Σdl come from the persisted index statistics (zero jobs in
+    # a warmed session; the cold build collects the same two bounded
+    # aggregates this plan used to embed) and re-enter the plan as
+    # LocalRelations — bit-identical values either way.
+    model = _bm25_index_stats(spark, sf_dir, queries, toks, tf)
+    stats = spark.sql(
+        f"SELECT CAST({model['n_docs']} AS BIGINT) AS n_docs, "
+        f"CAST('{model['sum_dl']}' AS DECIMAL(30,6)) AS sum_dl"
     )
+    if model["df"]:
+        dvals = ", ".join(
+            f"('{t}', CAST({d} AS BIGINT))"
+            for t, d in sorted(model["df"].items())
+        )
+        dfreq = spark.sql(
+            f"SELECT token, df FROM (VALUES {dvals}) AS t(token, df)"
+        )
+    else:  # no query term occurs in the corpus — empty postings
+        dfreq = spark.sql(
+            "SELECT CAST(NULL AS STRING) AS token, "
+            "CAST(NULL AS BIGINT) AS df"
+        ).filter(F.lit(False))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)
@@ -1144,7 +1247,7 @@ def bm25_scores(
     )
     return (
         tf.join(F.broadcast(terms), "token")
-        .join(dfreq, "token")
+        .join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
@@ -1238,6 +1341,350 @@ SELECT query_id, rank, doc_id, CAST(score AS DOUBLE) AS score FROM (
 """
 
 
+# ----------------------------------- trained text-quality classifier
+
+# The labeled-classifier curation stage (CCNet / LLaMA-style fastText
+# quality classifier, Wenzek et al. 2020): a cheap trained model mimics an
+# expensive teacher gate, then scores the whole corpus. Here the teacher
+# is this engine's own heuristic gate (`text_quality_filter`'s verdict —
+# deterministic, so the oracle can replay the labels exactly), the model
+# is hashed bag-of-words multinomial Naive Bayes (Laplace-smoothed log
+# count ratios over QCLS_BUCKETS hashed unigram buckets — the closed-form,
+# bounded-state classifier; fastText's linear layer reduces to the same
+# shape under a bag-of-buckets featurization).
+QCLS_BUCKETS = 256
+QCLS_TRAIN_MOD = 10
+QCLS_TRAIN_LT = 7  # 70% train / 30% held-out, by doc_id hash
+
+_QCLS_CACHE: dict[tuple, dict] = {}
+_QCLS_LOCK = threading.Lock()
+
+
+def _qcls_store_key(sf_dir: str) -> tuple:
+    from ..multimodal.audio import _docs_fingerprint
+
+    lake = sf_dir.rstrip("/")
+    return (
+        lake,
+        _docs_fingerprint(lake),
+        QCLS_BUCKETS,
+        QCLS_TRAIN_MOD,
+        QCLS_TRAIN_LT,
+    )
+
+
+def _qcls_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_train, label_pos): teacher labels replay the heuristic
+    quality gate; the split is a deterministic doc_id hash (rerun-stable,
+    leakage-free by construction)."""
+    from ..functions.hashing import portable_hash64
+
+    st = text_stats(spark, sf_dir)
+    label = F.coalesce(
+        (F.col("quality_score") >= QUALITY_MIN)
+        & (F.col("n_tokens") >= TOKENS_MIN),
+        F.lit(False),
+    )
+    is_train = (
+        portable_hash64(
+            F.concat(F.lit("qclss_"), F.col("doc_id").cast("string"))
+        )
+        % QCLS_TRAIN_MOD
+        < QCLS_TRAIN_LT
+    )
+    return st.select(
+        "doc_id", is_train.alias("is_train"), label.alias("label_pos")
+    )
+
+
+def _qcls_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket) hashed unigram rows — ONE token scan, int64 out."""
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    bucket = (
+        portable_hash64(F.concat(F.lit("qclsb_"), F.col("t")))
+        % QCLS_BUCKETS
+    )
+    return tok.select("doc_id", bucket.alias("bucket"))
+
+
+def _train_qcls_model(labels: DataFrame, feats: DataFrame) -> dict:
+    """Fit NB on the train split: one ≤QCLS_BUCKETS-row conditional-count
+    aggregate (map-side combinable) + a 1-row prior aggregate. Log ratios
+    are computed IN-ENGINE (F.log) so the collected doubles are the same
+    bits the replaying oracle's ln() produces."""
+    tr = feats.join(labels.filter(F.col("is_train")), "doc_id")
+    bcounts = tr.groupBy("bucket").agg(
+        F.sum(F.when(F.col("label_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cp"),
+        F.sum(F.when(~F.col("label_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cn"),
+    )
+    totals = bcounts.agg(
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum("cn").cast("bigint").alias("nn"),
+    )
+    weights = sorted(
+        (int(r["bucket"]), float(r["w"]))
+        for r in bcounts.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("cp") + 1).cast("double")
+                    / (F.col("np") + QCLS_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("cn") + 1).cast("double")
+                    / (F.col("nn") + QCLS_BUCKETS).cast("double")
+                )
+            ).alias("w"),
+        )
+        .collect()
+    )
+    prow = (
+        labels.filter(F.col("is_train"))
+        .agg(
+            F.sum(F.when(F.col("label_pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("dp"),
+            F.sum(F.when(~F.col("label_pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("dn"),
+        )
+        .select(
+            F.log(
+                (F.col("dp") + 1).cast("double")
+                / (F.col("dn") + 1).cast("double")
+            ).alias("prior")
+        )
+        .collect()[0]
+    )
+    return {"prior": float(prow["prior"]), "weights": weights}
+
+
+def qcls_model(
+    spark: SparkSession,
+    sf_dir: str,
+    labels: DataFrame | None = None,
+    feats: DataFrame | None = None,
+) -> dict:
+    """The trained classifier — {"prior": double, "weights": [(bucket,
+    log-ratio)]}, ≤QCLS_BUCKETS+1 numbers — memoized per (lake, documents
+    content fingerprint) and persisted through plans/index_store: a warmed
+    session scores with zero training jobs."""
+    key = _qcls_store_key(sf_dir)
+    with _QCLS_LOCK:
+        hit = _QCLS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from ..plans import index_store
+
+    model = index_store.try_read_model(index_store.QCLS_MODEL, key)
+    if model is None:
+        if labels is None:
+            labels = _qcls_labels(spark, sf_dir)
+        if feats is None:
+            feats = _qcls_features(spark, sf_dir)
+        model = _train_qcls_model(labels, feats)
+        index_store.write_model(model, index_store.QCLS_MODEL, key)
+    else:
+        model = {
+            "prior": float(model["prior"]),
+            "weights": [(int(b), float(w)) for b, w in model["weights"]],
+        }
+    with _QCLS_LOCK:
+        _QCLS_CACHE[key] = model
+    return model
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained text-quality classification of the whole corpus: per doc,
+    the hash split it fell in, the teacher label, the NB prediction, and
+    the log-odds score (prior + Σ bucket log count ratios — summed on the
+    decimal(38,18) lattice, so the score and the >0 decision are exact
+    and order-independent in both engines).
+
+    Plan shape (the 100 TB contract): ONE token scan feeds both training
+    (cold only) and scoring; training state is one ≤QCLS_BUCKETS-row
+    aggregate; the model re-enters the plan as a broadcast VALUES
+    LocalRelation (repr-literals parse to identical IEEE-754 doubles);
+    scoring is one co-keyed groupBy(doc_id) + one labels join. Zero
+    data-sized driver state, zero Python on the data path.
+    """
+    from ..plans.cache import release_caches, tracked_cache
+
+    release_caches()
+    labels = tracked_cache(_qcls_labels(spark, sf_dir))
+    feats = tracked_cache(_qcls_features(spark, sf_dir))
+    model = qcls_model(spark, sf_dir, labels, feats)
+    if model["weights"]:
+        vals = ", ".join(
+            f"(CAST({b} AS BIGINT), CAST('{w!r}' AS DOUBLE))"
+            for b, w in model["weights"]
+        )
+        wdf = spark.sql(
+            f"SELECT bucket, w FROM (VALUES {vals}) AS t(bucket, w)"
+        )
+    else:  # empty train split — prior-only scoring
+        wdf = spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS bucket, "
+            "CAST(NULL AS DOUBLE) AS w"
+        ).filter(F.lit(False))
+    sc = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w").cast("decimal(38,18)")).alias("s"))
+    )
+    lo = F.lit(model["prior"]).cast("decimal(38,18)") + F.coalesce(
+        F.col("s"), F.lit(0).cast("decimal(38,18)")
+    )
+    return labels.join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("is_train"), F.lit("train"))
+        .otherwise(F.lit("held_out"))
+        .alias("split"),
+        "label_pos",
+        (lo > 0).alias("pred_pos"),
+        F.round(lo, 9).cast("double").alias("log_odds"),
+    )
+
+
+def text_quality_classifier_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-split evaluation of the trained classifier against the teacher
+    labels — the precision/recall table a curation pipeline gates on
+    before trusting the model at corpus scale (held_out is the honest
+    row; train shows fit). Confusion counts are exact; precision/recall/
+    f1 compute from integer counts in one expression (f1 = 2tp/(2tp+fp+fn),
+    never from pre-rounded intermediates)."""
+    scored = text_quality_classifier(spark, sf_dir)
+    tp = F.sum(
+        F.when(F.col("label_pos") & F.col("pred_pos"), 1).otherwise(0)
+    ).cast("bigint")
+    fp = F.sum(
+        F.when(~F.col("label_pos") & F.col("pred_pos"), 1).otherwise(0)
+    ).cast("bigint")
+    fn = F.sum(
+        F.when(F.col("label_pos") & ~F.col("pred_pos"), 1).otherwise(0)
+    ).cast("bigint")
+    tn = F.sum(
+        F.when(~F.col("label_pos") & ~F.col("pred_pos"), 1).otherwise(0)
+    ).cast("bigint")
+    agg = scored.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+    )
+    return agg.select(
+        "split",
+        "n_docs",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)),
+            9,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)),
+            9,
+        ).alias("recall"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
+            9,
+        ).alias("f1"),
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / F.nullif(F.col("n_docs"), F.lit(0)),
+            9,
+        ).alias("accuracy"),
+    )
+
+
+def _qcls_scores_sql_ctes() -> str:
+    """Shared CTE chain replaying label + split + training + scoring;
+    terminates in `qcls(doc_id, split, label_pos, pred_pos, log_odds)`."""
+    from ..functions.hashing import portable_hash64_sql
+
+    split_h = portable_hash64_sql("'qclss_' || CAST(doc_id AS VARCHAR)")
+    bucket_h = portable_hash64_sql("'qclsb_' || t")
+    return f"""st AS ({_stats_sql()}),
+lab AS (SELECT doc_id,
+  COALESCE(quality_score >= {QUALITY_MIN} AND n_tokens >= {TOKENS_MIN},
+           FALSE) AS label_pos,
+  ({split_h} % {QCLS_TRAIN_MOD} < {QCLS_TRAIN_LT}) AS is_train
+FROM st),
+feats AS (SELECT doc_id, {bucket_h} % {QCLS_BUCKETS} AS bucket
+  FROM (SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents)),
+tr AS (SELECT bucket,
+  CAST(SUM(CASE WHEN label_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+  CAST(SUM(CASE WHEN NOT label_pos THEN 1 ELSE 0 END) AS BIGINT) AS cn
+FROM feats JOIN lab USING (doc_id) WHERE is_train GROUP BY bucket),
+tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+               CAST(SUM(cn) AS BIGINT) AS nn FROM tr),
+w AS (SELECT bucket,
+  ln(CAST(cp + 1 AS DOUBLE) / CAST(np + {QCLS_BUCKETS} AS DOUBLE))
+  - ln(CAST(cn + 1 AS DOUBLE) / CAST(nn + {QCLS_BUCKETS} AS DOUBLE)) AS w
+FROM tr CROSS JOIN tot),
+pri AS (SELECT CAST(ln(
+    CAST(SUM(CASE WHEN label_pos THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+  / CAST(SUM(CASE WHEN NOT label_pos THEN 1 ELSE 0 END) + 1 AS DOUBLE))
+  AS DECIMAL(38,18)) AS prior
+FROM lab WHERE is_train),
+sc AS (SELECT f.doc_id, SUM(CAST(w AS DECIMAL(38,18))) AS s
+FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id),
+qcls AS (SELECT l.doc_id,
+  CASE WHEN l.is_train THEN 'train' ELSE 'held_out' END AS split,
+  l.label_pos,
+  (p.prior + COALESCE(sc.s, CAST(0 AS DECIMAL(38,18)))) > 0 AS pred_pos,
+  CAST(round(p.prior + COALESCE(sc.s, CAST(0 AS DECIMAL(38,18))), 9)
+       AS DOUBLE) AS log_odds
+FROM lab l LEFT JOIN sc USING (doc_id) CROSS JOIN pri p)"""
+
+
+def _qcls_sql() -> str:
+    return f"""
+WITH {_qcls_scores_sql_ctes()}
+SELECT doc_id, split, label_pos, pred_pos, log_odds FROM qcls
+"""
+
+
+def _qcls_report_sql() -> str:
+    return f"""
+WITH {_qcls_scores_sql_ctes()},
+cm AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN label_pos AND pred_pos THEN 1 ELSE 0 END)
+    AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN NOT label_pos AND pred_pos THEN 1 ELSE 0 END)
+    AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN label_pos AND NOT pred_pos THEN 1 ELSE 0 END)
+    AS BIGINT) AS fn,
+  CAST(SUM(CASE WHEN NOT label_pos AND NOT pred_pos THEN 1 ELSE 0 END)
+    AS BIGINT) AS tn
+FROM qcls GROUP BY split)
+SELECT split, n_docs, tp, fp, fn, tn,
+  round(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 9) AS precision,
+  round(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 9) AS recall,
+  round(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 9) AS f1,
+  round(CAST(tp + tn AS DOUBLE) / NULLIF(n_docs, 0), 9) AS accuracy
+FROM cm
+"""
+
+
 QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_cooccurrence_pmi": text_cooccurrence_pmi,
@@ -1256,6 +1703,8 @@ QUERIES = {
     "text_tfidf_keywords": text_tfidf_keywords,
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_bm25_search": text_bm25_search,
+    "text_quality_classifier": text_quality_classifier,
+    "text_quality_classifier_report": text_quality_classifier_report,
 }
 
 ORACLES = {
@@ -1276,4 +1725,6 @@ ORACLES = {
     "text_tfidf_keywords": _tfidf_sql(),
     "text_rolling_fingerprint": ROLLING_FP_SQL,
     "text_bm25_search": _bm25_sql(),
+    "text_quality_classifier": _qcls_sql(),
+    "text_quality_classifier_report": _qcls_report_sql(),
 }

@@ -71,3 +71,12 @@ def clear_index_memos() -> None:
         _sim._PQ_CACHE.clear()
         _sim._RESID_PQ_CACHE.clear()
         _sim._SQ_RESID_CACHE.clear()
+    from ..operators import textstats as _ts
+    from ..survey import sampling as _samp
+
+    with _ts._BM25_STATS_LOCK:
+        _ts._BM25_STATS_CACHE.clear()
+    with _ts._QCLS_LOCK:
+        _ts._QCLS_CACHE.clear()
+    with _samp._DSIR_LOCK:
+        _samp._DSIR_CACHE.clear()

@@ -19,7 +19,8 @@ behavior is exactly the session-local memo of rounds 5-6; the CLI
 Staleness is impossible by construction: artifacts are keyed by the
 lake's CONTENT FINGERPRINT — (path, mtime_ns, size) of every data file —
 so a rewritten table computes a different key and the old artifact is
-simply never addressed again (`gc` in the CLI prunes unreferenced keys).
+simply never addressed again; ``index gc <lake>...`` prunes artifacts no
+current lake content addresses (see `gc_unreferenced`).
 
 Concurrency: writes land in a pid-suffixed temp path and atomically
 rename into place; the loser of a rename race discards its copy and the
@@ -46,6 +47,9 @@ KNN_GRAPH = "knn_graph"
 AUDIO_PAIRS = "audio_pairs"
 COPURCHASE_HALF = "copurchase_half"
 COPURCHASE_DEG = "copurchase_deg"
+BM25_STATS = "bm25_stats"
+DSIR_MODEL = "dsir_model"
+QCLS_MODEL = "qcls_model"
 
 
 def store_root() -> Optional[str]:
@@ -172,3 +176,84 @@ def list_artifacts() -> list[dict]:
                 }
             )
     return out
+
+
+# -------------------------------------------------------------------- gc
+
+
+def live_keys(lake_dirs: list[str]) -> set[tuple[str, str]]:
+    """(kind, key) pairs addressable by the CURRENT content of the given
+    lake directories. Every artifact outside this set is unreferenced:
+    the fingerprint that produced it can never be recomputed again (the
+    data files were rewritten), so no session will ever read it.
+
+    NOTE for new artifact kinds: register the kind's (source table
+    fingerprint → key) recipe here, or `gc_unreferenced` will prune it.
+    """
+    from ..multimodal.audio import _docs_fingerprint
+    from ..operators.graph import _lineitem_fingerprint
+    from ..operators.similarity import _lake_fingerprint
+    from ..operators.textstats import _bm25_store_keys, _qcls_store_key
+    from ..survey.sampling import _dsir_store_key
+
+    out: set[tuple[str, str]] = set()
+    for lake in lake_dirs:
+        lake = lake.rstrip("/")
+        emb_key = (lake, _lake_fingerprint(lake))
+        docs_key = (lake, _docs_fingerprint(lake))
+        li_key = (lake, _lineitem_fingerprint(lake))
+        for kind in (
+            IVF_CENTROIDS,
+            PQ_CODEBOOKS,
+            RESID_PQ_CODEBOOKS,
+            SQ_RESIDUAL_BOUNDS,
+            KNN_GRAPH,
+        ):
+            out.add((kind, _key(kind, emb_key)))
+        out.add((AUDIO_PAIRS, _key(AUDIO_PAIRS, docs_key)))
+        for kind in (COPURCHASE_HALF, COPURCHASE_DEG):
+            out.add((kind, _key(kind, li_key)))
+        for bkey in _bm25_store_keys(lake):
+            out.add((BM25_STATS, _key(BM25_STATS, bkey)))
+        out.add((DSIR_MODEL, _key(DSIR_MODEL, _dsir_store_key(lake))))
+        out.add((QCLS_MODEL, _key(QCLS_MODEL, _qcls_store_key(lake))))
+    return out
+
+
+def gc_unreferenced(lake_dirs: list[str]) -> list[dict]:
+    """Prune artifacts not addressed by the current content of
+    ``lake_dirs`` (plus any torn ``.tmp-*`` leftovers from crashed
+    writers). Returns the pruned artifact records. The caller names
+    EVERY lake it wants kept — an omitted lake's artifacts are, by
+    definition, unreferenced."""
+    live = live_keys(lake_dirs)
+    pruned: list[dict] = []
+    for art in list_artifacts():
+        if (art["kind"], art["key"]) in live:
+            continue
+        path = art["path"]
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except OSError:  # pragma: no cover - concurrent external rm
+                pass
+        pruned.append(art)
+    root = store_root()
+    if root and os.path.isdir(root):
+        for kind in os.listdir(root):
+            kdir = os.path.join(root, kind)
+            if not os.path.isdir(kdir):
+                continue
+            for name in os.listdir(kdir):
+                if ".tmp-" in name:
+                    path = os.path.join(kdir, name)
+                    if os.path.isdir(path):
+                        shutil.rmtree(path, ignore_errors=True)
+                    else:
+                        try:
+                            os.remove(path)
+                        except OSError:  # pragma: no cover
+                            pass
+    return pruned

@@ -1267,7 +1267,7 @@ FROM (
     LEFT JOIN (
       SELECT bucket,
              CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
-             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+             CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
       FROM (
         SELECT CASE WHEN b.mx > b.mn THEN LEAST({PSI_BUCKETS - 1},
                  CAST(FLOOR((v.v - b.mn) / ((b.mx - b.mn) / {float(PSI_BUCKETS)}))
@@ -2458,7 +2458,7 @@ WITH base AS (
 counts AS (
   SELECT category,
          CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
-         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+         CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
   FROM base GROUP BY category
 )
 SELECT 'event_type' AS column_name, category, ref_n, cur_n,

@@ -21,6 +21,8 @@ Re-expresses dbsurveyor's `SamplingStrategy` / `OrderingStrategy`
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -236,28 +238,33 @@ DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
 DSIR_SELECT_K = 50
 
 
-def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR data selection: the DSIR_SELECT_K raw-pool documents whose
-    hashed unigram+bigram feature distribution is most target-like, scored
-    by the Laplace-smoothed bag-of-words log importance ratio
-    Σ_features ln(p̂_target(b)/q̂_raw(b)). The score is length-normalized
-    (avg per feature) before ranking — the paper's chunking serves the
-    same purpose — with the raw sum also emitted.
+# The hashed-n-gram log-ratio table is the DSIR MODEL — ≤DSIR_BUCKETS
+# (bucket, log_ratio) rows, trained once per (lake, documents content
+# fingerprint) and persisted through plans/index_store like the IVF
+# quantizer: a warmed session scores with ZERO training jobs (the paper's
+# own split — fit the importance weights once, reuse across selection
+# runs). JSON round-trips doubles exactly, and the warmed rows re-enter
+# the plan as a VALUES LocalRelation whose repr-literals parse back to
+# the identical IEEE-754 doubles in the JVM.
+_DSIR_CACHE: dict[tuple, list] = {}
+_DSIR_LOCK = threading.Lock()
 
-    Plan: ONE token pass (posexplode → lead window on doc_id builds
-    bigrams in codegen; the feature array fed to explode is plain
-    expressions, never HOF-built); both domain models aggregate from the
-    SAME feature frame into one ≤DSIR_BUCKETS-row conditional-count
-    aggregate (map-side combinable), come back as a broadcast log-ratio
-    table; per-doc scores are one groupBy(doc_id) with decimal-exact
-    log-ratio sums; selection is TakeOrderedAndProject — no global sort.
-    At 100 TB: the only data-sized shuffles are the bigram window and the
-    per-doc aggregate, both on doc_id; the model is metadata.
-    """
+
+def _dsir_store_key(sf_dir: str) -> tuple:
+    from ..multimodal.audio import _docs_fingerprint
+
+    lake = sf_dir.rstrip("/")
+    return (lake, _docs_fingerprint(lake), DSIR_BUCKETS)
+
+
+def _dsir_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slim (doc_id, source, bucket) hashed unigram+bigram feature
+    frame — ONE token pass (posexplode → lead window builds bigrams in
+    codegen), tracked-cached because the trainer and the scorer both
+    read it in a cold query."""
     from ..functions.text import tokens
-    from ..plans.cache import release_caches
+    from ..plans.cache import tracked_cache
 
-    release_caches()
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -282,43 +289,118 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % DSIR_BUCKETS,
     )
-    # CACHED: both the domain-model aggregate and the scoring join read
-    # this frame — uncached, the token+window+hash pipeline would run once
-    # per consumer (and the model side sits under a broadcast exchange,
-    # so the recompute lands on the driver's broadcast build path).
-    # The frame is slim by construction: (doc_id, source, int bucket).
-    from ..plans.cache import tracked_cache
-
-    feats = tracked_cache(
+    return tracked_cache(
         grams.select(
             "doc_id",
             "source",
             F.explode(F.array(ub.alias("u"), bb.alias("b"))).alias("bucket"),
-        )
-        .filter(F.col("bucket").isNotNull())
+        ).filter(F.col("bucket").isNotNull())
     )
+
+
+def _train_dsir_ratio(feats: DataFrame) -> list:
     is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
     bcounts = feats.groupBy("bucket").agg(
         F.sum(F.when(is_target, 1).otherwise(0)).cast("bigint").alias("ct"),
-        F.sum(F.when(~is_target, 1).otherwise(0)).cast("bigint").alias("cq"),
+        F.sum(F.when(~is_target, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cq"),
     )
     totals = bcounts.agg(
         F.sum("ct").cast("bigint").alias("nt"),
         F.sum("cq").cast("bigint").alias("nq"),
     )
-    ratio = bcounts.join(F.broadcast(totals)).select(
-        "bucket",
-        (
-            F.log(
-                (F.col("ct") + 1).cast("double")
-                / (F.col("nt") + DSIR_BUCKETS).cast("double")
-            )
-            - F.log(
-                (F.col("cq") + 1).cast("double")
-                / (F.col("nq") + DSIR_BUCKETS).cast("double")
-            )
-        ).alias("log_ratio"),
+    return sorted(
+        (int(r["bucket"]), float(r["log_ratio"]))
+        for r in bcounts.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("nt") + DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("cq") + 1).cast("double")
+                    / (F.col("nq") + DSIR_BUCKETS).cast("double")
+                )
+            ).alias("log_ratio"),
+        )
+        .collect()
     )
+
+
+def dsir_log_ratio_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    feats: DataFrame | None = None,
+) -> list:
+    """[(bucket, log_ratio)] — the trained DSIR importance model, memoized
+    and persisted. ``feats`` lets a cold in-query trainer reuse the
+    caller's cached feature frame instead of re-tokenizing."""
+    key = _dsir_store_key(sf_dir)
+    with _DSIR_LOCK:
+        hit = _DSIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from ..plans import index_store
+
+    loaded = index_store.try_read_model(index_store.DSIR_MODEL, key)
+    if loaded is not None:
+        rows = [(int(b), float(r)) for b, r in loaded]
+    else:
+        if feats is None:
+            feats = _dsir_features(spark, sf_dir)
+        rows = _train_dsir_ratio(feats)
+        index_store.write_model(rows, index_store.DSIR_MODEL, key)
+    with _DSIR_LOCK:
+        _DSIR_CACHE[key] = rows
+    return rows
+
+
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: the DSIR_SELECT_K raw-pool documents whose
+    hashed unigram+bigram feature distribution is most target-like, scored
+    by the Laplace-smoothed bag-of-words log importance ratio
+    Σ_features ln(p̂_target(b)/q̂_raw(b)). The score is length-normalized
+    (avg per feature) before ranking — the paper's chunking serves the
+    same purpose — with the raw sum also emitted.
+
+    Plan: ONE token pass (posexplode → lead window on doc_id builds
+    bigrams in codegen; the feature array fed to explode is plain
+    expressions, never HOF-built); both domain models aggregate from the
+    SAME feature frame into one ≤DSIR_BUCKETS-row conditional-count
+    aggregate (map-side combinable). The trained log-ratio table is
+    persisted INDEX STATE (`dsir_log_ratio_rows` — memoized per lake
+    fingerprint + plans/index_store): a warmed session scores with zero
+    training jobs, the model re-entering the plan as a broadcast VALUES
+    LocalRelation. Per-doc scores are one groupBy(doc_id) with
+    decimal-exact log-ratio sums; selection is TakeOrderedAndProject —
+    no global sort. At 100 TB: the only data-sized shuffles are the
+    bigram window and the per-doc aggregate, both on doc_id; the model
+    is metadata.
+    """
+    from ..plans.cache import release_caches
+
+    release_caches()
+    feats = _dsir_features(spark, sf_dir)
+    # trained model (warm: zero jobs; cold: trains off the cached feats)
+    rows = dsir_log_ratio_rows(spark, sf_dir, feats)
+    if rows:
+        vals = ", ".join(
+            f"(CAST({b} AS BIGINT), CAST('{r!r}' AS DOUBLE))"
+            for b, r in rows
+        )
+        ratio = spark.sql(
+            "SELECT bucket, log_ratio "
+            f"FROM (VALUES {vals}) AS t(bucket, log_ratio)"
+        )
+    else:  # empty corpus — no trained buckets
+        ratio = spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS bucket, "
+            "CAST(NULL AS DOUBLE) AS log_ratio"
+        ).filter(F.lit(False))
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
     scored = (
         feats.filter(~is_target)
         .join(F.broadcast(ratio), "bucket")

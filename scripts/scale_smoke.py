@@ -40,7 +40,9 @@ from dbsurveyor_spark.session import get_session  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = os.path.join(REPO, ".tmp", "sf1")
+DST3 = os.path.join(REPO, ".tmp", "sf3")
 REPLICAS = 10
+REPLICAS3 = 30
 KEY_OFF = 100_000_000
 
 DEFAULT_OPS = [
@@ -80,8 +82,20 @@ DEFAULT_OPS = [
 # build-scaling ratio, not memo-hit vs fresh-build (VERDICT r6 item 8).
 MEMO_FRESH_OPS = {"knn_graph"}
 
+# Third scale point (30×) for the highest-ratio ops: a 10× point alone
+# can't distinguish a curve that is bending (Σ|cell|²-style terms growing
+# toward quadratic) from one flattening toward linear — the second decade
+# shows the trend. Opt-in via --sf3 (the sf3 lake is ~510 MB).
+SF3_OPS = [
+    "graph_triangle_count",
+    "dedup_substring",
+    "basket_copurchase_lift",
+    "dedup_semantic_corpus",
+    "dedup_containment",
+]
 
-def _replicate(spark) -> None:
+
+def _replicate(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     embs = spark.read.parquet(f"{SRC}/embeddings.parquet")
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
@@ -129,12 +143,12 @@ def _replicate(spark) -> None:
         ("part", part_rep),
     ):
         frames = rep(0)
-        for k in range(1, REPLICAS):
+        for k in range(1, replicas):
             frames = frames.unionByName(rep(k))
         (
             frames.repartition(32)
             .write.mode("overwrite")
-            .parquet(f"{DST}/{name}.parquet")
+            .parquet(f"{dst}/{name}.parquet")
         )
 
 
@@ -149,10 +163,19 @@ def _time_op(spark, fn, sf_dir: str) -> float:
 
 
 def main() -> None:
-    ops = sys.argv[1].split(",") if len(sys.argv) > 1 else DEFAULT_OPS
+    args = [a for a in sys.argv[1:] if a != "--sf3"]
+    with_sf3 = "--sf3" in sys.argv[1:]
+    ops = args[0].split(",") if args else DEFAULT_OPS
+    # cold-build timings must be genuine rebuilds: if the persisted index
+    # store is configured, clearing the in-memory memos alone would let
+    # the timed "cold" run silently warm from the on-disk artifact and
+    # the build-scaling ratio would measure a store read, not the build.
+    os.environ.pop("DBSURVEYOR_INDEX_DIR", None)
     spark = get_session("dbsurveyor-spark-scale-smoke")
     if not os.path.isdir(f"{DST}/documents.parquet"):
         _replicate(spark)
+    if with_sf3 and not os.path.isdir(f"{DST3}/documents.parquet"):
+        _replicate(spark, DST3, REPLICAS3)
     from dbsurveyor_spark.plans.cache import clear_index_memos
 
     qs = registry.queries()
@@ -179,7 +202,17 @@ def main() -> None:
             "sf1_sec": s1,
             "ratio": round(s1 / s01, 1) if s01 > 0 else None,
         }
-        print(f"# {key}: {s01}s -> {s1}s ({out[key]['ratio']}x)", flush=True)
+        if with_sf3 and key in SF3_OPS:
+            s3 = timed(DST3)
+            out[key]["sf3_sec"] = s3
+            # second decade: 3× more data than sf1 — linear would be 3.0
+            out[key]["ratio3_vs_sf1"] = (
+                round(s3 / s1, 1) if s1 > 0 else None
+            )
+        print(f"# {key}: {s01}s -> {s1}s ({out[key]['ratio']}x)"
+              + (f" -> sf3 {out[key].get('sf3_sec')}s"
+                 f" ({out[key].get('ratio3_vs_sf1')}x/3x)"
+                 if with_sf3 and key in SF3_OPS else ""), flush=True)
     print(json.dumps(out))
     spark.stop()
 

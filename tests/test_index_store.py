@@ -145,3 +145,73 @@ def test_cli_index_requires_store(monkeypatch):
 
     monkeypatch.delenv("DBSURVEYOR_INDEX_DIR", raising=False)
     assert cli.main(["index", "list"]) == 1
+
+
+def test_bm25_stats_roundtrip_zero_training(spark, store, monkeypatch):
+    """Round 8: BM25 corpus statistics (n_docs, Σdl, df) persist — a
+    fresh session ranks identically with the trainer poisoned."""
+    from dbsurveyor_spark.operators import textstats
+    from dbsurveyor_spark.plans.cache import clear_index_memos
+
+    first = sorted(
+        map(tuple, textstats.text_bm25_search(spark, SF).collect())
+    )
+    assert first
+    assert os.path.isdir(os.path.join(store, "bm25_stats"))
+    clear_index_memos()
+    _poison(monkeypatch, textstats, "_train_bm25_stats")
+    second = sorted(
+        map(tuple, textstats.text_bm25_search(spark, SF).collect())
+    )
+    assert second == first
+
+
+def test_dsir_model_roundtrip_zero_training(spark, store, monkeypatch):
+    """Round 8: the DSIR hashed-ngram log-ratio model persists — warm
+    selection is bit-identical with the trainer poisoned."""
+    from dbsurveyor_spark.survey import sampling
+    from dbsurveyor_spark.plans.cache import clear_index_memos
+
+    first = sorted(
+        map(tuple, sampling.sample_importance_dsir(spark, SF).collect())
+    )
+    assert first
+    assert os.path.isdir(os.path.join(store, "dsir_model"))
+    clear_index_memos()
+    _poison(monkeypatch, sampling, "_train_dsir_ratio")
+    second = sorted(
+        map(tuple, sampling.sample_importance_dsir(spark, SF).collect())
+    )
+    assert second == first
+
+
+def test_index_gc_prunes_only_unreferenced(spark, store, capsys):
+    """`index gc` removes artifacts whose fingerprint no longer matches
+    any kept lake's content — and nothing else."""
+    from dbsurveyor_spark import cli
+    from dbsurveyor_spark.operators import similarity
+    from dbsurveyor_spark.plans import index_store
+    from dbsurveyor_spark.plans.cache import clear_index_memos
+
+    similarity.trained_centroid_rows(spark, SF)
+    live_before = index_store.list_artifacts()
+    assert live_before
+    # fabricate a stale artifact: same kind, key no lake content produces
+    stale_dir = os.path.join(store, "ivf_centroids")
+    stale = os.path.join(stale_dir, "deadbeefdeadbeef.json")
+    with open(stale, "w", encoding="utf-8") as fh:
+        fh.write("[]")
+    # plus a torn tmp leftover from a crashed writer
+    torn = os.path.join(stale_dir, "cafecafecafecafe.json.tmp-999")
+    with open(torn, "w", encoding="utf-8") as fh:
+        fh.write("{")
+    assert cli.main(["index", "gc", SF, "--store", store]) == 0
+    report = json.loads(capsys.readouterr().out)
+    pruned_keys = {(a["kind"], a["key"]) for a in report["pruned"]}
+    assert ("ivf_centroids", "deadbeefdeadbeef") in pruned_keys
+    assert not os.path.exists(stale)
+    assert not os.path.exists(torn)
+    # every artifact the current lake addresses survived
+    after = {(a["kind"], a["key"]) for a in index_store.list_artifacts()}
+    assert {(a["kind"], a["key"]) for a in live_before} <= after
+    clear_index_memos()

@@ -2635,3 +2635,13 @@ class TestKcoreSemantics:
             )
         survivors = {r["src"] for r in cur.select("src").collect()}
         assert survivors == {1, 2, 3, 4}
+
+    def test_converged_flag_is_constant_boolean(self, spark):
+        """Round 8: every row carries the same `converged` verdict — the
+        run-level fixpoint fact, not a per-vertex property."""
+        from dbsurveyor_spark.operators import graph
+
+        out = graph.graph_kcore(spark, SF)
+        assert dict(out.dtypes)["converged"] == "boolean"
+        flags = {r["converged"] for r in out.collect()}
+        assert len(flags) == 1
