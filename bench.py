@@ -94,6 +94,12 @@ HEADLINE = [
     # round 8: trained quality classifier (scores + evaluation)
     "text_quality_classifier",
     "text_quality_classifier_report",
+    # round 8 continuation: live sqlite executor-parallel read, wedge-join
+    # link prediction, lexical-diversity gate
+    "source_sqlite_roundtrip",
+    "graph_link_prediction",
+    "text_lexical_diversity",
+    "text_lm_perplexity_bigram",
 ]
 
 STEADY_PASSES = 3  # steady = per-query MIN over this many post-warm passes

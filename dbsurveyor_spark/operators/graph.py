@@ -27,6 +27,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..plans.cache import release_caches, tracked_cache as _tracked_cache
@@ -770,12 +771,190 @@ FROM {prev} CROSS JOIN flag GROUP BY src, converged
 """
 
 
+# ------------------------------------------------------- link prediction
+
+LINKPRED_TOP_N = 50
+# Deterministic per-center neighbor cap for wedge generation: hubs are the
+# quadratic term (Σ deg(c)² wedge rows), so each center contributes only its
+# CAP strongest neighbors (by co-order support, then part id). The cap is
+# the standard candidate-generation truncation (the PPJoin-prefix move
+# applied to graphs); scores for surviving pairs use FULL degrees.
+LINKPRED_NBR_CAP = 30
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N predicted links on the co-purchase graph: common-neighbors /
+    Jaccard / Adamic-Adar over distance-2 pairs not already connected —
+    the classic unsupervised link-prediction scores (Liben-Nowell &
+    Kleinberg 2003), the "customers who bought X also bought Y" candidate
+    generator as a first-class operator.
+
+    Plan shape (scale story): the memoized co-purchase frames
+    (`copurchase_graph` — shared with pagerank/triangles/components) →
+    per-center capped adjacency (ONE window over the |2E| adjacency,
+    bounded CAP rows out per center) → wedge self-join on the center
+    (Σ min(deg,CAP)² rows, int64 triples only) → ONE groupBy(x, y) →
+    anti-join vs existing edges → two degree attaches (SHUFFLE_HASH, same
+    as the triangle close) → TakeOrderedAndProject top-N. Nothing
+    all-pairs; the hub quadratic is capped by construction.
+
+    Cross-engine exactness: common-neighbor counts are integers; Jaccard
+    is an int/int double division (bit-identical); Adamic-Adar sums
+    round(1/ln(deg_c), 12) terms in decimal(38,12) — order-free, the
+    zipf-fit idiom. Centers in wedges always have deg ≥ 2, so ln > 0.
+
+    Reference frame: graph scoring is beyond the reference's surface
+    (association rules end at `basket_copurchase_lift`); this is the
+    100 TB candidate generator those lift scores rank.
+    """
+    release_caches()
+
+    half, deg = copurchase_graph(spark, sf_dir)
+    adj = half.select(
+        F.col("a").alias("c"), F.col("b").alias("n"), "support"
+    ).unionByName(
+        half.select(F.col("b").alias("c"), F.col("a").alias("n"), "support")
+    )
+    w = Window.partitionBy("c").orderBy(F.desc("support"), F.asc("n"))
+    capped = (
+        adj.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LINKPRED_NBR_CAP)
+        .select("c", "n")
+    )
+    # center degree for the Adamic-Adar term (full degree, not capped)
+    cd = capped.join(
+        deg.withColumnRenamed("v", "c").hint("shuffle_hash"), "c"
+    )
+    left = cd.select("c", F.col("n").alias("x"), F.col("deg").alias("dc"))
+    right = cd.select("c", F.col("n").alias("y"))
+    wedges = left.join(right, "c").filter(F.col("x") < F.col("y"))
+    aa_term = F.round(F.lit(1.0) / F.log(F.col("dc").cast("double")), 12)
+    cand = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum(aa_term.cast("decimal(38,12)"))
+        .cast("double")
+        .alias("adamic_adar"),
+    )
+    new_pairs = cand.join(
+        half.select("a", "b"),
+        (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+        "left_anti",
+    )
+    scored = (
+        new_pairs.join(
+            deg.select(
+                F.col("v").alias("x"), F.col("deg").alias("deg_x")
+            ).hint("shuffle_hash"),
+            "x",
+        )
+        .join(
+            deg.select(
+                F.col("v").alias("y"), F.col("deg").alias("deg_y")
+            ).hint("shuffle_hash"),
+            "y",
+        )
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("deg_x") + F.col("deg_y") - F.col("common_neighbors")
+                ).cast("double"),
+                9,
+            ).alias("jaccard"),
+            F.round(F.col("adamic_adar"), 9).alias("adamic_adar"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("common_neighbors"),
+        F.desc("adamic_adar"),
+        F.asc("part_a"),
+        F.asc("part_b"),
+    ).limit(LINKPRED_TOP_N)
+    rank_w = Window.orderBy(
+        F.desc("common_neighbors"),
+        F.desc("adamic_adar"),
+        F.asc("part_a"),
+        F.asc("part_b"),
+    )
+    # global window is safe: it runs on the ≤N-row top frame only
+    return top.withColumn(
+        "rank", F.row_number().over(rank_w).cast("bigint")
+    )
+
+
+def _linkpred_sql() -> str:
+    return f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM half UNION ALL SELECT b AS v FROM half)
+  GROUP BY v
+),
+adj AS (
+  SELECT a AS c, b AS n, support FROM half
+  UNION ALL
+  SELECT b AS c, a AS n, support FROM half
+),
+capped AS (
+  SELECT c, n FROM (
+    SELECT c, n,
+           ROW_NUMBER() OVER (PARTITION BY c
+                              ORDER BY support DESC, n ASC) AS rn
+    FROM adj
+  ) WHERE rn <= {LINKPRED_NBR_CAP}
+),
+cd AS (SELECT capped.c, capped.n, deg.deg AS dc
+       FROM capped JOIN deg ON deg.v = capped.c),
+wedges AS (
+  SELECT l.n AS x, r.n AS y, l.dc
+  FROM cd l JOIN cd r ON l.c = r.c AND l.n < r.n
+),
+cand AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(CAST(round(1.0 / ln(CAST(dc AS DOUBLE)), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS adamic_adar
+  FROM wedges GROUP BY x, y
+),
+newp AS (
+  SELECT * FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM half
+                    WHERE half.a = cand.x AND half.b = cand.y)
+),
+scored AS (
+  SELECT newp.x AS part_a, newp.y AS part_b, common_neighbors,
+         round(CAST(common_neighbors AS DOUBLE)
+               / CAST(dx.deg + dy.deg - common_neighbors AS DOUBLE), 9)
+           AS jaccard,
+         round(adamic_adar, 9) AS adamic_adar
+  FROM newp JOIN deg dx ON dx.v = newp.x JOIN deg dy ON dy.v = newp.y
+)
+SELECT *, CAST(ROW_NUMBER() OVER (
+    ORDER BY common_neighbors DESC, adamic_adar DESC,
+             part_a ASC, part_b ASC) AS BIGINT) AS rank
+FROM (SELECT * FROM scored
+      ORDER BY common_neighbors DESC, adamic_adar DESC,
+               part_a ASC, part_b ASC
+      LIMIT {LINKPRED_TOP_N})
+"""
+
+
 QUERIES = {
     "graph_pagerank_parts": graph_pagerank_parts,
     "graph_triangle_count": graph_triangle_count,
     "graph_degree_distribution": graph_degree_distribution,
     "graph_connected_components": graph_connected_components,
     "graph_kcore": graph_kcore,
+    "graph_link_prediction": graph_link_prediction,
 }
 
 ORACLES = {
@@ -784,4 +963,5 @@ ORACLES = {
     "graph_degree_distribution": _degree_dist_sql(),
     "graph_connected_components": _components_sql(),
     "graph_kcore": _kcore_sql(),
+    "graph_link_prediction": _linkpred_sql(),
 }

@@ -16,6 +16,7 @@ import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.text import (
@@ -1685,6 +1686,246 @@ FROM cm
 """
 
 
+# Bigram LM: Laplace(+1) smoothing; train/held-out by doc_id hash (the
+# classifier's split idiom) so held-out perplexity is an honest number.
+BILM_TRAIN_MOD = 10
+BILM_TRAIN_LT = 7  # 70% train / 30% held-out
+
+
+def text_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BIGRAM-LM perplexity with Laplace smoothing — the
+    KenLM-style fluency filter (CCNet, Wenzek'20) one order above
+    `text_lm_score`'s unigram proxy: the model is trained in-query on a
+    70% doc-hash split and every document (train and held-out) is scored,
+    so held-out perplexity is honest and the train/held-out gap is
+    visible per row.
+
+    P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V) over train bigram counts; unseen
+    bigrams and unseen contexts degrade gracefully (C=0 → 1/(C(w1)+V),
+    1/V). Plan: posexplode → lead() window per doc (never explode of a
+    HOF-built array — §6's 50× pitfall), bigram/context counts are
+    vocabulary-bounded aggregates with map-side combine, scoring joins
+    shuffle on the bigram/context keys (linear, Catalyst-planned — at
+    100 TB the model frame stays a distributed join side, never forced
+    to the driver), V attaches as a 1-row broadcast. NLL terms are
+    round(ln,12) summed in decimal(38,12); docs with <2 tokens surface
+    on the anchored spine with NULL metrics.
+    """
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_train = (
+        portable_hash64(
+            F.concat(F.lit("bilm_"), F.col("doc_id").cast("string"))
+        )
+        % BILM_TRAIN_MOD
+        < BILM_TRAIN_LT
+    )
+    tagged = docs.select(
+        "doc_id",
+        "text",
+        F.when(is_train, F.lit("train")).otherwise(F.lit("held_out")).alias(
+            "split"
+        ),
+    )
+    tok = tagged.select(
+        "doc_id",
+        "split",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("t2", F.lead("t").over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            "split",
+            F.col("t").alias("w1"),
+            F.concat_ws(" ", "t", "t2").alias("bg"),
+        )
+    )
+    train_big = big.filter(F.col("split") == "train")
+    c2 = train_big.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    c1 = train_big.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    vsize = (
+        tok.filter(F.col("split") == "train")
+        .agg(F.countDistinct("t").cast("bigint").alias("v"))
+    )
+    term = F.round(
+        -F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast(
+                "double"
+            )
+        ),
+        12,
+    )
+    per_doc = (
+        big.join(c2, "bg", "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(term.cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_nll"),
+        )
+    )
+    return (
+        tagged.select("doc_id", "split")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias(
+                "n_bigrams"
+            ),
+            F.round("mean_nll", 9).alias("mean_nll"),
+            F.round(F.exp(F.round(F.col("mean_nll"), 9)), 6).alias("ppl"),
+        )
+    )
+
+
+def _bilm_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    toks = tokens_sql("text")
+    h = portable_hash64_sql("'bilm_' || CAST(doc_id AS VARCHAR)")
+    split = (
+        f"CASE WHEN {h} % {BILM_TRAIN_MOD} < {BILM_TRAIN_LT} "
+        "THEN 'train' ELSE 'held_out' END"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks, {split} AS split FROM documents
+),
+big AS (
+  SELECT doc_id, split,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM base
+),
+bw AS (SELECT doc_id, split, bg, split_part(bg, ' ', 1) AS w1 FROM big),
+c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bw
+       WHERE split = 'train' GROUP BY bg),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bw
+       WHERE split = 'train' GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+      FROM (SELECT unnest(toks) AS t FROM base WHERE split = 'train')),
+pd AS (
+  SELECT bw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(round(-ln(
+               CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+               / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)), 12)
+             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mean_nll
+  FROM bw LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY bw.doc_id
+)
+SELECT b.doc_id, b.split,
+       COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+       round(pd.mean_nll, 9) AS mean_nll,
+       round(exp(round(pd.mean_nll, 9)), 6) AS ppl
+FROM (SELECT doc_id, split FROM base) b
+LEFT JOIN pd ON pd.doc_id = b.doc_id
+"""
+
+
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile: type-token ratio, root TTR
+    (Guiraud), Herdan's C, hapax share — the vocabulary-richness gates a
+    curation pipeline runs beside `text_repetition` (low diversity ⇒
+    boilerplate/template text; TTR's length sensitivity is why the
+    Guiraud and Herdan variants ship alongside).
+
+    Plan (scale story): explode tokens → ONE groupBy(doc_id, token) →
+    ONE groupBy(doc_id) — both shuffles linear in token count, partitioned
+    by doc, never a per-doc quadratic lambda. The result is anchored on
+    the documents spine (left join), so zero-token docs surface with
+    n_tokens=0 and NULL ratios instead of vanishing — the
+    `dedup_substring` anchoring discipline.
+
+    Cross-engine exactness: counts are integers; every ratio is one
+    int-derived double op rounded to 9 (ln/sqrt are correctly-rounded
+    IEEE in both engines). Herdan's C is NULL for N ≤ 1 (ln N = 0) via
+    the module's NULLIF idiom.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    per_doc = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+    )
+    anchored = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    n = F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint"))
+    v = F.coalesce(F.col("n_types"), F.lit(0).cast("bigint"))
+    h = F.coalesce(F.col("n_hapax"), F.lit(0).cast("bigint"))
+    nd = F.nullif(n, F.lit(0)).cast("double")
+    return anchored.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        v.alias("n_types"),
+        h.alias("n_hapax"),
+        F.round(v.cast("double") / nd, 9).alias("ttr"),
+        F.round(v.cast("double") / F.sqrt(nd), 9).alias("root_ttr"),
+        F.round(
+            F.log(v.cast("double"))
+            / F.nullif(F.log(nd), F.lit(0.0)),
+            9,
+        ).alias("herdan_c"),
+        F.round(h.cast("double") / nd, 9).alias("hapax_share"),
+    )
+
+
+def _lexical_diversity_sql() -> str:
+    toks = tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+),
+tc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM tc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_types, 0) AS n_types,
+       COALESCE(p.n_hapax, 0) AS n_hapax,
+       round(CAST(COALESCE(p.n_types, 0) AS DOUBLE)
+             / NULLIF(COALESCE(p.n_tokens, 0), 0), 9) AS ttr,
+       round(CAST(COALESCE(p.n_types, 0) AS DOUBLE)
+             / sqrt(CAST(NULLIF(COALESCE(p.n_tokens, 0), 0) AS DOUBLE)), 9)
+         AS root_ttr,
+       round(ln(CAST(COALESCE(p.n_types, 0) AS DOUBLE))
+             / NULLIF(ln(CAST(NULLIF(COALESCE(p.n_tokens, 0), 0)
+                              AS DOUBLE)), 0.0), 9) AS herdan_c,
+       round(CAST(COALESCE(p.n_hapax, 0) AS DOUBLE)
+             / NULLIF(COALESCE(p.n_tokens, 0), 0), 9) AS hapax_share
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_cooccurrence_pmi": text_cooccurrence_pmi,
@@ -1705,6 +1946,8 @@ QUERIES = {
     "text_bm25_search": text_bm25_search,
     "text_quality_classifier": text_quality_classifier,
     "text_quality_classifier_report": text_quality_classifier_report,
+    "text_lexical_diversity": text_lexical_diversity,
+    "text_lm_perplexity_bigram": text_lm_perplexity_bigram,
 }
 
 ORACLES = {
@@ -1727,4 +1970,6 @@ ORACLES = {
     "text_bm25_search": _bm25_sql(),
     "text_quality_classifier": _qcls_sql(),
     "text_quality_classifier_report": _qcls_report_sql(),
+    "text_lexical_diversity": _lexical_diversity_sql(),
+    "text_lm_perplexity_bigram": _bilm_sql(),
 }

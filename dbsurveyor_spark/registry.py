@@ -15,6 +15,7 @@ from .multimodal import audio as multimodal_audio
 from .multimodal import codec as multimodal_codec
 from .operators import (
     asof,
+    dbsource,
     dedup,
     funnel,
     graph,
@@ -46,6 +47,7 @@ _MODULES = [
     sketches,
     asof,
     funnel,
+    dbsource,
     streaming_events,
     multimodal_codec,
     multimodal_audio,

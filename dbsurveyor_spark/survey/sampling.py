@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.aggregates import DECIMAL_T, dsum, dsum_sql
 from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..plans.roundcheck import checkpoint_round
 
@@ -983,6 +984,205 @@ LIMIT {WRES_N}
 """
 
 
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level train/val/test holdout: every order of one customer
+    lands in ONE split (scikit-learn GroupShuffleSplit semantics; the
+    leakage-safe sibling of `sample_hash_split`'s row-level split).
+
+    Splitting by hashing the GROUP key is the 100 TB shape: the split is a
+    scan-local map expression on o_custkey — no group table, no join, no
+    shuffle beyond the summary aggregate — and any engine recomputes the
+    same assignment from the key alone. The output is the per-split audit
+    frame (group/row counts + exact-decimal revenue share), and
+    `leaked_groups` — customers seen in >1 split, forced to 0 by
+    construction — makes the no-leakage property part of the checked value
+    rather than prose.
+
+    Reference frame: split/holdout tooling is absent from the reference
+    (`models.rs:349 SamplingStrategy` stops at row sampling); group
+    holdout is table stakes for training-data pipelines.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    bucket = portable_hash64(F.col("o_custkey").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = orders.select(
+        "o_custkey", "o_totalprice", split.alias("split")
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_groups"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+    # leakage proof: max splits-per-customer must be 1 → leaked count 0.
+    leaked = (
+        tagged.groupBy("o_custkey")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_groups")
+        )
+    )
+    total = per_split.agg(
+        F.sum(F.col("revenue").cast(DECIMAL_T))
+        .cast("double")
+        .alias("t_rev")
+    )
+    return (
+        per_split.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "split",
+            "n_groups",
+            "n_rows",
+            "revenue",
+            # both operands are exact-decimal sums cast to double, so the
+            # double division is bit-identical in any IEEE-754 engine
+            F.round(F.col("revenue") / F.col("t_rev"), 9).alias(
+                "revenue_share"
+            ),
+            "leaked_groups",
+        )
+        .orderBy("split")
+    )
+
+
+_GROUP_BUCKET = f"{portable_hash64_sql('CAST(o_custkey AS VARCHAR)')} % 100"
+
+GROUP_HOLDOUT_SQL = f"""
+WITH tagged AS (
+  SELECT o_custkey, o_totalprice,
+         CASE WHEN {_GROUP_BUCKET} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {_GROUP_BUCKET} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM orders
+),
+per_split AS (
+  SELECT split,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {dsum_sql("o_totalprice", "revenue")}
+  FROM tagged GROUP BY split
+),
+leak AS (
+  SELECT CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaked_groups
+  FROM (SELECT o_custkey, COUNT(DISTINCT split) AS n_splits
+        FROM tagged GROUP BY o_custkey)
+)
+SELECT split, n_groups, n_rows, revenue,
+       round(revenue / (SELECT CAST(SUM(CAST(revenue AS DECIMAL(30,6)))
+                                    AS DOUBLE) FROM per_split), 9)
+         AS revenue_share,
+       (SELECT leaked_groups FROM leak) AS leaked_groups
+FROM per_split
+ORDER BY split
+"""
+
+
+# Temporal holdout boundaries (module constants — calendar facts, not data
+# statistics, so the split is deterministic and scale-free; lake span is
+# 1995-01-01..2001-08-01).
+TEMPORAL_VAL_START = "2000-01-01"
+TEMPORAL_TEST_START = "2001-01-01"
+
+
+def sample_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based train/val/test holdout (train on the past, evaluate on
+    the future — the split every forecasting/recommendation pipeline needs
+    instead of a random one) with the entity-overlap audit built in.
+
+    Unlike `sample_group_holdout`, temporal splits legitimately share
+    entities across splits — the informative statistic is HOW MANY:
+    `n_seen_in_train` counts each split's customers already present in
+    train (cold-start share = 1 − seen/customers). Split assignment is a
+    scan-local date comparison (no shuffle); the audit costs ONE
+    per-customer aggregate + ONE join, both int64-slim.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    split = (
+        F.when(F.col("o_orderdate") < TEMPORAL_VAL_START, F.lit("train"))
+        .when(F.col("o_orderdate") < TEMPORAL_TEST_START, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = orders.select(
+        "o_custkey", "o_totalprice", "o_orderdate", split.alias("split")
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        dsum(F.col("o_totalprice"), "revenue"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+            "first_date"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+            "last_date"
+        ),
+    )
+    cust = tagged.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "in_train"
+        )
+    )
+    seen = (
+        tagged.join(cust, "o_custkey")
+        .groupBy("split")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("in_train") == 1, F.col("o_custkey"))
+            )
+            .cast("bigint")
+            .alias("n_seen_in_train")
+        )
+    )
+    return per_split.join(seen, "split").orderBy("split")
+
+
+TEMPORAL_HOLDOUT_SQL = f"""
+WITH tagged AS (
+  SELECT o_custkey, o_totalprice, o_orderdate,
+         CASE WHEN o_orderdate < TIMESTAMP '{TEMPORAL_VAL_START} 00:00:00'
+                THEN 'train'
+              WHEN o_orderdate < TIMESTAMP '{TEMPORAL_TEST_START} 00:00:00'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM orders
+),
+per_split AS (
+  SELECT split,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         {dsum_sql("o_totalprice", "revenue")},
+         strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+         strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
+  FROM tagged GROUP BY split
+),
+cust AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train
+  FROM tagged GROUP BY o_custkey
+),
+seen AS (
+  SELECT split,
+         CAST(COUNT(DISTINCT CASE WHEN in_train = 1 THEN t.o_custkey END)
+              AS BIGINT) AS n_seen_in_train
+  FROM tagged t JOIN cust c ON c.o_custkey = t.o_custkey
+  GROUP BY split
+)
+SELECT p.*, s.n_seen_in_train
+FROM per_split p JOIN seen s ON s.split = p.split
+ORDER BY p.split
+"""
+
+
 QUERIES = {
     "sample_weighted_reservoir": sample_weighted_reservoir,
     "sample_balanced_classes": sample_balanced_classes,
@@ -998,6 +1198,8 @@ QUERIES = {
     "sample_hash_split": sample_hash_split,
     "sample_weighted_mix": sample_weighted_mix,
     "sample_kcenter_greedy": sample_kcenter_greedy,
+    "sample_group_holdout": sample_group_holdout,
+    "sample_temporal_holdout": sample_temporal_holdout,
 }
 
 ORACLES = {
@@ -1015,4 +1217,6 @@ ORACLES = {
     "sample_hash_split": SPLIT_SQL,
     "sample_weighted_mix": MIX_SQL,
     "sample_kcenter_greedy": _kcenter_sql(),
+    "sample_group_holdout": GROUP_HOLDOUT_SQL,
+    "sample_temporal_holdout": TEMPORAL_HOLDOUT_SQL,
 }

@@ -75,6 +75,10 @@ DEFAULT_OPS = [
     # round 7: the substring-excision survivor corpus + k-core peel
     "dedup_substring_corpus",
     "graph_kcore",
+    # round 8 continuation: wedge-join link prediction (the new hub-capped
+    # quadratic) + lexical diversity (two linear token shuffles)
+    "graph_link_prediction",
+    "text_lexical_diversity",
 ]
 
 # Ops whose OUTPUT is the index build itself: timed COLD at both SFs
