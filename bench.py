@@ -100,6 +100,8 @@ HEADLINE = [
     "graph_link_prediction",
     "text_lexical_diversity",
     "text_lm_perplexity_bigram",
+    "graph_modularity",
+    "orders_forecast_ses",
 ]
 
 STEADY_PASSES = 3  # steady = per-query MIN over this many post-warm passes

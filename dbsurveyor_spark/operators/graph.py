@@ -771,6 +771,155 @@ FROM {prev} CROSS JOIN flag GROUP BY src, converged
 """
 
 
+# ------------------------------------------------------------ modularity
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition on the co-purchase graph —
+    "does product brand explain co-purchase structure?": per brand c,
+    q_c = e_c/m − (d_c/2m)², with the overall Q = Σ q_c attached to every
+    row. Unlike the connected-component labels (whose partition has no
+    cross edges by construction), the brand partition is metadata, so
+    cross-brand edges exist and Q is an honest association score; the
+    per-brand internal-edge share pinpoints WHICH brands form buying
+    communities.
+
+    Plan: the memoized co-purchase `half` frame + two joins onto the part
+    dimension for endpoint brands (int64/short-string columns only) → ONE
+    |brands|-bounded aggregate; m and Q attach as 1-row broadcasts. Every
+    shuffle is |E|-slim; nothing iterative, nothing quadratic.
+
+    Reference frame: community-quality scoring is beyond the reference's
+    surface; public algorithm (Newman & Girvan 2004).
+    """
+    release_caches()
+
+    half, _ = copurchase_graph(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), F.col("p_brand").alias("brand")
+    )
+    edges = (
+        half.select("a", "b")
+        .join(
+            part.select(
+                F.col("k").alias("a"), F.col("brand").alias("brand_a")
+            ),
+            "a",
+        )
+        .join(
+            part.select(
+                F.col("k").alias("b"), F.col("brand").alias("brand_b")
+            ),
+            "b",
+        )
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # per-brand: internal edges (both endpoints in c) and degree sum
+    # (endpoint incidences in c) from ONE unpivot of the typed edge frame
+    ends = edges.select(
+        F.col("brand_a").alias("brand"),
+        (F.col("brand_a") == F.col("brand_b")).cast("int").alias("internal"),
+    ).unionByName(
+        edges.select(
+            F.col("brand_b").alias("brand"),
+            (F.col("brand_a") == F.col("brand_b"))
+            .cast("int")
+            .alias("internal"),
+        )
+    )
+    per_brand = ends.groupBy("brand").agg(
+        (F.sum("internal") / 2).cast("bigint").alias("internal_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("degree_sum"),
+    )
+    half_deg = F.col("degree_sum").cast("double") / (
+        2.0 * F.col("m").cast("double")
+    )
+    q_term = F.round(
+        F.col("internal_edges").cast("double") / F.col("m")
+        - half_deg * half_deg,
+        9,
+    )
+    scored = per_brand.crossJoin(F.broadcast(m)).select(
+        "brand",
+        "internal_edges",
+        "degree_sum",
+        F.round(
+            F.col("internal_edges").cast("double")
+            / (F.col("degree_sum").cast("double") / 2.0),
+            9,
+        ).alias("internal_share"),
+        q_term.alias("q_term"),
+    )
+    total = scored.agg(
+        F.sum(F.col("q_term").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("q_total_raw")
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "brand",
+            "internal_edges",
+            "degree_sum",
+            "internal_share",
+            "q_term",
+            F.round(F.col("q_total_raw"), 9).alias("modularity"),
+        )
+        .orderBy("brand")
+    )
+
+
+def _modularity_sql() -> str:
+    return """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+edges AS (
+  SELECT pa.p_brand AS brand_a, pb.p_brand AS brand_b
+  FROM half
+  JOIN part pa ON pa.p_partkey = half.a
+  JOIN part pb ON pb.p_partkey = half.b
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+ends AS (
+  SELECT brand_a AS brand,
+         CASE WHEN brand_a = brand_b THEN 1 ELSE 0 END AS internal
+  FROM edges
+  UNION ALL
+  SELECT brand_b AS brand,
+         CASE WHEN brand_a = brand_b THEN 1 ELSE 0 END AS internal
+  FROM edges
+),
+per_brand AS (
+  SELECT brand,
+         CAST(SUM(internal) / 2 AS BIGINT) AS internal_edges,
+         CAST(COUNT(*) AS BIGINT) AS degree_sum
+  FROM ends GROUP BY brand
+),
+scored AS (
+  SELECT brand, internal_edges, degree_sum,
+         round(CAST(internal_edges AS DOUBLE)
+               / (CAST(degree_sum AS DOUBLE) / 2.0), 9) AS internal_share,
+         round(CAST(internal_edges AS DOUBLE) / m.m
+               - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                 * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))),
+               9) AS q_term
+  FROM per_brand CROSS JOIN m
+),
+tot AS (
+  SELECT CAST(SUM(CAST(q_term AS DECIMAL(38,12))) AS DOUBLE) AS q_total_raw
+  FROM scored
+)
+SELECT brand, internal_edges, degree_sum, internal_share, q_term,
+       round(tot.q_total_raw, 9) AS modularity
+FROM scored CROSS JOIN tot
+ORDER BY brand
+"""
+
+
 # ------------------------------------------------------- link prediction
 
 LINKPRED_TOP_N = 50
@@ -955,6 +1104,7 @@ QUERIES = {
     "graph_connected_components": graph_connected_components,
     "graph_kcore": graph_kcore,
     "graph_link_prediction": graph_link_prediction,
+    "graph_modularity": graph_modularity,
 }
 
 ORACLES = {
@@ -964,4 +1114,5 @@ ORACLES = {
     "graph_connected_components": _components_sql(),
     "graph_kcore": _kcore_sql(),
     "graph_link_prediction": _linkpred_sql(),
+    "graph_modularity": _modularity_sql(),
 }

@@ -1620,7 +1620,146 @@ FROM aged
 GROUP BY status, {case}
 """
 
+# SES forecast: α = 1/2 on purpose — (1−α)^k is then an EXACT power of two
+# in IEEE-754, so every weight (and every weighted term) is bit-identical
+# across engines; the window truncates at SES_LAG months both because the
+# tail weights are < 2^-32 and because 2^k must stay in int64.
+SES_LAG = 32
+
+
+def orders_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead monthly revenue forecast by simple exponential
+    smoothing (Brown SES, α = 1/2) with the full backtest in the output:
+    per month — actual revenue, the SES forecast made from prior months
+    only, absolute percent error — plus the series-level MAPE on every
+    row. The honest-baseline operator demand planning starts from (beat
+    SES before shipping anything fancier).
+
+    ŝ_t = Σ_{i=2}^{t-1} (1/2)^{t-i} x_i + (1/2)^{t-2} x_1 (seeded at x_1,
+    lag-truncated at SES_LAG). The closed form turns the recurrence into
+    a pair join ON THE MONTHLY FRAME — |months|² pairs bounded by the
+    CALENDAR, not the data, so the whole forecast costs one exact-decimal
+    groupBy(month) reduction of the fact table plus bounded-frame math.
+    Weights are 1/2^k with 2^k an int64 shift (never pow()), so terms are
+    exact in both engines before the decimal sum.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    ).agg(F.sum(F.col("o_totalprice").cast(DECIMAL_T)).alias("rev_dec"))
+    w = Window.orderBy("ym")
+    m = monthly.select(
+        "ym",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        # fixed-point micro-units: the decimal sum has exactly 6 dp, so
+        # ×1e6 → int64 is lossless and ALL forecast arithmetic below is
+        # integer (half-up rounding = add 2^(k−1), shift right) — no
+        # float rounding anywhere, so the engines agree bit for bit
+        (F.col("rev_dec") * 1_000_000).cast("bigint").alias("xi_int"),
+    ).withColumn("t", F.row_number().over(w).cast("bigint"))
+    a = m.select(F.col("t").alias("ti"), "xi_int")
+    # weight exponent: k = t − i for i ≥ 2, k = t − 2 for the seed i = 1
+    k = F.when(F.col("ti") == 1, F.col("t") - 2).otherwise(
+        F.col("t") - F.col("ti")
+    )
+    pairs = (
+        m.select("t")
+        .join(a, (F.col("ti") < F.col("t")) & (k <= SES_LAG))
+        .withColumn("k", k.cast("int"))
+    )
+    term = F.expr(
+        "CASE WHEN k = 0 THEN xi_int "
+        "ELSE (xi_int + shiftleft(cast(1 as bigint), k - 1)) "
+        "DIV shiftleft(cast(1 as bigint), k) END"
+    )
+    fc = pairs.groupBy("t").agg(
+        F.sum(term).cast("bigint").alias("fc_int")
+    )
+    scored = m.join(fc, "t", "left").select(
+        "ym",
+        "t",
+        "revenue",
+        (F.col("fc_int").cast("double") / 1_000_000.0).alias(
+            "forecast_ses"
+        ),
+        F.round(
+            F.abs(F.col("xi_int") - F.col("fc_int")).cast("double")
+            / F.col("xi_int").cast("double"),
+            9,
+        ).alias("abs_pct_err"),
+    )
+    mape = scored.filter(F.col("t") >= 2).agg(
+        (
+            F.sum(F.col("abs_pct_err").cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mape_raw")
+    )
+    return (
+        scored.crossJoin(F.broadcast(mape))
+        .select(
+            "ym",
+            "revenue",
+            "forecast_ses",
+            "abs_pct_err",
+            F.round("mape_raw", 9).alias("mape"),
+        )
+        .orderBy("ym")
+    )
+
+
+FORECAST_SES_SQL = f"""
+WITH monthly AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev_dec
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT ym, CAST(rev_dec AS DOUBLE) AS revenue,
+         CAST(rev_dec * 1000000 AS BIGINT) AS xi_int,
+         CAST(ROW_NUMBER() OVER (ORDER BY ym) AS BIGINT) AS t
+  FROM monthly
+),
+fc AS (
+  SELECT m.t,
+         CAST(SUM(CASE WHEN (CASE WHEN a.t = 1 THEN m.t - 2
+                             ELSE m.t - a.t END) = 0 THEN a.xi_int
+              ELSE (a.xi_int + (1::BIGINT <<
+                      CAST((CASE WHEN a.t = 1 THEN m.t - 2
+                            ELSE m.t - a.t END) - 1 AS INTEGER)))
+                   // (1::BIGINT <<
+                      CAST(CASE WHEN a.t = 1 THEN m.t - 2
+                           ELSE m.t - a.t END AS INTEGER)) END)
+           AS BIGINT) AS fc_int
+  FROM m JOIN m a
+    ON a.t < m.t
+   AND (CASE WHEN a.t = 1 THEN m.t - 2 ELSE m.t - a.t END) <= {SES_LAG}
+  GROUP BY m.t
+),
+scored AS (
+  SELECT m.ym, m.t, m.revenue,
+         CAST(fc.fc_int AS DOUBLE) / 1000000.0 AS forecast_ses,
+         round(CAST(abs(m.xi_int - fc.fc_int) AS DOUBLE)
+               / CAST(m.xi_int AS DOUBLE), 9) AS abs_pct_err
+  FROM m LEFT JOIN fc ON fc.t = m.t
+),
+mape AS (
+  SELECT CAST(SUM(CAST(abs_pct_err AS DECIMAL(38,12))) AS DOUBLE)
+           / COUNT(*) AS mape_raw
+  FROM scored WHERE t >= 2
+)
+SELECT ym, revenue, forecast_ses, abs_pct_err,
+       round(mape.mape_raw, 9) AS mape
+FROM scored CROSS JOIN mape
+ORDER BY ym
+"""
+
+
 QUERIES = {
+    "orders_forecast_ses": orders_forecast_ses,
     "orders_backlog_aging": orders_backlog_aging,
     "rfm_segmentation": rfm_segmentation,
     "window_yoy_revenue": window_yoy_revenue,
@@ -1653,6 +1792,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_forecast_ses": FORECAST_SES_SQL,
     "orders_backlog_aging": _backlog_aging_sql(),
     "rfm_segmentation": _rfm_sql(),
     "window_yoy_revenue": YOY_SQL,

@@ -68,6 +68,7 @@ GLOBAL_WINDOW_ALLOW = {
     "stream_volume_anomaly": "per-day volume aggregate — |days| rows",
     "stream_volume_cusum": "per-day volume aggregate — |days| rows",
     "window_yoy_revenue": "per-month revenue aggregate — |months| rows",
+    "orders_forecast_ses": "per-month revenue aggregate — |months| rows",
     # §6 two-level prefix with a DATA-DERIVED block key (seq div 4096):
     # the block frame is |rows|/4096 — documented trade in SURVEY §6
     "quality_sequence_gaps": "block-boundary frame — |seq| div 4096 rows",

@@ -97,7 +97,50 @@ class TestLinkPrediction:
             assert abs(r.jaccard - round(r.common_neighbors / union, 9)) < 1e-9
 
 
-class TestBigramLM:
+class TestModularity:
+    def test_q_terms_and_total(self, spark):
+        from dbsurveyor_spark.operators.graph import graph_modularity
+
+        rows = graph_modularity(spark, SF).collect()
+        assert len(rows) >= 2  # multiple brands
+        m = sum(r.degree_sum for r in rows) / 2  # handshake
+        for r in rows:
+            assert 0 <= r.internal_edges * 2 <= r.degree_sum
+            assert 0.0 <= r.internal_share <= 1.0
+            expected = round(
+                r.internal_edges / m - (r.degree_sum / (2 * m)) ** 2, 9
+            )
+            assert abs(r.q_term - expected) < 1e-8
+        q = rows[0].modularity
+        assert all(abs(r.modularity - q) < 1e-12 for r in rows)
+        assert -1.0 <= q <= 1.0
+        assert abs(q - round(sum(r.q_term for r in rows), 7)) < 1e-6
+
+
+class TestForecastSES:
+    def test_recurrence_and_mape(self, spark):
+        from dbsurveyor_spark.operators.relational import (
+            orders_forecast_ses,
+        )
+
+        rows = sorted(
+            orders_forecast_ses(spark, SF).collect(), key=lambda r: r.ym
+        )
+        assert rows[0].forecast_ses is None  # no history for month 1
+        # t=2 forecast is the seed: exactly month 1's revenue
+        assert abs(rows[1].forecast_ses - rows[0].revenue) < 1e-6
+        # t=3 forecast = (x2 + x1) / 2 up to micro-unit rounding
+        assert (
+            abs(
+                rows[2].forecast_ses
+                - (rows[1].revenue + rows[0].revenue) / 2
+            )
+            < 1e-5
+        )
+        errs = [r.abs_pct_err for r in rows if r.abs_pct_err is not None]
+        mape = rows[0].mape
+        assert abs(mape - sum(errs) / len(errs)) < 1e-6
+        assert 0 < mape < 1  # a sane baseline on a seasonal series
     def test_ppl_algebra_and_split_gap(self, spark):
         from dbsurveyor_spark.operators.textstats import (
             text_lm_perplexity_bigram,
