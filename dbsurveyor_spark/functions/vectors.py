@@ -103,6 +103,25 @@ def cosine_rounded_arrow(a: Column, b: Column) -> Column:
     return F.round(_cosine_kernel(a, b), COS_ROUND)
 
 
+# Filter-pushdown duplication guard: when a query FILTERS on the column a
+# Python UDF computes, Catalyst pushes the filter below the defining
+# projection and duplicates the UDF — two ArrowEvalPython nodes, every
+# surviving pair paying the kernel twice (observed in
+# dedup_embedding_cosine / corpus_decontamination_semantic plans). Marking
+# the kernel non-deterministic at THOSE call sites forbids the copy, so
+# the plan evaluates it once and filters above (the standard guard for
+# expensive UDFs; the function itself is pure, so results are unchanged).
+# Kept as a separate entry point: blanket non-determinism would also block
+# legitimate pushdown of OTHER filters in the scoring queries.
+_cosine_kernel_once = _cosine_kernel.asNondeterministic()
+
+
+def cosine_rounded_arrow_once(a: Column, b: Column) -> Column:
+    """:func:`cosine_rounded_arrow` for call sites with a threshold filter
+    directly above the score projection — single evaluation guaranteed."""
+    return F.round(_cosine_kernel_once(a, b), COS_ROUND)
+
+
 # Schema of cell_topk_mapper output (mapInPandas contract).
 CELL_TOPK_SCHEMA = "vec_id bigint, cell_id bigint, rn int"
 

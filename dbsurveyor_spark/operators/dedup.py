@@ -51,7 +51,7 @@ from ..functions.hashing import (
 )
 from ..functions.text import shingles_sql, tokens, tokens_sql
 from ..functions.vectors import (
-    cosine_rounded_arrow,
+    cosine_rounded_arrow_once,
     cosine_rounded_sql,
     cosine_sql,
 )
@@ -901,7 +901,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_b = corpus.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
     )
-    cos = cosine_rounded_arrow(
+    cos = cosine_rounded_arrow_once(
         F.col("emb_a").cast("array<double>"),
         F.col("emb_b").cast("array<double>"),
     )

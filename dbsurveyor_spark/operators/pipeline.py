@@ -1024,7 +1024,7 @@ def corpus_decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFra
     from ..plans.cache import release_caches, tracked_cache
     from .dedup import COSINE_T, DEDUP_NPROBE, _vec_corpus
     from .similarity import rank_cells, trained_centroid_rows
-    from ..functions.vectors import cosine_rounded_arrow
+    from ..functions.vectors import cosine_rounded_arrow_once
 
     release_caches()
     corpus = _vec_corpus(spark, sf_dir)
@@ -1051,7 +1051,7 @@ def corpus_decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("vec_id").alias("bench_vec_id"),
         F.col("embedding").alias("emb_b"),
     )
-    cos = cosine_rounded_arrow(
+    cos = cosine_rounded_arrow_once(
         F.col("emb_c").cast("array<double>"), F.col("emb_b").cast("array<double>")
     )
     scored = (

@@ -56,7 +56,27 @@ def get_session(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by BYTES (floor = minPartitionSize, default 1m),
+        # which serializes CPU-DENSE small-byte stages onto 1-2 cores: the
+        # pair-verify / in-array-expansion stages (array_intersect over
+        # shingle sets, Arrow cosine kernels, _bucket_pairs explodes) are
+        # kilobytes per thousand rows but milliseconds of CPU per row.
+        # With coalescePartitions.parallelismFirst (default true) the
+        # target size is totalBytes/defaultParallelism floored at THIS
+        # value, so lowering the floor restores full-core parallelism for
+        # exactly those stages while leaving large shuffles untouched at
+        # any scale (partition count never exceeds parallelism). Measured
+        # at sf0.1: dedup_semantic 4.1→~2.5 s, text PMI 2.0→~1.2 s.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Footer-only COUNT/MIN/MAX (guide §6): metadata scalars like
+        # n_docs / parent-table row counts (survey_join_cardinality, the
+        # text family's corpus size) read parquet row-group stats instead
+        # of scanning columns. Spark only pushes when semantics are exact.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
