@@ -1032,12 +1032,53 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
     )
     cur = checkpoint_round(cur, "star_contraction:init")
     n_cur = cur.count()
-    if n_cur < small_n:
+    small = n_cur < small_n
+    if small:
         # Narrow coalesce OVER the already-checkpointed blocks: downstream
         # round jobs run small_par tasks reading the same materialized
         # partitions — no second materialization pass (the loop's own
         # checkpoints keep the plan bounded from round 1 onward).
         cur = cur.coalesce(small_par)
+    conf = edges.sparkSession.conf
+    saved: dict[str, str] = {}
+    if small:
+        # Small-frame rounds are JOB-LATENCY bound: with AQE on, every
+        # exchange of every round materializes as its own driver job
+        # (observed: 61 jobs for one connected-components call, most
+        # tasks near-empty), and AQE's per-stage re-planning buys nothing
+        # on a frame already coalesced to small_par partitions. Pin the
+        # loop to static small_par-partition shuffles with AQE off — one
+        # job per round instead of ~6. Big frames (≥ small_n) keep AQE:
+        # at scale its coalescing/skew handling is load-bearing. Labels
+        # are partition-count-invariant, so results are untouched.
+        saved = {
+            "spark.sql.adaptive.enabled": conf.get(
+                "spark.sql.adaptive.enabled"
+            ),
+            "spark.sql.shuffle.partitions": conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+        }
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(small_par))
+    try:
+        cur, n_cur = _star_rounds(cur, n_cur, small, small_par, max_rounds)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    # fixpoint: a star per component — (a=node, b=component min). The
+    # surviving frame is already materialized (localCheckpoint); its blocks
+    # are released by the ContextCleaner when the result goes out of scope.
+    return cur.select(F.col("a").alias("node"), F.col("b").alias("label"))
+
+
+def _star_rounds(
+    cur: DataFrame, n_cur: int, small: bool, small_par: int, max_rounds: int
+) -> tuple[DataFrame, int]:
+    """The alternating large/small-star loop of
+    :func:`star_contraction_labels` (split out so the conf pinning above
+    wraps exactly the round jobs)."""
+    a, b = F.col("a"), F.col("b")
     for _ in range(max_rounds):
         # -- large-star: u links every strictly-larger neighbor to
         #    m(u) = min(N(u) ∪ {u}). All emitted pairs keep a > b.
@@ -1063,7 +1104,7 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        if n_cur < small_n:
+        if small:
             nxt = nxt.coalesce(small_par)
         nxt = checkpoint_round(nxt, "star_contraction:round")
         n_nxt = nxt.count()
@@ -1071,10 +1112,7 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
         cur, n_cur = nxt, n_nxt
         if converged:
             break
-    # fixpoint: a star per component — (a=node, b=component min). The
-    # surviving frame is already materialized (localCheckpoint); its blocks
-    # are released by the ContextCleaner when the result goes out of scope.
-    return cur.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    return cur, n_cur
 
 
 def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -258,15 +258,35 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = edges_deg.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(PR_SCALE // n_nodes).alias("r")
     )
-    for _ in range(PAGERANK_ITERS):
-        # Each round ends in a localCheckpoint (§6 iterative doctrine): the
-        # next iteration's join then reads materialized rows, not a
-        # deepening logical plan.
-        ranks = checkpoint_round(
-            _pagerank_step(edges_deg, ranks, teleport),
-            "graph_pagerank_parts:round",
-            eager=False,
-        )
+    # Small-graph iteration pinning (same rationale as star contraction):
+    # with AQE on, each round's exchanges materialize as separate driver
+    # jobs and the slim rank shuffle is coalesced to 1-2 partitions,
+    # BREAKING co-partitioning with the 32-partition cached edge frame —
+    # every round then re-shuffles ranks for the join. With AQE off the
+    # groupBy(node) output keeps the static partition count, the next
+    # round's join consumes it exchange-free, and each eager round is one
+    # job (measured 2.5 → 2.1 s steady at sf0.1, bit-identical ranks —
+    # fixed-point integer math is partitioning-invariant). Big graphs
+    # keep AQE and lazy rounds: its coalescing matters at scale.
+    small = n_nodes < 1_000_000
+    conf = spark.conf
+    saved = conf.get("spark.sql.adaptive.enabled") if small else None
+    try:
+        if small:
+            conf.set("spark.sql.adaptive.enabled", "false")
+        for _ in range(PAGERANK_ITERS):
+            # Each round ends in a localCheckpoint (§6 iterative
+            # doctrine): the next iteration's join then reads
+            # materialized rows, not a deepening logical plan. Eager
+            # while pinned so every round executes under the pin.
+            ranks = checkpoint_round(
+                _pagerank_step(edges_deg, ranks, teleport),
+                "graph_pagerank_parts:round",
+                eager=small,
+            )
+    finally:
+        if saved is not None:
+            conf.set("spark.sql.adaptive.enabled", saved)
     isolated = nodes.join(ranks.select("node"), "node", "left_anti").select(
         "node", F.lit(teleport).alias("r")
     )
