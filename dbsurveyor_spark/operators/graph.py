@@ -255,8 +255,11 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node set and the per-iteration "node spine left join + coalesce"
     # disappears (measured: it was 2 of 3 jobs per iteration). Isolated
     # nodes rejoin once, at the end, at the constant teleport rank.
-    ranks = edges_deg.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(PR_SCALE // n_nodes).alias("r")
+    # deg IS the distinct edge-endpoint set (it is built by aggregating
+    # both endpoint columns), so seeding from it skips a full distinct
+    # over the 2|E|-row edge frame.
+    ranks = deg.select(
+        F.col("v").alias("node"), F.lit(PR_SCALE // n_nodes).alias("r")
     )
     # Small-graph iteration pinning (same rationale as star contraction):
     # with AQE on, each round's exchanges materialize as separate driver
@@ -719,28 +722,56 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_cnt = cur.count()
     converged = False
-    for i in range(KCORE_ROUNDS):
-        keep = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= KCORE_K)
-            .select("src")
-        )
-        cur = checkpoint_round(
-            cur.join(keep, "src")
-            .join(keep.withColumnRenamed("src", "dst"), "dst")
-            .select("src", "dst"),
-            f"graph_kcore:round{i}",
-        )
-        cnt = cur.count()
-        if cnt == prev_cnt:  # zero-delta round: fixpoint reached
-            converged = True
-            # never exit before round 2: the plan-lint gate inspects ≥2
-            # per-round plans per iterative family, and the extra no-op
-            # round is a count on an already-empty delta — free
-            if i >= 1:
-                break
-        prev_cnt = cnt
+    # Small-backbone peel pinning (the star-contraction doctrine): each
+    # round is a degree aggregate + two semi-joins on a SHRINKING frame;
+    # under AQE every exchange is its own driver job and the round jobs
+    # dominate wall-clock at sf0.1. Below the gate, coalesce the slim
+    # frame and run the rounds with AQE off at small_par static
+    # partitions (one job per round); restore in finally. Degree counts
+    # and semi-joins are partition-invariant, so the peel is unchanged.
+    sc = spark.sparkContext
+    small = prev_cnt < 1_000_000
+    small_par = max(4, sc.defaultParallelism // 8)
+    conf = spark.conf
+    saved: dict[str, str] = {}
+    if small:
+        saved = {
+            "spark.sql.adaptive.enabled": conf.get(
+                "spark.sql.adaptive.enabled"
+            ),
+            "spark.sql.shuffle.partitions": conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+        }
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(small_par))
+        cur = cur.coalesce(small_par)
+    try:
+        for i in range(KCORE_ROUNDS):
+            keep = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= KCORE_K)
+                .select("src")
+            )
+            cur = checkpoint_round(
+                cur.join(keep, "src")
+                .join(keep.withColumnRenamed("src", "dst"), "dst")
+                .select("src", "dst"),
+                f"graph_kcore:round{i}",
+            )
+            cnt = cur.count()
+            if cnt == prev_cnt:  # zero-delta round: fixpoint reached
+                converged = True
+                # never exit before round 2: the plan-lint gate inspects
+                # ≥2 per-round plans per iterative family, and the extra
+                # no-op round is a count on an already-empty delta — free
+                if i >= 1:
+                    break
+            prev_cnt = cnt
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
     return cur.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     ).select(

@@ -2605,24 +2605,37 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every prior window once per reference (§6 iterative doctrine;
     # measured 6.7 → 1.3 s steady at sf0.1). The frame is |Q|×BEAM rows —
     # the checkpoint is free.
-    beam = checkpoint_round(
-        score_and_prune(
-            probes.select("query_id").crossJoin(F.broadcast(entry))
-        ),
-        "ann_graph_search:hop0",
-    )
-    for hop in range(GANN_HOPS):
-        expanded = (
-            F.broadcast(beam.select("query_id", "node"))
-            .join(edges, beam["node"] == edges["src_id"])
-            .select("query_id", F.col("dst_id").alias("node"))
-        )
-        cand = (
-            beam.select("query_id", "node").unionByName(expanded).distinct()
-        )
+    # The beam state is |Q|×BEAM rows — constant at ANY corpus size — so
+    # the hop loop runs with AQE pinned off unconditionally (iterative-
+    # round doctrine): per-hop re-planning and one-driver-job-per-exchange
+    # buy nothing on a constant-bounded frame, and each eager hop becomes
+    # one job instead of several.
+    conf = spark.conf
+    saved = conf.get("spark.sql.adaptive.enabled")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
         beam = checkpoint_round(
-            score_and_prune(cand), f"ann_graph_search:hop{hop + 1}"
+            score_and_prune(
+                probes.select("query_id").crossJoin(F.broadcast(entry))
+            ),
+            "ann_graph_search:hop0",
         )
+        for hop in range(GANN_HOPS):
+            expanded = (
+                F.broadcast(beam.select("query_id", "node"))
+                .join(edges, beam["node"] == edges["src_id"])
+                .select("query_id", F.col("dst_id").alias("node"))
+            )
+            cand = (
+                beam.select("query_id", "node")
+                .unionByName(expanded)
+                .distinct()
+            )
+            beam = checkpoint_round(
+                score_and_prune(cand), f"ann_graph_search:hop{hop + 1}"
+            )
+    finally:
+        conf.set("spark.sql.adaptive.enabled", saved)
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

@@ -1712,7 +1712,9 @@ def text_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the anchored spine with NULL metrics.
     """
     from ..functions.hashing import portable_hash64
+    from ..plans.cache import release_caches, tracked_cache
 
+    release_caches()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     is_train = (
         portable_hash64(
@@ -1734,7 +1736,11 @@ def text_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(tokens(F.col("text"))).alias("pos", "t"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
+    # The bigram stream is consumed three times (bigram counts, context
+    # counts, scoring join) — cache it so the tokenize + lead-window
+    # pipeline runs once (the _ngram_jaccard exploded-cache precedent;
+    # spills to disk at scale like any tracked cache).
+    big = tracked_cache(
         tok.withColumn("t2", F.lead("t").over(w))
         .filter(F.col("t2").isNotNull())
         .select(
@@ -1748,9 +1754,12 @@ def text_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = train_big.groupBy("bg").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2")
     )
-    c1 = train_big.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c1")
-    )
+    # C(w1) = Σ_bg C(w1·) — derived from the vocabulary-sized bigram
+    # count frame instead of a second full-stream aggregation (tokens
+    # are whitespace-split, so the leading token is recoverable exactly).
+    c1 = c2.groupBy(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("c2").cast("bigint").alias("c1"))
     vsize = (
         tok.filter(F.col("split") == "train")
         .agg(F.countDistinct("t").cast("bigint").alias("v"))

@@ -854,34 +854,55 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     center = center_frame(seed)
-    state = checkpoint_round(
-        emb.crossJoin(F.broadcast(center)).select(
-            "vec_id", "embedding", cos.alias("max_cos")
-        ),
-        "sample_kcenter_greedy:round0",
-    )
-    for rnd in range(1, KCENTER_K):
-        nxt = (
-            state.orderBy(F.asc("max_cos"), F.asc("vec_id"))
-            .limit(1)
-            .select(
-                F.lit(rnd).cast("bigint").alias("round"),
-                F.col("vec_id").alias("center_id"),
-                F.round(F.lit(1.0) - F.col("max_cos"), 9).alias(
-                    "max_min_dist"
-                ),
-            )
-        )
-        picks.append(nxt)
-        center = center_frame(nxt.select("center_id"))
+    # One hash repartition BEFORE round 0's checkpoint: the embeddings
+    # scan is a single small split, so the per-round Arrow cosine kernel
+    # otherwise runs single-task for every round (measured ~0.2 s × K
+    # rounds at sf0.1). The state keeps this partitioning through every
+    # narrow round (crossJoin-broadcast + select), so the one slim
+    # shuffle buys K parallel kernel passes; rounds run with AQE pinned
+    # off (the iterative-round doctrine — per-exchange driver jobs and
+    # re-planning buy nothing on a checkpointed small state).
+    par = max(4, spark.sparkContext.defaultParallelism // 8)
+    conf = spark.conf
+    saved = conf.get("spark.sql.adaptive.enabled")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
         state = checkpoint_round(
-            state.crossJoin(F.broadcast(center)).select(
-                "vec_id",
-                "embedding",
-                F.greatest("max_cos", cos).alias("max_cos"),
-            ),
-            f"sample_kcenter_greedy:round{rnd}",
+            emb.repartition(par, "vec_id")
+            .crossJoin(F.broadcast(center))
+            .select("vec_id", "embedding", cos.alias("max_cos")),
+            "sample_kcenter_greedy:round0",
         )
+        for rnd in range(1, KCENTER_K):
+            # the top-1 row already CARRIES the chosen center's embedding
+            # (state keeps it for exactly this), so the per-round
+            # emb-table re-join of the old center_frame() disappears —
+            # one TakeOrdered feeds both the pick row and the 1-row
+            # broadcast for the distance update.
+            nxt = (
+                state.orderBy(F.asc("max_cos"), F.asc("vec_id"))
+                .limit(1)
+                .select(
+                    F.lit(rnd).cast("bigint").alias("round"),
+                    F.col("vec_id").alias("center_id"),
+                    F.round(F.lit(1.0) - F.col("max_cos"), 9).alias(
+                        "max_min_dist"
+                    ),
+                    F.col("embedding").alias("c_emb"),
+                )
+            )
+            picks.append(nxt.drop("c_emb"))
+            center = nxt.select("center_id", "c_emb")
+            state = checkpoint_round(
+                state.crossJoin(F.broadcast(center)).select(
+                    "vec_id",
+                    "embedding",
+                    F.greatest("max_cos", cos).alias("max_cos"),
+                ),
+                f"sample_kcenter_greedy:round{rnd}",
+            )
+    finally:
+        conf.set("spark.sql.adaptive.enabled", saved)
     res = picks[0]
     for p in picks[1:]:
         res = res.unionByName(p)
