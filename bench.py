@@ -109,16 +109,35 @@ STEADY_PASSES = 3  # steady = per-query MIN over this many post-warm passes
 # Drift canaries: untouched pure-JVM scan/agg/join queries whose code has
 # been frozen since the early rounds. Host-scale timing drift (this VM
 # moves 15-25% day to day) shows up on them exactly as on everything else,
-# so the ratio Σsteady(canary)/Σbaseline(canary) IS the drift factor, and
+# so the ratio Σcanary/Σbaseline(canary) IS the drift factor, and
 # dividing the common-item comparison by it separates code regressions
 # from machine drift MECHANICALLY — rounds 6 and 7 both had to argue this
 # from q1 after the fact.
+#
+# r8 verdict item: session-wide config changes (the AQE coalesce floor)
+# moved `survey_join_cardinality`, contaminating the drift signal. Fix:
+# canaries are now timed in a dedicated pass under FROZEN_CONF — literal
+# constants, never session defaults — so an engine-config diff between
+# rounds cannot move them; only the machine can. The frozen numbers land
+# in "canaries_frozen" on the detail line; `_drift_fields` prefers them
+# whenever the committed baseline record also carries them (records
+# written before this fix fall back to the old steady-based ratio).
 CANARY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "rollup_sales",
     "survey_join_cardinality",
 ]
+CANARY_PASSES = 2  # frozen canary value = MIN over this many passes
+FROZEN_CONF = {
+    # Pinned literals (Spark's own defaults where applicable) — NOT
+    # read from the session, so session.py evolution can't leak in.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.sql.shuffle.partitions": "32",
+}
 # Committed settled record of the previous round (full per-query map —
 # the driver's own BENCH_r{N}.json keeps only a 2,000-char stdout tail).
 BASELINE_RECORD = os.environ.get(
@@ -128,16 +147,28 @@ BASELINE_RECORD = os.environ.get(
 )
 
 
-def _drift_fields(steady: dict[str, float]) -> dict:
+def _drift_fields(
+    steady: dict[str, float], frozen: dict[str, float]
+) -> dict:
     """canary_ratio + raw and drift-normalized common-item sums vs the
-    committed baseline record; {} when no baseline is readable."""
+    committed baseline record; {} when no baseline is readable.
+
+    The canary ratio uses the FROZEN-CONF canary timings when the
+    baseline record carries them ("canaries_frozen"); older records fall
+    back to the steady-pass values (which were config-sensitive)."""
     try:
         with open(BASELINE_RECORD) as fh:
-            base = json.load(fh)["queries_steady"]
+            rec = json.load(fh)
+            base = rec["queries_steady"]
     except (OSError, ValueError, KeyError):
         return {}
-    canary_now = [steady[k] for k in CANARY if k in steady and k in base]
-    canary_base = [base[k] for k in CANARY if k in steady and k in base]
+    base_frozen = rec.get("canaries_frozen") or {}
+    if frozen and base_frozen:
+        canary_now = [frozen[k] for k in CANARY if k in frozen and k in base_frozen]
+        canary_base = [base_frozen[k] for k in CANARY if k in frozen and k in base_frozen]
+    else:
+        canary_now = [steady[k] for k in CANARY if k in steady and k in base]
+        canary_base = [base[k] for k in CANARY if k in steady and k in base]
     if not canary_now or sum(canary_base) <= 0:
         return {}
     ratio = sum(canary_now) / sum(canary_base)
@@ -400,6 +431,33 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[key] = round(time.perf_counter() - t0, 3)
+    # Frozen-conf canary pass (drift measurement only — OUTSIDE every
+    # reported total): the same 4 queries, timed under FROZEN_CONF
+    # literals, so engine-config changes between rounds cannot move the
+    # drift denominator. ~10 s per bench run.
+    canaries_frozen: dict[str, float] = {}
+    conf = spark.conf
+    saved_conf = {k: conf.get(k) for k in FROZEN_CONF}
+    try:
+        for k, v in FROZEN_CONF.items():
+            conf.set(k, v)
+        spark.catalog.clearCache()
+        for _ in range(CANARY_PASSES):
+            for key in CANARY:
+                if key not in qs:
+                    continue
+                _gc()
+                t0 = time.perf_counter()
+                qs[key](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.perf_counter() - t0, 3)
+                canaries_frozen[key] = min(
+                    canaries_frozen.get(key, dt), dt
+                )
+    finally:
+        for k, v in saved_conf.items():
+            conf.set(k, v)
     cov: dict[str, float] = {}
     for key in passes[1]:
         vals = [p[key] for p in passes[1:]]
@@ -412,7 +470,7 @@ def main() -> None:
             var = sum((v - m) ** 2 for v in vals) / len(vals)
             cov[key] = round(var**0.5 / m, 3)
     machine_post = _machine_state()
-    drift = _drift_fields(steady)
+    drift = _drift_fields(steady, canaries_frozen)
     cov_sorted = sorted(cov.values())
     cov_p50 = round(cov_sorted[len(cov_sorted) // 2], 3) if cov_sorted else 0.0
     cov_max = max(cov_sorted) if cov_sorted else 0.0
@@ -429,41 +487,51 @@ def main() -> None:
                 "steady_value": round(sum(steady.values()), 3),
                 "queries_steady": {k: round(v, 2) for k, v in steady.items()},
                 "queries_cov": cov,
+                "canaries_frozen": canaries_frozen,
                 "machine_pre": machine_pre,
                 "machine_post": machine_post,
                 "drift": drift,
-                "sf": sf_val,
-            }
-        )
-    )
-    # …then a compact headline as the LAST line: the round driver records a
-    # bounded 2,000-char tail of stdout and parses JSON from it — r4's
-    # full-map line outgrew the tail and the official record got
-    # `parsed: null`. This line is ~200 chars, so the tail always ends
-    # with one complete parseable JSON object.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "steady_value": round(sum(steady.values()), 3),
-                "sf": sf_val,
-                "n_items": len(timings),
                 "cov_p50": cov_p50,
                 "cov_max": cov_max,
-                "load1_pre": machine_pre.get("load1"),
-                "load1_post": machine_post.get("load1"),
-                "mem_avail_gb": machine_post.get("mem_avail_gb"),
-                "canary_ratio": drift.get("canary_ratio"),
-                "common_ratio_raw": drift.get("common_ratio_raw"),
-                "common_ratio_drift_normalized": drift.get(
-                    "common_ratio_drift_normalized"
-                ),
-                "detail": "full per-query map on the previous stdout line",
+                "sf": sf_val,
             }
         )
     )
+    # …then the LAST line: the round driver keeps EXACTLY the final 2,000
+    # chars of stdout and parses JSON from them. r8's last line carried no
+    # per-query map at all, so the driver's PERF per_query/scaling blocks
+    # came out empty (r8 verdict item #1). This line now carries the full
+    # per-query STEADY map (1 dp; min-of-3 passes — the number that
+    # projects to a long-lived session, far less noisy than pass 1) in a
+    # compact encoding sized to fit the tail with margin. The 4 `*_build`
+    # index-build line items stay on the detail line above (their steady
+    # values are memo-hit ~0s; the headline QUERY set is complete here).
+    # A hard guard degrades gracefully rather than ever overflowing.
+    def _enc(v: float) -> str:
+        r = round(v, 1)
+        if r < 0.05:
+            return "0"
+        if r == int(r):
+            return str(int(r))
+        return f"{r:.1f}"
+
+    compact_q = {
+        k: _enc(v) for k, v in steady.items() if not k.endswith("_build")
+    }
+    head = (
+        '{"metric":"headline_queries_wall_clock",'
+        f'"value":{round(total, 2)},"unit":"sec",'
+        f'"steady_value":{round(sum(steady.values()), 1)},'
+        f'"sf":{json.dumps(sf_val)},"n_items":{len(timings)},"queries":{{'
+    )
+    body = ",".join(f'"{k}":{v}' for k, v in compact_q.items())
+    line = head + body + "}}"
+    if len(line) > 1990:  # never let the tail truncate mid-line
+        body = ",".join(
+            f'"{k}":{int(round(float(v)))}' for k, v in compact_q.items()
+        )
+        line = head + body + "}}"
+    print(line)
     # Reclaim the session-pinned index memos (k-NN graph, audio pairs,
     # co-purchase graph) — the documented evict hook for suite boundaries.
     from dbsurveyor_spark.plans.cache import clear_index_memos

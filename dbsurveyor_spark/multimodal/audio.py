@@ -29,8 +29,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
-from pyspark.sql.window import Window
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from ..catalog import load_table
 
@@ -44,20 +43,20 @@ AUDIO_MIN_ALIGNED = 4  # pairs need this many votes at the dominant offset
 AUDIO_SHIFT_BYTES = 2 * AUDIO_STRIDE  # injected copies start 2 frames late
 
 
-def audio_subfingerprints(payload: bytes) -> list[int]:
-    """Per-window 24-bit subfingerprints of the stub spectrogram.
+def _subfingerprints_np(payload: bytes):
+    """Per-window 24-bit subfingerprints of the stub spectrogram, as an
+    int64 numpy array (empty when the payload is too short).
 
     Vectorized with numpy (prefix-sum band energies, shifted-compare
     gradient bits) — bit-identical to the per-byte definition the DuckDB
     oracle replays (byte sums are exact small ints; comparisons and bit
-    packing are integer-for-integer the same), ~3× faster per Arrow batch
-    than the pure-Python loop it replaces.
+    packing are integer-for-integer the same).
     """
     import numpy as np
 
     n_frames = max(0, (len(payload) - AUDIO_WIN) // AUDIO_STRIDE + 1)
     if n_frames <= AUDIO_DEPTH:
-        return []
+        return np.empty(0, dtype=np.int64)
     band_w = AUDIO_WIN // AUDIO_BANDS
     buf = np.frombuffer(payload, dtype=np.uint8)
     cs = np.zeros(len(buf) + 1, dtype=np.int64)
@@ -75,7 +74,13 @@ def audio_subfingerprints(payload: bytes) -> list[int]:
     sfp = np.zeros(n_out, dtype=np.int64)
     for dt in range(AUDIO_DEPTH):
         sfp += row_val[dt : dt + n_out] << (dt * AUDIO_BANDS)
-    return sfp.tolist()
+    return sfp
+
+
+def audio_subfingerprints(payload: bytes) -> list[int]:
+    """List form of :func:`_subfingerprints_np` (kept for callers/tests
+    that want plain Python ints)."""
+    return _subfingerprints_np(payload).tolist()
 
 
 def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,8 +179,28 @@ def aligned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _aligned_pair_frame(media_text: DataFrame) -> DataFrame:
     """(doc_a, doc_b, offset, aligned_matches) — dominant-offset aligned
     pairs over the stub subfingerprint stream; the shared back half of the
-    match and dedup-corpus operators. Caches the subfingerprint frame (the
-    caller owns `release_caches()`)."""
+    match and dedup-corpus operators. Caches the occurrence-capped
+    subfingerprint frame (the caller owns `release_caches()`).
+
+    r9 rework (guide §4 + §2):
+    - the per-(doc, sfp) OCCURRENCE cap moved INTO the Arrow kernel: it is
+      document-local, so a numpy grouped-rank inside the batch replaces a
+      full window (exchange + sort) over the subfingerprint stream, and
+      rows leave Python already capped. The kernel also emits a
+      first-occurrence flag, so document frequency is a plain SUM — the
+      `distinct` pass disappears.
+    - ONE hash repartition on `sfp` feeds the df aggregate, the df-cap
+      attach and the in-bucket self-join co-partitioned (the previous
+      plan exchanged the stream by (doc, sfp) for the window, by sfp for
+      the distinct, and by sfp again per join side).
+    - the dominant-offset ranking window became max_by-style aggregation:
+      `max(struct(aligned_matches, -offset))` picks the identical winner
+      ((matches DESC, offset ASC) — offset tuples are distinct per pair,
+      so row_number's winner is unique) with partial map-side aggregation
+      and no sort.
+    """
+    import numpy as np
+
     from ..plans.cache import tracked_cache
 
     media = media_text.select(
@@ -184,54 +209,70 @@ def _aligned_pair_frame(media_text: DataFrame) -> DataFrame:
 
     def _sfps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            ids, ts, sfps = [], [], []
+            ids, ts, sfps, firsts = [], [], [], []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                for t, sfp in enumerate(audio_subfingerprints(payload)):
-                    ids.append(doc_id)
-                    ts.append(t)
-                    sfps.append(sfp)
+                sfp = _subfingerprints_np(payload)
+                n = sfp.shape[0]
+                if n == 0:
+                    continue
+                # grouped rank in t-order per sfp value (stable argsort
+                # keeps positions ascending within each value group) —
+                # identical rows to row_number().over(doc_id, sfp ORDER t)
+                perm = np.argsort(sfp, kind="stable")
+                s = sfp[perm]
+                starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+                counts = np.diff(np.r_[starts, n])
+                occ = np.arange(n, dtype=np.int64) - np.repeat(
+                    starts, counts
+                )
+                keep = occ < AUDIO_OCC_CAP
+                ids.append(np.full(int(keep.sum()), doc_id, dtype=np.int64))
+                ts.append(perm[keep].astype(np.int64))
+                sfps.append(s[keep])
+                firsts.append(occ[keep] == 0)
+            if not ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "t": pd.Series([], dtype="int64"),
+                        "sfp": pd.Series([], dtype="int64"),
+                        "fst": pd.Series([], dtype="bool"),
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "t": pd.Series(ts, dtype="int64"),
-                    "sfp": pd.Series(sfps, dtype="int64"),
+                    "doc_id": np.concatenate(ids),
+                    "t": np.concatenate(ts),
+                    "sfp": np.concatenate(sfps),
+                    "fst": np.concatenate(firsts),
                 }
             )
 
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("t", LongType()),
+            StructField("sfp", LongType()),
+            StructField("fst", BooleanType()),
+        ]
+    )
+    spark = media_text.sparkSession
     rows = tracked_cache(
-        media.mapInPandas(
-            _sfps,
-            StructType(
-                [
-                    StructField("doc_id", LongType()),
-                    StructField("t", LongType()),
-                    StructField("sfp", LongType()),
-                ]
-            ),
+        media.mapInPandas(_sfps, schema).repartition(
+            spark.sparkContext.defaultParallelism, "sfp"
         )
     )
+    # df = distinct docs per sfp = Σ first-occurrence flags; partitioning
+    # (sfp) is the cache's own, so the aggregate and both join attaches
+    # below are exchange-free.
     df_ok = (
-        rows.select("doc_id", "sfp")
-        .distinct()
-        .groupBy("sfp")
-        .agg(F.count(F.lit(1)).alias("df"))
+        rows.groupBy("sfp")
+        .agg(F.sum(F.col("fst").cast("bigint")).alias("df"))
         .filter(F.col("df") <= AUDIO_DF_CAP)
         .select("sfp")
     )
-    # Per-(doc, sfp) OCCURRENCE cap, on top of the cross-doc df cap: a
-    # constant-tone/silent payload repeats ONE subfingerprint at thousands
-    # of positions while its distinct-doc df stays tiny — two such docs
-    # would join |occ|² pairs. Real matchers collapse repeats too (a
-    # repeated subfingerprint adds no alignment information beyond its
-    # first few positions). Earliest positions win, deterministically, so
-    # both engines keep identical rows.
-    occ = Window.partitionBy("doc_id", "sfp").orderBy("t")
-    deduped = (
-        rows.withColumn("occ", F.row_number().over(occ))
-        .filter(F.col("occ") <= AUDIO_OCC_CAP)
-        .drop("occ")
-    )
-    kept = deduped.join(df_ok, "sfp")
+    kept = rows.join(df_ok, "sfp").select("doc_id", "t", "sfp")
     a, b = kept.alias("a"), kept.alias("b")
     votes = (
         a.join(
@@ -246,16 +287,17 @@ def _aligned_pair_frame(media_text: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("aligned_matches"))
     )
-    w = Window.partitionBy("doc_a", "doc_b").orderBy(
-        F.col("aligned_matches").desc(), F.col("offset").asc()
-    )
+    best = F.max(F.struct(F.col("aligned_matches"), (-F.col("offset")).alias("neg")))
     return (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(
-            (F.col("rn") == 1)
-            & (F.col("aligned_matches") >= AUDIO_MIN_ALIGNED)
+        votes.groupBy("doc_a", "doc_b")
+        .agg(best.alias("best"))
+        .filter(F.col("best.aligned_matches") >= AUDIO_MIN_ALIGNED)
+        .select(
+            "doc_a",
+            "doc_b",
+            (-F.col("best.neg")).alias("offset"),
+            F.col("best.aligned_matches").alias("aligned_matches"),
         )
-        .select("doc_a", "doc_b", "offset", "aligned_matches")
     )
 
 
@@ -300,13 +342,13 @@ def mm_audio_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = star_contraction_labels(edges).withColumnRenamed(
         "node", "doc_id"
     )
-    lab = media_text.select("doc_id").join(labels, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
-    )
-    survivors = lab.filter(F.col("doc_id") == F.col("cluster_id"))
+    # Survivor = cluster min (or singleton). The label frame lists exactly
+    # the NON-root members (label < node always), so
+    # doc_id == coalesce(label, doc_id) ⟺ doc_id has no label row — one
+    # anti-join replaces the previous left-join → coalesce → filter →
+    # semi-join chain (which scanned the media union twice more).
     return media_text.join(
-        survivors.select("doc_id"), "doc_id", "left_semi"
+        labels.select("doc_id"), "doc_id", "left_anti"
     ).select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_bytes"),

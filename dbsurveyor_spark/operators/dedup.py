@@ -260,8 +260,16 @@ def _jaccard_candidates(exploded: DataFrame) -> DataFrame:
         - F.expr(f"({JACCARD_NUM} * n_sh + {JACCARD_DEN} - 1) div {JACCARD_DEN}")
         + 1
     )
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
-        "doc_id", "shingle", "n_sh"
+    # cached: the inequality self-join below reads the prefix frame TWICE
+    # and Catalyst plans the whole dfreq-join-window pipeline once per
+    # side (r9 before-plan: 2× Window pairs, 2× dfreq aggregate+broadcast
+    # feeding the join). The prefix frame is |docs|·prefix_len slim rows.
+    from ..plans.cache import tracked_cache
+
+    prefix = tracked_cache(
+        ranked.filter(F.col("rn") <= prefix_len).select(
+            "doc_id", "shingle", "n_sh"
+        )
     )
     # PPJoin length filter (exact): J(A,B) ≥ τ forces τ·|A| ≤ |B| and
     # τ·|B| ≤ |A| — a size-ratio residual on the bucket join that prunes
@@ -321,8 +329,14 @@ def _ngram_jaccard_pairs_from(corpus: DataFrame) -> DataFrame:
         _shingle_rows_from(corpus).dropDuplicates(["doc_id", "shingle"])
     )
     candidates = _jaccard_candidates(exploded)
-    docsets = exploded.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh")
+    # cached: attached twice (doc_a and doc_b sides) — without it the
+    # collect_set aggregate runs once per side (r9 before-plan: 2×
+    # ObjectHashAggregate+Exchange pairs).
+    docsets = _tracked_cache(
+        exploded.groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("sh"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
     )
     da = docsets.select(
         F.col("doc_id").alias("doc_a"),
@@ -1032,6 +1046,22 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
     )
     cur = checkpoint_round(cur, "star_contraction:init")
     n_cur = cur.count()
+    # BROADCAST-SCALE fast path (guide §1.2: pick the right distributed
+    # algorithm — and the fastest distributed fixpoint on a frame the size
+    # of a broadcast relation is no distribution at all). Even pinned, the
+    # distributed loop costs 2-3 driver-job-latency-bound rounds (~2.4 s
+    # measured at sf0.1 on a 1,700-edge frame — ~8 near-empty jobs); a
+    # deduped edge frame of ≤ DRIVER_CC_MAX_EDGES two-int64 rows (≈3 MB,
+    # well under the 10 MB auto-broadcast bar Spark routinely collects to
+    # the driver for hash joins) is union-found driver-side in
+    # milliseconds. Labels are IDENTICAL by construction (min id per
+    # component is unique); frames above the gate keep the O(log n)
+    # distributed rounds, so nothing changes at 100 TB — there the gate
+    # fails and this branch never runs. Bonus: no session-conf pinning on
+    # this path (the r8-flagged concurrency hazard disappears for every
+    # small-frame caller).
+    if n_cur <= _driver_cc_max_edges():
+        return _driver_union_find_labels(edges.sparkSession, cur)
     small = n_cur < small_n
     if small:
         # Narrow coalesce OVER the already-checkpointed blocks: downstream
@@ -1039,8 +1069,6 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
         # partitions — no second materialization pass (the loop's own
         # checkpoints keep the plan bounded from round 1 onward).
         cur = cur.coalesce(small_par)
-    conf = edges.sparkSession.conf
-    saved: dict[str, str] = {}
     if small:
         # Small-frame rounds are JOB-LATENCY bound: with AQE on, every
         # exchange of every round materializes as its own driver job
@@ -1051,25 +1079,65 @@ def star_contraction_labels(edges: DataFrame, max_rounds: int = 64) -> DataFrame
         # job per round instead of ~6. Big frames (≥ small_n) keep AQE:
         # at scale its coalescing/skew handling is load-bearing. Labels
         # are partition-count-invariant, so results are untouched.
-        saved = {
-            "spark.sql.adaptive.enabled": conf.get(
-                "spark.sql.adaptive.enabled"
-            ),
-            "spark.sql.shuffle.partitions": conf.get(
-                "spark.sql.shuffle.partitions"
-            ),
-        }
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(small_par))
-    try:
+        # (pinned_conf holds the process pin lock — r8 verdict item #8.)
+        from ..plans.conf_pin import pinned_conf
+
+        with pinned_conf(
+            edges.sparkSession,
+            {
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.shuffle.partitions": str(small_par),
+            },
+        ):
+            cur, n_cur = _star_rounds(
+                cur, n_cur, small, small_par, max_rounds
+            )
+    else:
         cur, n_cur = _star_rounds(cur, n_cur, small, small_par, max_rounds)
-    finally:
-        for k, v in saved.items():
-            conf.set(k, v)
     # fixpoint: a star per component — (a=node, b=component min). The
     # surviving frame is already materialized (localCheckpoint); its blocks
     # are released by the ContextCleaner when the result goes out of scope.
     return cur.select(F.col("a").alias("node"), F.col("b").alias("label"))
+
+
+def _driver_cc_max_edges() -> int:
+    """Driver union-find gate (distinct edges). Env-overridable so the
+    plan-lint gate can force the distributed loop (0) and a cluster
+    profile can raise it; the default keeps the collected frame ≈3 MB."""
+    import os
+
+    return int(os.environ.get("DBSURVEYOR_CC_DRIVER_MAX_EDGES", "200000"))
+
+
+def _driver_union_find_labels(spark: SparkSession, cur: DataFrame) -> DataFrame:
+    """(node, label=min id of component) for every edge-incident node of a
+    BOUNDED deduped (a, b) edge frame, via driver-side union-find with
+    path halving. Exactly the star-contraction fixpoint: min-per-component
+    is unique, so the two implementations are interchangeable."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for x, y in cur.select("a", "b").collect():
+        if x not in parent:
+            parent[x] = x
+        if y not in parent:
+            parent[y] = y
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by MIN id so every root IS its component minimum
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    # the distributed fixpoint is "a star per component" with a > b rows
+    # only — roots never appear as members. Emit the identical shape.
+    labels = [(n, r) for n in parent if (r := find(n)) != n]
+    return spark.createDataFrame(labels, "node bigint, label bigint")
 
 
 def _star_rounds(
@@ -1703,8 +1771,9 @@ def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_tokens, dropped_tokens, kept_tokens, dropped_share).
 
     Plan: the gram machinery is `dedup_substring`'s codegen rolling hash
-    (posexplode → lead chain; the cached token frame serves both the gram
-    pass and the per-doc token counts). New work is the SPAN MERGE: a
+    (posexplode → lead chain); per-doc token counts come free from the
+    corpus row itself (size of the token array). New work is the SPAN
+    MERGE: a
     shared gram at position p covers tokens [p, p+W−1]; overlapping
     covers must not double-count, so the flagged positions run through
     gaps-and-islands (the `user_activity_streaks` pattern — lag + running
@@ -1715,31 +1784,34 @@ def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     release_caches()
     corpus = _corpus(spark, sf_dir)
-    hrows = _tracked_cache(
-        corpus.select(
-            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
-        ).select(
-            "doc_id",
-            "pos",
-            F.conv(F.substring(F.md5("t"), 1, 7), 16, 10)
-            .cast("bigint")
-            .alias("h"),
-        )
+    hrows = corpus.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("t"), 1, 7), 16, 10)
+        .cast("bigint")
+        .alias("h"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     g = F.col("h")
     for j in range(1, SUBSTR_W):
         g = (g * _SUB_BASE + F.lead("h", j).over(w)) % _SUB_MOD
+    # r9 rework (guide §2): ONE hash exchange on `g` feeds both the
+    # shared-gram decision and the hit attach co-partitioned (previously:
+    # dropDuplicates → groupBy(g) exchange PLUS a second full exchange of
+    # the gram frame for the join). The shared test itself is
+    # min(doc_id) ≠ max(doc_id) — exactly "≥2 distinct docs", but
+    # partial-aggregable with no per-doc dedup pass at all.
     pos_grams = _tracked_cache(
-        hrows.select("doc_id", "pos", g.alias("g")).filter(
-            F.col("g").isNotNull()
-        )
+        hrows.select("doc_id", "pos", g.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism, "g")
     )
     shared = (
-        pos_grams.dropDuplicates(["doc_id", "g"])
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
+        pos_grams.groupBy("g")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("g")
     )
     hits = pos_grams.join(shared, "g").select("doc_id", "pos")
@@ -1769,27 +1841,24 @@ def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("covered").cast("bigint").alias("dropped_tokens"))
     )
-    ntok = hrows.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    # n_tokens computed IN-ARRAY on the corpus row (size of the token
+    # array == count of posexploded rows): no token-frame aggregate, no
+    # separate anchor join — the corpus row itself anchors docs that
+    # tokenize empty (size() = 0 where posexplode emits nothing).
+    ntok = corpus.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
     dt = F.coalesce(F.col("dropped_tokens"), F.lit(0).cast("bigint"))
     nt = F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint"))
-    # anchor on corpus doc_ids (like dedup_substring): a doc whose text
-    # tokenizes empty has no posexploded rows, but must still appear with
-    # n_tokens=0 — the oracle's gl CTE emits one row per corpus doc.
-    return (
-        corpus.select("doc_id")
-        .join(ntok, "doc_id", "left")
-        .join(dropped, "doc_id", "left")
-        .select(
-            "doc_id",
-            nt.alias("n_tokens"),
-            dt.alias("dropped_tokens"),
-            (nt - dt).cast("bigint").alias("kept_tokens"),
-            F.round(
-                dt.cast("double") / F.nullif(nt, F.lit(0)), 9
-            ).alias("dropped_share"),
-        )
+    return ntok.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        dt.alias("dropped_tokens"),
+        (nt - dt).cast("bigint").alias("kept_tokens"),
+        F.round(
+            dt.cast("double") / F.nullif(nt, F.lit(0)), 9
+        ).alias("dropped_share"),
     )
 
 

@@ -272,24 +272,31 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-point integer math is partitioning-invariant). Big graphs
     # keep AQE and lazy rounds: its coalescing matters at scale.
     small = n_nodes < 1_000_000
-    conf = spark.conf
-    saved = conf.get("spark.sql.adaptive.enabled") if small else None
-    try:
-        if small:
-            conf.set("spark.sql.adaptive.enabled", "false")
+    if small:
+        # pinned_conf serializes the pin behind the process lock
+        # (r8 verdict item #8 — conf is session-global).
+        from ..plans.conf_pin import pinned_conf
+
+        with pinned_conf(
+            spark, {"spark.sql.adaptive.enabled": "false"}
+        ):
+            for _ in range(PAGERANK_ITERS):
+                # Each round ends in a localCheckpoint (§6 iterative
+                # doctrine): the next iteration's join then reads
+                # materialized rows, not a deepening logical plan. Eager
+                # while pinned so every round executes under the pin.
+                ranks = checkpoint_round(
+                    _pagerank_step(edges_deg, ranks, teleport),
+                    "graph_pagerank_parts:round",
+                    eager=True,
+                )
+    else:
         for _ in range(PAGERANK_ITERS):
-            # Each round ends in a localCheckpoint (§6 iterative
-            # doctrine): the next iteration's join then reads
-            # materialized rows, not a deepening logical plan. Eager
-            # while pinned so every round executes under the pin.
             ranks = checkpoint_round(
                 _pagerank_step(edges_deg, ranks, teleport),
                 "graph_pagerank_parts:round",
-                eager=small,
+                eager=False,
             )
-    finally:
-        if saved is not None:
-            conf.set("spark.sql.adaptive.enabled", saved)
     isolated = nodes.join(ranks.select("node"), "node", "left_anti").select(
         "node", F.lit(teleport).alias("r")
     )
@@ -732,21 +739,25 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = spark.sparkContext
     small = prev_cnt < 1_000_000
     small_par = max(4, sc.defaultParallelism // 8)
-    conf = spark.conf
-    saved: dict[str, str] = {}
+    from contextlib import nullcontext
+
+    from ..plans.conf_pin import pinned_conf
+
     if small:
-        saved = {
-            "spark.sql.adaptive.enabled": conf.get(
-                "spark.sql.adaptive.enabled"
-            ),
-            "spark.sql.shuffle.partitions": conf.get(
-                "spark.sql.shuffle.partitions"
-            ),
-        }
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(small_par))
         cur = cur.coalesce(small_par)
-    try:
+    # pinned_conf holds the process pin lock (r8 verdict item #8)
+    pin = (
+        pinned_conf(
+            spark,
+            {
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.shuffle.partitions": str(small_par),
+            },
+        )
+        if small
+        else nullcontext()
+    )
+    with pin:
         for i in range(KCORE_ROUNDS):
             keep = (
                 cur.groupBy("src")
@@ -769,9 +780,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if i >= 1:
                     break
             prev_cnt = cnt
-    finally:
-        for k, v in saved.items():
-            conf.set(k, v)
     return cur.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     ).select(

@@ -2610,10 +2610,10 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round doctrine): per-hop re-planning and one-driver-job-per-exchange
     # buy nothing on a constant-bounded frame, and each eager hop becomes
     # one job instead of several.
-    conf = spark.conf
-    saved = conf.get("spark.sql.adaptive.enabled")
-    try:
-        conf.set("spark.sql.adaptive.enabled", "false")
+    # pinned_conf holds the process pin lock (r8 verdict item #8)
+    from ..plans.conf_pin import pinned_conf
+
+    with pinned_conf(spark, {"spark.sql.adaptive.enabled": "false"}):
         beam = checkpoint_round(
             score_and_prune(
                 probes.select("query_id").crossJoin(F.broadcast(entry))
@@ -2634,8 +2634,6 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             beam = checkpoint_round(
                 score_and_prune(cand), f"ann_graph_search:hop{hop + 1}"
             )
-    finally:
-        conf.set("spark.sql.adaptive.enabled", saved)
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

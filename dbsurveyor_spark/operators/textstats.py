@@ -696,24 +696,47 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from ..plans.cache import release_caches, tracked_cache
     from .dedup import _bucket_pairs
 
+    release_caches()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
-    ).distinct()
-    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # r9 rework (guide §2): per-doc DISTINCT token sets built IN-ARRAY
+    # (sort_array∘array_distinct — whole-stage codegen, zero exchange)
+    # and cached once for both consumers. The previous plan materialized
+    # explode→distinct TWICE (df branch + gate branch; one full exchange
+    # each) plus a collect_set groupBy(doc_id) exchange to rebuild the
+    # very arrays this starts from.
+    ts0 = tracked_cache(
+        docs.select(
+            "doc_id",
+            F.sort_array(F.array_distinct(tokens(F.col("text")))).alias(
+                "ts"
+            ),
+        )
+    )
+    dfreq = (
+        ts0.select(F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     vocab = (
         dfreq.orderBy(F.desc("df"), F.asc("t"))
         .limit(PMI_VOCAB_MAX)
         .select("t", "df")
     )
-    gated = tok.join(F.broadcast(vocab.select("t")), "t")
     n_docs = docs.count()
+    # vocabulary gate as one in-row array_intersect against the ≤V-token
+    # vocab array (sorted input → sorted intersection, so the pair
+    # expansion sees exactly the old sort_array(collect_set) order)
+    vocab_arr = vocab.agg(F.collect_list("t").alias("vs"))
     pairs = (
-        gated.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("t")).alias("ts"))
-        .select(F.explode(_bucket_pairs(F.col("ts"))).alias("p"))
+        ts0.crossJoin(F.broadcast(vocab_arr))
+        .select(
+            F.explode(
+                _bucket_pairs(F.array_intersect(F.col("ts"), F.col("vs")))
+            ).alias("p")
+        )
         .groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .filter(F.col("support") >= PMI_MIN_SUPPORT)
@@ -728,14 +751,22 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.lit(float(n_docs))
     pmi = F.log(n * d("support") / (d("df_a") * d("df_b")))
     npmi = pmi / -F.log(d("support") / n)
-    w = Window.orderBy(F.desc("npmi"), F.asc("tok_a"), F.asc("tok_b"))
-    return (
+    scored = (
         pairs.join(da, "tok_a")
         .join(db, "tok_b")
         .withColumn("npmi", F.round(npmi, 9))
         .withColumn("pmi", F.round(pmi, 9))
+    )
+    # top-K via TakeOrderedAndProject (the global ranking window sorted
+    # the WHOLE pair frame on one partition); the row_number re-rank then
+    # runs over ≤K rows. The total order (npmi, tok_a, tok_b) is unique
+    # per pair, so limit-then-rank picks identical rows and ranks.
+    order = [F.desc("npmi"), F.asc("tok_a"), F.asc("tok_b")]
+    w = Window.orderBy(*order)
+    return (
+        scored.orderBy(*order)
+        .limit(PMI_TOP_K)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= PMI_TOP_K)
         .select("rank", "tok_a", "tok_b", "support", "pmi", "npmi")
     )
 

@@ -72,11 +72,11 @@ def get_session(
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Footer-only COUNT/MIN/MAX (guide §6): metadata scalars like
-        # n_docs / parent-table row counts (survey_join_cardinality, the
-        # text family's corpus size) read parquet row-group stats instead
-        # of scanning columns. Spark only pushes when semantics are exact.
-        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # NOTE: spark.sql.parquet.aggregatePushdown was set here in r8
+        # claiming footer-only COUNT/MIN/MAX; it only applies to DSv2
+        # parquet scans and every plan in this engine is a v1 FileScan
+        # (no PushedAggregation ever appeared), so the config was a
+        # no-op and is removed (r8 verdict item #3).
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

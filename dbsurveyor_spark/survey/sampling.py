@@ -863,10 +863,10 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # off (the iterative-round doctrine — per-exchange driver jobs and
     # re-planning buy nothing on a checkpointed small state).
     par = max(4, spark.sparkContext.defaultParallelism // 8)
-    conf = spark.conf
-    saved = conf.get("spark.sql.adaptive.enabled")
-    try:
-        conf.set("spark.sql.adaptive.enabled", "false")
+    # pinned_conf holds the process pin lock (r8 verdict item #8)
+    from ..plans.conf_pin import pinned_conf
+
+    with pinned_conf(spark, {"spark.sql.adaptive.enabled": "false"}):
         state = checkpoint_round(
             emb.repartition(par, "vec_id")
             .crossJoin(F.broadcast(center))
@@ -901,8 +901,6 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 f"sample_kcenter_greedy:round{rnd}",
             )
-    finally:
-        conf.set("spark.sql.adaptive.enabled", saved)
     res = picks[0]
     for p in picks[1:]:
         res = res.unionByName(p)

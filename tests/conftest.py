@@ -26,6 +26,16 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    """Module-scoped monkeypatch (the stock fixture is function-scoped)."""
+    from _pytest.monkeypatch import MonkeyPatch
+
+    mp = MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

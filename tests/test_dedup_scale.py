@@ -171,13 +171,18 @@ def test_star_contraction_chain_and_mixed_components(spark):
     assert {11, 12, 13, 14, 21, 22, 31} <= set(got)
 
 
-def test_star_contraction_adversarial_chain_logarithmic_rounds(spark):
+def test_star_contraction_adversarial_chain_logarithmic_rounds(
+    spark, monkeypatch
+):
     """A 1,000-node path — the adversarial case for plain min-label
     propagation (diameter rounds ≈ 1,000). Star contraction must converge
     within max_rounds=12 ≈ O(log n): correct labels under that cap PROVE
-    the round bound, since an unconverged run cannot produce them."""
+    the round bound, since an unconverged run cannot produce them.
+    (Forces the DISTRIBUTED loop: the driver union-find fast path would
+    otherwise absorb a frame this small.)"""
     from dbsurveyor_spark.operators.dedup import star_contraction_labels
 
+    monkeypatch.setenv("DBSURVEYOR_CC_DRIVER_MAX_EDGES", "0")
     n = 1000
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, n)], "src long, dst long"
@@ -186,6 +191,78 @@ def test_star_contraction_adversarial_chain_logarithmic_rounds(spark):
     got = {r["node"]: r["label"] for r in labels.collect()}
     assert set(got.values()) == {1}, f"labels not converged: {set(got.values())}"
     assert set(got) >= set(range(2, n + 1))
+
+
+def test_pinned_loops_concurrent_stable(spark, monkeypatch):
+    """Two conf-pinning iterative loops on the SAME session from two
+    threads (r8 verdict item #8): the process pin lock must serialize the
+    set/restore so neither loop sees the other's pin mid-flight — labels
+    stay correct and the session conf is restored afterwards."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dbsurveyor_spark.operators.dedup import star_contraction_labels
+
+    monkeypatch.setenv("DBSURVEYOR_CC_DRIVER_MAX_EDGES", "0")
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "src long, dst long"
+    )
+    tris = spark.createDataFrame(
+        [(j, j + 1) for j in range(100, 160, 3)]
+        + [(j + 1, j + 2) for j in range(100, 160, 3)]
+        + [(j + 2, j) for j in range(100, 160, 3)],
+        "src long, dst long",
+    )
+
+    def run(edges):
+        return {
+            r["node"]: r["label"]
+            for r in star_contraction_labels(edges).collect()
+        }
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(run, chain)
+        f2 = pool.submit(run, tris)
+        got_chain, got_tris = f1.result(), f2.result()
+    assert set(got_chain.values()) == {1}
+    for node, label in got_tris.items():
+        assert label == (node - 100) // 3 * 3 + 100, (node, label)
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before, (before, after)
+
+
+def test_star_contraction_driver_path_matches_distributed(
+    spark, monkeypatch
+):
+    """The driver union-find fast path must emit EXACTLY the distributed
+    fixpoint's rows — same (node, label) set, non-root members only — on
+    a mixed graph (chain + triangle + duplicate/self-noise pair edges in
+    both orientations)."""
+    from dbsurveyor_spark.operators.dedup import star_contraction_labels
+
+    edges = spark.createDataFrame(
+        [(11, 10), (12, 11), (13, 12), (20, 21), (21, 22), (22, 20),
+         (30, 31), (31, 30), (40, 41)],
+        "src long, dst long",
+    )
+    monkeypatch.setenv("DBSURVEYOR_CC_DRIVER_MAX_EDGES", "0")
+    distributed = {
+        (r["node"], r["label"])
+        for r in star_contraction_labels(edges).collect()
+    }
+    monkeypatch.setenv("DBSURVEYOR_CC_DRIVER_MAX_EDGES", "200000")
+    driver = {
+        (r["node"], r["label"])
+        for r in star_contraction_labels(edges).collect()
+    }
+    assert driver == distributed, (driver, distributed)
+    assert (10, 10) not in driver  # roots never appear as members
 
 
 def test_neardup_clusters_collapse_exact_template_group(spark):

@@ -383,8 +383,13 @@ ITERATIVE_QUERIES = [
 
 
 @pytest.fixture(scope="module")
-def round_sweep(spark):
+def round_sweep(spark, monkeypatch_module):
     from dbsurveyor_spark.plans.roundcheck import round_inspector
+
+    # Force the DISTRIBUTED star-contraction loop: at test SF every edge
+    # frame is under the driver union-find gate (the production fast
+    # path), but this gate exists to lint the at-scale rounds.
+    monkeypatch_module.setenv("DBSURVEYOR_CC_DRIVER_MAX_EDGES", "0")
 
     records: dict[str, dict] = {}
 
