@@ -377,12 +377,11 @@ def mm_image_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = star_contraction_labels(edges).withColumnRenamed(
         "node", "doc_id"
     )
-    lab = sims.select("doc_id").join(labels, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
-    )
-    survivors = lab.filter(F.col("doc_id") == F.col("cluster_id"))
-    return media.join(survivors.select("doc_id"), "doc_id", "left_semi").select(
+    # Survivor = cluster min (or singleton); the label frame lists exactly
+    # the NON-root members, so one anti-join replaces the previous
+    # left-join → coalesce → filter → semi-join chain (guide §2 —
+    # fewer scans of the media frame).
+    return media.join(labels.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id",
         F.length("payload").cast("bigint").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
@@ -597,13 +596,11 @@ def mm_video_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = star_contraction_labels(edges).withColumnRenamed(
         "node", "doc_id"
     )
-    lab = media_text.select("doc_id").join(labels, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
-    )
-    survivors = lab.filter(F.col("doc_id") == F.col("cluster_id"))
+    # Survivor = cluster min (or singleton); labels list exactly the
+    # NON-root members, so one anti-join replaces the left-join →
+    # coalesce → filter → semi-join chain (guide §2).
     return media_text.join(
-        survivors.select("doc_id"), "doc_id", "left_semi"
+        labels.select("doc_id"), "doc_id", "left_anti"
     ).select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_bytes"),

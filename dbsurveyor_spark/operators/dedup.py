@@ -1484,8 +1484,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingle",
         F.col("n_sh").alias("n_a"),
     )
-    sizes = exploded.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh")
+    # cached: consumed THREE times (n_b length-filter attach, doc_a and
+    # doc_b verify sides) — uncached, the collect_set aggregate ran once
+    # per consumer.
+    sizes = _tracked_cache(
+        exploded.groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("sh"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
     )
     candidates = (
         probe.join(
@@ -1702,10 +1708,18 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = F.col("h")
     for j in range(1, SUBSTR_W):
         g = (g * _SUB_BASE + F.lead("h", j).over(w)) % _SUB_MOD
+    # cached PARTITIONED BY g (guide §2): the shared-gram aggregate and
+    # the flag attach both key on g, so materializing the cache behind
+    # one hash exchange makes both exchange-free (previously each paid
+    # its own full exchange of the gram frame; the per-doc dedup already
+    # happened under the window's doc_id partitioning upstream).
     grams_rows = _tracked_cache(
         hrows.select("doc_id", g.alias("g"))
         .filter(F.col("g").isNotNull())  # NULL ⇔ window ran off the doc end
         .dropDuplicates(["doc_id", "g"])
+        .repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism, "g"
+        )
     )
     shared = (
         grams_rows.groupBy("g")

@@ -878,23 +878,38 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
         )
     )
-    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    # per-brand: internal edges (both endpoints in c) and degree sum
-    # (endpoint incidences in c) from ONE unpivot of the typed edge frame
-    ends = edges.select(
+    # ONE pass over the typed edge frame into a |brands|²-bounded
+    # (brand_a, brand_b, cnt) aggregate (r9, guide §2 aggregate-before-
+    # unpivot): the previous shape scanned the two-join edge pipeline
+    # three times (the m count + both unpivot legs). m and the per-brand
+    # sums now derive from the bounded frame — identical integer math,
+    # two fewer full passes.
+    pairc = _tracked_cache(
+        edges.groupBy("brand_a", "brand_b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+    )
+    m = pairc.agg(F.sum("cnt").cast("bigint").alias("m"))
+    ends = pairc.select(
         F.col("brand_a").alias("brand"),
-        (F.col("brand_a") == F.col("brand_b")).cast("int").alias("internal"),
+        (F.col("brand_a") == F.col("brand_b"))
+        .cast("bigint")
+        .alias("internal"),
+        "cnt",
     ).unionByName(
-        edges.select(
+        pairc.select(
             F.col("brand_b").alias("brand"),
             (F.col("brand_a") == F.col("brand_b"))
-            .cast("int")
+            .cast("bigint")
             .alias("internal"),
+            "cnt",
         )
     )
     per_brand = ends.groupBy("brand").agg(
-        (F.sum("internal") / 2).cast("bigint").alias("internal_edges"),
-        F.count(F.lit(1)).cast("bigint").alias("degree_sum"),
+        (F.sum(F.col("internal") * F.col("cnt")) / 2)
+        .cast("bigint")
+        .alias("internal_edges"),
+        F.sum("cnt").cast("bigint").alias("degree_sum"),
     )
     half_deg = F.col("degree_sum").cast("double") / (
         2.0 * F.col("m").cast("double")

@@ -235,7 +235,10 @@ def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = (
+    # cached: consumed three times (both cand_ids legs + the verify
+    # join) — uncached, the signature/bucket/pair pipeline above ran
+    # once per consumer (r9; candidate pairs are a slim frame).
+    pairs = _tracked_cache(
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_bands"))
@@ -248,7 +251,8 @@ def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    docsets = (
+    # cached: attached twice (doc_a / doc_b verify sides).
+    docsets = _tracked_cache(
         shingles.join(F.broadcast(cand_ids), "doc_id", "left_semi")
         .dropDuplicates(["doc_id", "shingle"])
         .groupBy("doc_id")

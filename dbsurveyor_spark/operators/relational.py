@@ -765,21 +765,29 @@ def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame in one partition); the rank column is recomputed over the ≤K-row
     survivors only.
     """
-    from .dedup import _bucket_pairs
+    from ..plans.cache import release_caches, tracked_cache
+    from .graph import copurchase_graph
 
-    lines = (
+    release_caches()
+    # r9 (guide §2.4 — share the exchange): the memoized co-purchase
+    # graph's `half` frame IS this query's pair-support aggregate (same
+    # distinct (order, part) → basket → in-array pair expansion → one
+    # groupBy, support = co-order count), so the basket build no longer
+    # runs a second time here — pairs are a filter over the shared cached
+    # frame, exactly like graph_connected_components' backbone.
+    half, _ = copurchase_graph(spark, sf_dir)
+    pairs = half.filter(F.col("support") >= BASKET_MIN_SUPPORT).select(
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        "support",
+    )
+    # cached: the per-part order counts and the distinct-order count both
+    # read the distinct line frame (previously two full lineitem scans +
+    # distinct exchanges).
+    lines = tracked_cache(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-    )
-    baskets = lines.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pairs = (
-        baskets.select(F.explode(_bucket_pairs(F.col("parts"))).alias("p"))
-        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
     )
     part_orders = lines.groupBy(F.col("l_partkey")).agg(
         F.count(F.lit(1)).alias("n_orders_part")
