@@ -418,21 +418,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.defaultParallelism, "src"
         )
     )
-    adj = e.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    # adj cached: it is attached on BOTH edge endpoints (src and dst
+    # sides) — uncached the collect_list aggregate ran once per side (r9).
+    adj = _tracked_cache(
+        e.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
+        )
     )
     adj_u = adj.select(F.col("src"), F.col("nbrs").alias("nu"))
     adj_v = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
+    # dst attach is INNER (r9): a dst with no out-list yields an empty
+    # intersection which the size filter drops anyway — the inner join
+    # skips those rows (and their intersect work) up front.
     tri_edges = _tracked_cache(
         e.join(adj_u.hint("SHUFFLE_HASH"), "src")
-        .join(adj_v.hint("SHUFFLE_HASH"), "dst", "left")
+        .join(adj_v.hint("SHUFFLE_HASH"), "dst")
         .select(
             "src",
             "dst",
-            F.array_intersect(
-                F.col("nu"),
-                F.coalesce(F.col("nv"), F.array().cast("array<bigint>")),
-            ).alias("tw"),
+            F.array_intersect(F.col("nu"), F.col("nv")).alias("tw"),
         )
         .filter(F.size("tw") > 0)
     )
