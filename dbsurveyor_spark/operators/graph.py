@@ -1082,6 +1082,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CAP-bounded generator can emit at any scale.
     aa_term = F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 12)
     aa_lattice = F.round(aa_term * F.lit(1e12), 0).cast("bigint")
+    # NOTE (r9): caching this frame for the two wedge sides was A/B
+    # tested and REJECTED — the cache materialization pass plus the lost
+    # pipelining cost ~2× steady (8.0 vs 3.6 s at sf0.1); the duplicated
+    # window+attach pipeline is cheaper than materializing its output.
     left = cd.select(
         "c", F.col("n").alias("x"), aa_lattice.alias("aa_l")
     )
