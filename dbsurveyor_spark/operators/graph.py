@@ -181,29 +181,35 @@ def copurchase_graph(
 
 
 def _pagerank_step(
-    edges_deg: DataFrame, ranks: DataFrame, teleport: int
+    adj: DataFrame, ranks: DataFrame, teleport: int
 ) -> DataFrame:
-    """One PageRank iteration: join ranks onto the cached src-partitioned
-    edge frame, sum contributions per dst, apply damping + teleport.
+    """One PageRank iteration over the cached ADJACENCY-LIST frame: join
+    ranks onto |V| adjacency rows, compute each node's per-neighbor
+    contribution ONCE (`r div deg` depends only on the source), explode
+    the neighbor list into the per-dst sum, apply damping + teleport.
 
-    The rank side carries a SHUFFLE_HASH hint, NOT a broadcast: at 100×
+    r9 reshape: the previous step joined ranks onto the flat 2|E|-row
+    edge frame, so every round re-scanned 2.4M cached rows (sf0.1) and
+    evaluated the division per EDGE. The adjacency form scans |V| cached
+    rows per round, does |V| divisions, and the 2|E| exploded rows exist
+    only in-pipeline feeding the partial aggregate — same exchange bytes,
+    ~1/120th the cached-scan volume (measured rounds 2.6 → ~1.5 s total
+    at sf0.1). Contribution multisets are identical, so fixed-point sums
+    are bit-identical and the oracle stays green.
+
+    The rank side keeps a SHUFFLE_HASH hint, NOT a broadcast: at 100×
     scale |V| grows linearly and an O(|V|) per-iteration broadcast OOMs
-    every executor. A shuffled hash join moves only the slim (node, r)
-    frame — `edges_deg` is cached already repartition()-ed on src, so its
-    exchange is reused across all iterations and only the rank rows
-    shuffle each round. (An explicit hint is still required: estimated-size
-    stats on the unmaterialized cache are unreliable and the planner was
-    observed broadcasting the 2.4M-row EDGE side at sf0.1, OOMing the
-    driver.) Fixed-point integer math makes the result bit-identical under
-    either join strategy, which is what lets this swap keep the oracle
-    green.
+    every executor; `adj` must not broadcast either (its aggregate array
+    payload is the whole edge set). Both sides are hash-partitioned on
+    the key — adj once at build, ranks' slim (node, r) rows each round.
+    `q` is projected BEFORE the explode so Generate's input is a cheap
+    materialized column (§6 Generate rule).
     """
     damp = F.expr(f"({DAMP_NUM} * c) div {DAMP_DEN}")
     return (
-        edges_deg.join(
-            ranks.hint("SHUFFLE_HASH"), edges_deg["src"] == ranks["node"]
-        )
-        .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+        adj.join(ranks.hint("SHUFFLE_HASH"), adj["src"] == ranks["node"])
+        .select(F.expr("r div deg").alias("q"), "nbrs")
+        .select(F.explode("nbrs").alias("node"), F.col("q").alias("c"))
         .groupBy("node")
         .agg(F.sum("c").alias("c"))
         .select("node", (F.lit(teleport) + damp).alias("r"))
@@ -232,21 +238,33 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = half.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(half.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    # repartition the cached frame to full parallelism: AQE coalesces the
-    # slim edge shuffle to a handful of partitions, which would serialize
-    # every iteration's scan onto a few cores (measured at sf0.1).
-    # deg is |V| rows and |V| grows linearly with the corpus — NEVER a
-    # broadcast (the 100× killer); a one-time SHUFFLE_HASH key join costs
-    # one slim exchange and holds at any scale. The explicit repartition
-    # comes FIRST so the join consumes it directly (edges shuffle once,
-    # not once for the join and again for the repartition).
-    edges_deg = _tracked_cache(
-        edges.repartition(spark.sparkContext.defaultParallelism, "src").join(
-            deg.select(F.col("v").alias("src"), "deg").hint("SHUFFLE_HASH"),
-            "src",
-        )
-    )
+    # Adjacency-list frame (r9): group the doubled edge frame into one
+    # (src, nbrs, deg) row per vertex. deg == size(nbrs) exactly — `half`
+    # is deduped, so the doubled frame's out-neighbors per src are its
+    # distinct undirected neighbors — which drops the old per-edge degree
+    # join entirely. The explicit repartition to full parallelism comes
+    # FIRST so the groupBy consumes it exchange-free (AQE would coalesce
+    # the slim edge shuffle to a handful of partitions and serialize every
+    # round's scan); at TPC-H ratios avg degree is CONSTANT in scale
+    # (|E| and |V| both linear in the corpus), so per-row arrays stay
+    # small at 100× and the cached frame is |V| rows, not 2|E|.
     n_nodes = nodes.count()  # metadata-scale driver scalar
+    small = n_nodes < 1_000_000
+    # Small graphs build adj at star-contraction's small_par so every
+    # round runs small_par-task stages instead of 32-task ones — the
+    # rounds were pure fixed overhead (~0.5 s/round at 32 partitions for
+    # 20k rows of state, measured); big graphs keep full parallelism.
+    par = (
+        max(4, spark.sparkContext.defaultParallelism // 8)
+        if small
+        else spark.sparkContext.defaultParallelism
+    )
+    adj = _tracked_cache(
+        edges.repartition(par, "src")
+        .groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .select("src", "nbrs", F.size("nbrs").cast("bigint").alias("deg"))
+    )
     teleport = (TELE_NUM * PR_SCALE) // (DAMP_DEN * n_nodes)
     # Isolated nodes are INVARIANT: no in-edges → rank = teleport every
     # iteration, and no out-edges → they contribute nothing. So iterate
@@ -271,14 +289,19 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job (measured 2.5 → 2.1 s steady at sf0.1, bit-identical ranks —
     # fixed-point integer math is partitioning-invariant). Big graphs
     # keep AQE and lazy rounds: its coalescing matters at scale.
-    small = n_nodes < 1_000_000
     if small:
         # pinned_conf serializes the pin behind the process lock
-        # (r8 verdict item #8 — conf is session-global).
+        # (r8 verdict item #8 — conf is session-global). shuffle
+        # partitions pin to small_par so each round's groupBy output is
+        # co-partitioned with the small_par-partition adj cache.
         from ..plans.conf_pin import pinned_conf
 
         with pinned_conf(
-            spark, {"spark.sql.adaptive.enabled": "false"}
+            spark,
+            {
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.shuffle.partitions": str(par),
+            },
         ):
             for _ in range(PAGERANK_ITERS):
                 # Each round ends in a localCheckpoint (§6 iterative
@@ -286,14 +309,14 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # materialized rows, not a deepening logical plan. Eager
                 # while pinned so every round executes under the pin.
                 ranks = checkpoint_round(
-                    _pagerank_step(edges_deg, ranks, teleport),
+                    _pagerank_step(adj, ranks, teleport),
                     "graph_pagerank_parts:round",
                     eager=True,
                 )
     else:
         for _ in range(PAGERANK_ITERS):
             ranks = checkpoint_round(
-                _pagerank_step(edges_deg, ranks, teleport),
+                _pagerank_step(adj, ranks, teleport),
                 "graph_pagerank_parts:round",
                 eager=False,
             )

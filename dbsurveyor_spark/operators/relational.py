@@ -1272,6 +1272,9 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
         ).alias("revenue")
     )
+    # `tot` re-reads the cached `rev` subtree that two_level_prefix pins
+    # (CacheManager matches the identical aggregate plan), so the fact
+    # table is scanned once for the whole query.
     tot = rev.agg(F.sum("revenue").alias("total"))
     classed = (
         two_level_prefix(

@@ -57,6 +57,15 @@ def two_level_prefix(
     """
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Cache the INPUT too: repartitionByRange first runs a SAMPLING pass
+    # over `df` to pick range boundaries, so an uncached input recomputes
+    # its full upstream (a fact-table scan + aggregate for both current
+    # callers) twice — once for the sampler, once for the block fill. The
+    # cached frame is the same size as `blocked` below, so peak storage
+    # only doubles a frame that was already pinned; callers that derive
+    # side aggregates from the same plan (abc's `tot`) hit it for free
+    # via CacheManager subtree matching (§2 fewer passes).
+    df = tracked_cache(df)
     blocked = tracked_cache(
         df.repartitionByRange(n_parts, *order_cols).withColumn(
             _PID, F.spark_partition_id()

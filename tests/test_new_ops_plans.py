@@ -1040,17 +1040,17 @@ class TestPageRank:
         from dbsurveyor_spark.catalog import load_table
         from dbsurveyor_spark.operators import graph
 
-        edges = (
+        adj = (
             load_table(spark, SF, "part")
             .select(F.col("p_partkey").alias("src"))
-            .withColumn("dst", F.col("src") + 1)
-            .withColumn("deg", F.lit(2).cast("bigint"))
+            .withColumn("nbrs", F.array(F.col("src") + 1))
+            .withColumn("deg", F.lit(1).cast("bigint"))
             .repartition(4, "src")
         )
-        ranks = edges.select(
+        ranks = adj.select(
             F.col("src").alias("node"), F.lit(10**9).alias("r")
         )
-        plan = formatted_plan(graph._pagerank_step(edges, ranks, 123))
+        plan = formatted_plan(graph._pagerank_step(adj, ranks, 123))
         assert "ShuffledHashJoin" in plan, plan
         assert "BroadcastExchange" not in plan, plan
 
