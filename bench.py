@@ -356,6 +356,55 @@ def _warmup(spark, sf_dir: str) -> None:
     )
 
 
+def compact_last_line(
+    total: float, steady: dict[str, float], sf_val, n_items: int
+) -> str:
+    """The driver-tail-sized LAST stdout line: headline totals plus the
+    per-query steady map at 1 dp. Must stay under 2,000 chars (the round
+    driver keeps exactly the final 2,000 chars of stdout and parses JSON
+    from them); a hard guard degrades to integer seconds rather than ever
+    letting the tail truncate mid-line."""
+
+    def _enc(v: float) -> str:
+        r = round(v, 1)
+        if r < 0.05:
+            return "0"
+        if r == int(r):
+            return str(int(r))
+        return f"{r:.1f}"
+
+    compact_q = {
+        k: _enc(v) for k, v in steady.items() if not k.endswith("_build")
+    }
+    head = (
+        '{"metric":"headline_queries_wall_clock",'
+        f'"value":{round(total, 2)},"unit":"sec",'
+        f'"steady_value":{round(sum(steady.values()), 1)},'
+        f'"sf":{json.dumps(sf_val)},"n_items":{n_items},"queries":{{'
+    )
+    def _render(entries: dict[str, str], dropped: int) -> str:
+        body = ",".join(f'"{k}":{v}' for k, v in entries.items())
+        tail = "}" + (f',"dropped":{dropped}' if dropped else "") + "}"
+        return head + body + tail
+
+    line = _render(compact_q, 0)
+    if len(line) > 1990:  # never let the tail truncate mid-line
+        # Degrade in two steps: integer seconds first; if the map is
+        # still too wide, drop the SMALLEST-steady entries (the heavy
+        # queries are the regression signal) and say how many were cut.
+        compact_q = {
+            k: str(int(round(float(v)))) for k, v in compact_q.items()
+        }
+        order = sorted(compact_q, key=lambda k: (steady[k], k))
+        dropped = 0
+        line = _render(compact_q, dropped)
+        while len(line) > 1990 and order:
+            compact_q.pop(order.pop(0))
+            dropped += 1
+            line = _render(compact_q, dropped)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -507,31 +556,7 @@ def main() -> None:
     # index-build line items stay on the detail line above (their steady
     # values are memo-hit ~0s; the headline QUERY set is complete here).
     # A hard guard degrades gracefully rather than ever overflowing.
-    def _enc(v: float) -> str:
-        r = round(v, 1)
-        if r < 0.05:
-            return "0"
-        if r == int(r):
-            return str(int(r))
-        return f"{r:.1f}"
-
-    compact_q = {
-        k: _enc(v) for k, v in steady.items() if not k.endswith("_build")
-    }
-    head = (
-        '{"metric":"headline_queries_wall_clock",'
-        f'"value":{round(total, 2)},"unit":"sec",'
-        f'"steady_value":{round(sum(steady.values()), 1)},'
-        f'"sf":{json.dumps(sf_val)},"n_items":{len(timings)},"queries":{{'
-    )
-    body = ",".join(f'"{k}":{v}' for k, v in compact_q.items())
-    line = head + body + "}}"
-    if len(line) > 1990:  # never let the tail truncate mid-line
-        body = ",".join(
-            f'"{k}":{int(round(float(v)))}' for k, v in compact_q.items()
-        )
-        line = head + body + "}}"
-    print(line)
+    print(compact_last_line(total, steady, sf_val, len(timings)))
     # Reclaim the session-pinned index memos (k-NN graph, audio pairs,
     # co-purchase graph) — the documented evict hook for suite boundaries.
     from dbsurveyor_spark.plans.cache import clear_index_memos
