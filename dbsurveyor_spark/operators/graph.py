@@ -1080,13 +1080,31 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= LINKPRED_NBR_CAP)
         .select("c", "n")
     )
-    # center degree for the Adamic-Adar term (full degree, not capped) —
-    # the per-center term round(1/ln(deg_c), 12) is computed HERE, before
-    # the wedge expansion, so the Σ min(deg,CAP)²-row wedge stream carries
-    # (c, x, aa_t) instead of (c, x, dc): the quadratic intermediate never
-    # widens for a value derivable pre-expansion (§2.3 "project before the
-    # exchange" applied to the generator side).
-    cd = capped.join(
+    # Wedge generation happens IN-ROW (r9): collect each center's capped
+    # neighbor list into a sorted array — the groupBy(c) reuses the
+    # window's hash partitioning on c, no new exchange — and expand all
+    # (x < y) pairs with the same pure-JVM array expansion the co-purchase
+    # basket build uses (`_bucket_pairs`). The previous shape self-joined
+    # the capped frame, which planned the whole window+cap pipeline ONCE
+    # PER SIDE (a cache of it was A/B tested and REJECTED: the
+    # materialization pass plus the lost pipelining cost ~2× steady, 8.0
+    # vs 3.6 s at sf0.1 — in-row expansion gets single evaluation WITHOUT
+    # materializing anything). The pair array is projected in its own
+    # Project below the explode so Generate's input is a materialized
+    # column, never a per-output-row re-evaluated HOF (§6 Generate rule).
+    # Array size is CAP-bounded (≤ C(30,2) = 435 structs), constant at
+    # any scale.
+    percenter = capped.groupBy("c").agg(
+        F.sort_array(F.collect_list("n")).alias("ns")
+    )
+    # center degree for the Adamic-Adar term (full degree, not capped),
+    # attached to the |centers|-row aggregate — the term
+    # round(1/ln(deg_c), 12) is computed ONCE PER CENTER, before the
+    # wedge expansion, so the Σ min(deg,CAP)²-row wedge stream carries
+    # (x, y, aa_l) and the quadratic intermediate never widens for a
+    # value derivable pre-expansion (§2.3 "project before the exchange"
+    # applied to the generator side).
+    cd = percenter.join(
         deg.withColumnRenamed("v", "c").hint("shuffle_hash"), "c"
     )
     # The 12-dp AA term ×10¹² is an exact int64 lattice point (the A-ES /
@@ -1105,25 +1123,17 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CAP-bounded generator can emit at any scale.
     aa_term = F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 12)
     aa_lattice = F.round(aa_term * F.lit(1e12), 0).cast("bigint")
-    # NOTE (r9): caching this frame for the two wedge sides was A/B
-    # tested and REJECTED — the cache materialization pass plus the lost
-    # pipelining cost ~2× steady (8.0 vs 3.6 s at sf0.1); the duplicated
-    # window+attach pipeline is cheaper than materializing its output.
-    left = cd.select(
-        "c", F.col("n").alias("x"), aa_lattice.alias("aa_l")
+    from .dedup import _bucket_pairs
+
+    wedges = (
+        cd.select(aa_lattice.alias("aa_l"), _bucket_pairs("ns").alias("prs"))
+        .select("aa_l", F.explode("prs").alias("p"))
+        .select(F.col("p.a").alias("x"), F.col("p.b").alias("y"), "aa_l")
     )
-    right = cd.select("c", F.col("n").alias("y"))
-    wedges = left.join(right, "c").filter(F.col("x") < F.col("y"))
     cand = wedges.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
         F.sum("aa_l").alias("aa_s"),
-    ).withColumn(
-        "adamic_adar",
-        # decimal(20,0)/decimal(13,0) → decimal(34,14): NO precision-loss
-        # scale reduction (38,0 would overflow 38 and collapse to scale 6),
-        # exact at 12 fractional digits, one correct double rounding.
-        F.expr("cast(cast(aa_s as decimal(20,0)) / 1000000000000 as double)"),
-    ).drop("aa_s")
+    )
     new_pairs = cand.join(
         half.select("a", "b"),
         (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
@@ -1137,9 +1147,18 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1). The eager checkpoint materializes the pipeline with
     # TakeOrderedAndProject at the root — nested under the broadcast, the
     # limit would otherwise plan as a global sort.
+    #
+    # The ordering uses the RAW int64 lattice aa_s, not the decimal-
+    # converted double (r9): aa_s ↦ adamic_adar is strictly monotone
+    # (distinct lattice points differ by ≥1e-12 while the double ulp at
+    # the max possible magnitude, 435·1.45e12/1e12 ≈ 630, is ~7e-14), so
+    # (cn DESC, aa_s DESC, x, y) is the SAME total order — and the exact
+    # decimal division now runs on the ≤N surviving rows instead of every
+    # candidate (6.7M decimal casts+divides at sf0.1 dropped from the
+    # TakeOrdered path).
     rank_w = Window.orderBy(
         F.desc("common_neighbors"),
-        F.desc("adamic_adar"),
+        F.desc("aa_s"),
         F.asc("x"),
         F.asc("y"),
     )
@@ -1152,12 +1171,23 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = checkpoint_round(
         new_pairs.orderBy(
             F.desc("common_neighbors"),
-            F.desc("adamic_adar"),
+            F.desc("aa_s"),
             F.asc("x"),
             F.asc("y"),
         )
         .limit(LINKPRED_TOP_N)
-        .withColumn("rank", F.row_number().over(rank_w).cast("bigint")),
+        .withColumn("rank", F.row_number().over(rank_w).cast("bigint"))
+        .withColumn(
+            "adamic_adar",
+            # decimal(20,0)/decimal(13,0) → decimal(34,14): NO precision-
+            # loss scale reduction (38,0 would overflow 38 and collapse to
+            # scale 6), exact at 12 fractional digits, one correct double
+            # rounding — on ≤N rows.
+            F.expr(
+                "cast(cast(aa_s as decimal(20,0)) / 1000000000000 as double)"
+            ),
+        )
+        .drop("aa_s"),
         "graph_link_prediction:topn",
     )
     with_dx = checkpoint_round(

@@ -766,6 +766,7 @@ def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors only.
     """
     from ..plans.cache import release_caches, tracked_cache
+    from ..plans.roundcheck import checkpoint_round
     from .graph import copurchase_graph
 
     release_caches()
@@ -793,29 +794,41 @@ def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders_part")
     )
     n_orders = lines.select("l_orderkey").distinct().count()
-    na = part_orders.select(
-        F.col("l_partkey").alias("part_a"),
-        F.col("n_orders_part").alias("n_a"),
-    ).hint("SHUFFLE_HASH")
-    nb = part_orders.select(
-        F.col("l_partkey").alias("part_b"),
-        F.col("n_orders_part").alias("n_b"),
-    ).hint("SHUFFLE_HASH")
     lift = (F.col("support").cast("double") * F.lit(float(n_orders))) / (
         F.col("n_a").cast("double") * F.col("n_b")
     )
     # top-K first (TakeOrderedAndProject — distributed partial top-K, no
     # global sort), THEN the rank window over the ≤K-row survivor frame.
+    # r9 (the link-prediction move, §3): the (support DESC, part_a,
+    # part_b) order references NO attached column, so the two per-part
+    # order-count attaches run AFTER the limit — two ≤K-row broadcast
+    # probes of the cached distinct-line aggregate instead of two
+    # SHUFFLE_HASH exchanges of the full surviving-pair frame. The eager
+    # checkpoints make each broadcast subtree a materialized ≤K-row
+    # LogicalRDD (the lint walkers' by-construction row bound).
     w = Window.orderBy(
         F.desc("support"), F.asc("part_a"), F.asc("part_b")
     )
-    return (
-        pairs.join(na, "part_a")
-        .join(nb, "part_b")
-        .withColumn("lift", F.round(lift, 9))
-        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+    top = checkpoint_round(
+        pairs.orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
         .limit(BASKET_TOP_K)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint")),
+        "basket_copurchase_lift:topk",
+    )
+    with_na = checkpoint_round(
+        part_orders.select(
+            F.col("l_partkey").alias("part_a"),
+            F.col("n_orders_part").alias("n_a"),
+        ).join(F.broadcast(top), "part_a"),
+        "basket_copurchase_lift:na",
+    )
+    return (
+        part_orders.select(
+            F.col("l_partkey").alias("part_b"),
+            F.col("n_orders_part").alias("n_b"),
+        )
+        .join(F.broadcast(with_na), "part_b")
+        .withColumn("lift", F.round(lift, 9))
         .select("rank", "part_a", "part_b", "support", "n_a", "n_b", "lift")
     )
 
