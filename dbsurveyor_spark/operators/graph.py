@@ -250,12 +250,20 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small at 100× and the cached frame is |V| rows, not 2|E|.
     n_nodes = nodes.count()  # metadata-scale driver scalar
     small = n_nodes < 1_000_000
-    # Small graphs build adj at star-contraction's small_par so every
-    # round runs small_par-task stages instead of 32-task ones — the
-    # rounds were pure fixed overhead (~0.5 s/round at 32 partitions for
-    # 20k rows of state, measured); big graphs keep full parallelism.
+    # Small graphs build adj at a REDUCED static partition count so every
+    # round runs few-task stages instead of 32-task ones — the rounds
+    # were pure fixed overhead (~0.5 s/round at 32 partitions for 20k
+    # rows of state, measured); big graphs keep full parallelism + AQE.
+    # The count SCALES WITH |V| inside the small gate (avg degree is
+    # constant at TPC-H ratios, so per-node round work is constant): a
+    # flat small_par=4 measured 16.8 s at the synthetic sf1 (200k nodes,
+    # 24M exploded contributions serialized onto 4 tasks) — the
+    # "config tuned for one scale" trap the round brief warns about.
     par = (
-        max(4, spark.sparkContext.defaultParallelism // 8)
+        min(
+            spark.sparkContext.defaultParallelism,
+            max(4, n_nodes // 8_192),
+        )
         if small
         else spark.sparkContext.defaultParallelism
     )
