@@ -67,6 +67,35 @@ class TestTemporalHoldout:
 
 
 class TestLinkPrediction:
+    def test_wedges_generate_in_row_from_materialized_pairs(self, spark):
+        """r9 regression guard: the wedge stream must be ONE in-row
+        Generate over a MATERIALIZED pair-array column — not a self-join
+        of the capped-adjacency pipeline (which planned the window+cap
+        subtree once per side), and not an inline HOF under the Generate
+        (re-evaluated per output row, the §6 Generate rule)."""
+        import re
+
+        from dbsurveyor_spark.plans.asserts import formatted_plan
+        from dbsurveyor_spark.plans.roundcheck import round_inspector
+
+        captured = {}
+
+        def hook(df, label):
+            if label == "graph_link_prediction:topn":
+                captured["plan"] = formatted_plan(df)
+
+        with round_inspector(hook):
+            graph_link_prediction(spark, SF)
+        plan = captured["plan"]
+        # exactly one Generate explodes a plain attribute (the projected
+        # pair array), never an inline transform/flatten expression
+        explodes = re.findall(r"Arguments: explode\((\w+)#\d+\)", plan)
+        assert explodes.count("prs") == 1, plan
+        # the capped-adjacency ranking window appears once, not per side
+        # (4 Window nodes total: cap rn + the <=N-row rank window + the
+        # cached co-purchase relation's rendered children)
+        assert len(re.findall(r"\(\d+\) Window", plan)) <= 4, plan
+
     def test_predictions_are_new_valid_ranked(self, spark):
         out = graph_link_prediction(spark, SF).collect()
         assert len(out) == LINKPRED_TOP_N
